@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table catalog over a driver-provided scale-factor directory.
+  *
+  * Mirrors the reference's file-system catalog (`get_sequences`,
+  * reference src/utils/helpers.py:575-662) as a thin path-convention
+  * resolver: one parquet file per table name. All reads are plain
+  * `spark.read.parquet` so Catalyst gets full predicate pushdown /
+  * column pruning into the scan — at 100 TB these tables would be
+  * partitioned directories instead of single files and the same code
+  * holds (parquet directory scans, partition pruning included).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
+  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
