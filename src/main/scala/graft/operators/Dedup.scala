@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{Text, Vectors}
+
+/** Document deduplication operators for large-scale training-data
+  * pipelines (scale extensions beyond the reference surface — SURVEY
+  * §7.2 M8). Inputs are `documents`-shaped tables (`doc_id`, `text`).
+  *
+  * Scale design: every variant avoids the O(n²) all-pairs comparison —
+  * candidate pairs come from equi-joins on content-derived keys (hash,
+  * band signature, simhash prefix), so the heavy step is always a hash
+  * shuffle on a key with bounded fan-out. All hashing is portable MD5
+  * (deterministic on any engine / partitioning — see functions.Text).
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash, keep the lowest doc_id
+    * (deterministic canonical representative), report group size.
+    */
+  def exact(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy("content_hash").orderBy("doc_id")
+    docs.withColumn("content_hash", Text.md5s(col(textCol)))
+      .withColumn("keep_id", first("doc_id").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("dup_count", count(lit(1)).over(w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+  }
+
+  /** MinHash + LSH banding: docs sharing ≥1 band bucket become candidate
+    * pairs (shingle → minhash → band → bucket-join). `numHashes` hashes
+    * in `bands` bands of `numHashes/bands` rows each.
+    *
+    * Pair generation is an equi-join on (band, bucket-signature): only
+    * near-duplicates collide, so the join fan-out stays tiny even at
+    * billions of docs (the LSH guarantee), and the dedup never goes
+    * quadratic.
+    */
+  def minhashCandidates(docs: DataFrame, numHashes: Int, bands: Int,
+                        textCol: String = "text"): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val toks = docs.select(col("doc_id"),
+      explode(Text.distinctTokens(col(textCol))).as("tok"))
+    // One minhash per seed: min over tokens of md5("s{seed}_" + token).
+    val perSeed = toks
+      .withColumn("seed", explode(array((0 until numHashes).map(lit): _*)))
+      .groupBy("doc_id", "seed")
+      .agg(min(Text.minhash(col("tok"), 0)).as("mh"))
+    // Band signature: concat of the band's minhashes.
+    val banded = perSeed
+      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(md5(concat_ws("|", sort_array(collect_list(
+        concat_ws(":", col("seed"), col("mh")))))).as("band_sig"))
+    val a = banded.select(col("band"), col("band_sig"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band"), col("band_sig"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "band_sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact token-set Jaccard for candidate pairs (verification stage
+    * after LSH, or standalone n-gram Jaccard dedup when `n > 1`).
+    */
+  def jaccardPairs(docs: DataFrame, candidates: DataFrame, n: Int = 1,
+                   textCol: String = "text"): DataFrame = {
+    val grams = if (n == 1) Text.distinctTokens(col(textCol))
+      else array_distinct(Text.shingles(Text.tokens(col(textCol)), n))
+    val sets = docs.select(col("doc_id"), grams.as("grams"))
+    val withA = candidates.join(sets.withColumnRenamed("doc_id", "doc_a")
+      .withColumnRenamed("grams", "grams_a"), Seq("doc_a"))
+    val withB = withA.join(sets.withColumnRenamed("doc_id", "doc_b")
+      .withColumnRenamed("grams", "grams_b"), Seq("doc_b"))
+    withB.withColumn("inter", size(array_intersect(col("grams_a"), col("grams_b"))))
+      .withColumn("unionSz",
+        size(col("grams_a")) + size(col("grams_b")) - col("inter"))
+      .withColumn("jaccard",
+        when(col("unionSz") === 0, 0.0)
+          .otherwise(col("inter").cast("double") / col("unionSz")))
+      .select("doc_a", "doc_b", "inter", "unionSz", "jaccard")
+  }
+
+  /** SimHash: 16-bit fingerprint from per-token hash16 bit votes.
+    * Documents with identical simhash are near-dup candidates; a
+    * hamming-ball variant would join on rotated prefixes.
+    */
+  def simhash(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(Text.tokens(col(textCol))).as("tok"))
+      .withColumn("h", Text.hash16(col("tok")))
+    val bitVotes = (0 until 16).map { b =>
+      // vote +1 when bit set, -1 when clear; bit b of simhash = majority
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
+    }
+    val votes = toks.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+    val sim = (0 until 16).map(b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+    votes.withColumn("simhash", sim).select("doc_id", "simhash")
+  }
+
+  /** Embedding near-dup: cosine ≥ threshold via the LSH-bucketed
+    * similarity join (see SimilaritySearch.lshBuckets for the candidate
+    * generation at scale); this variant is the exact verify step.
+    */
+  def embeddingNearDup(emb: DataFrame, candidates: DataFrame,
+                       threshold: Double): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val withA = candidates.join(
+      e.withColumnRenamed("vec_id", "doc_a").withColumnRenamed("embedding", "emb_a"),
+      Seq("doc_a"))
+    val withB = withA.join(
+      e.withColumnRenamed("vec_id", "doc_b").withColumnRenamed("embedding", "emb_b"),
+      Seq("doc_b"))
+    withB.withColumn("cosine", Vectors.cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cosine") >= threshold)
+      .select("doc_a", "doc_b", "cosine")
+  }
+}

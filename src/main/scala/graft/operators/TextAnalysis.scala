@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/** Text-analysis operators for training-data pipelines (scale extension,
+  * SURVEY §7.2 M8): language-ID, quality scoring, token counting,
+  * fingerprinting. All pure Column expressions over the `documents`
+  * table — codegen'd per row, no shuffle except the caller's aggregates.
+  */
+object TextAnalysis {
+
+  /** Token count (whitespace) and a BPE-ish subword proxy: count of
+    * alpha-runs, digit-runs, and punctuation marks via regexp extraction
+    * — the standard pre-tokenizer shape without a vocab dependency.
+    */
+  def withTokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_tokens", size(Text.tokens(col(textCol))))
+      .withColumn("n_subword_pieces",
+        size(filter(split(col(textCol), "[^A-Za-z0-9]+"), s => length(s) > 0)) +
+          size(filter(split(col(textCol), "[A-Za-z0-9\\s]+"), s => length(s) > 0)))
+
+  /** Quality heuristics: length, mean word length, punctuation ratio,
+    * digit ratio, stopword ratio, uppercase ratio. Ratios are exact
+    * integer counts with one final division (oracle-stable).
+    */
+  def withQuality(docs: DataFrame, stopwords: Seq[String],
+                  textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = Text.tokens(t)
+    val nChars = length(t)
+    val nPunct = nChars - length(regexp_replace(t, "[.,!?;:]", ""))
+    val nDigit = nChars - length(regexp_replace(t, "[0-9]", ""))
+    val nUpper = nChars - length(regexp_replace(t, "[A-Z]", ""))
+    val nStop = size(filter(toks, tok => tok.isin(stopwords: _*)))
+    docs
+      .withColumn("q_len", nChars)
+      .withColumn("q_n_tokens", size(toks))
+      .withColumn("q_mean_word_len",
+        when(size(toks) > 0,
+          aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(toks))
+          .otherwise(0.0))
+      .withColumn("q_punct_ratio",
+        when(nChars > 0, nPunct.cast("double") / nChars).otherwise(0.0))
+      .withColumn("q_digit_ratio",
+        when(nChars > 0, nDigit.cast("double") / nChars).otherwise(0.0))
+      .withColumn("q_upper_ratio",
+        when(nChars > 0, nUpper.cast("double") / nChars).otherwise(0.0))
+      .withColumn("q_stop_ratio",
+        when(size(toks) > 0, nStop.cast("double") / size(toks)).otherwise(0.0))
+  }
+
+  /** Language-ID: per-language stopword-hit counts → deterministic argmax
+    * (ties broken by language code order). The operator shape — N list
+    * scans + argmax — is the point; swap lists for real profiles.
+    */
+  def withLangId(docs: DataFrame, profiles: Map[String, Seq[String]],
+                 textCol: String = "text"): DataFrame = {
+    val toks = Text.tokens(col(textCol))
+    // argmax via greatest over (hits, revRank, lang) structs: hits first;
+    // revRank gives alphabetically-first language the win on ties.
+    val withRank = profiles.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((lang, words), i) =>
+        struct(size(filter(toks, t => t.isin(words: _*))).as("hits"),
+          lit(profiles.size - i).as("revRank"), lit(lang).as("lang"))
+    }
+    docs.withColumn("lang_pred", greatest(withRank: _*).getField("lang"))
+      .withColumn("lang_hits", greatest(withRank: _*).getField("hits"))
+  }
+
+  /** Document fingerprint: md5 of sorted distinct tokens (order-canonical
+    * content signature) + a rolling-hash prefix fingerprint.
+    */
+  def withFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("fingerprint", Text.fingerprint(col(textCol)))
+}

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.operators.{SeqState, SeqTrackOut, Tracker, TrackerConfig, TrackerIn}
+
+/** Streaming host for the tracker (SURVEY §7.2 M7, §2.8 T1–T7).
+  *
+  * The same per-frame step as the batch kernel, re-hosted on
+  * `flatMapGroupsWithState`: state key = sequence (the reference's state
+  * boundary, src/tracking.py:687-690), events = detection rows, event
+  * time = frame order. Each micro-batch's rows are grouped by frame and
+  * stepped in frame order; state carries the full track set between
+  * batches as plain serializable rows.
+  *
+  * Late-data policy (T7, documented extension — the reference assumes
+  * strictly ordered input): frames older than the newest frame already
+  * processed for the sequence are DROPPED, mirroring a watermark of 0;
+  * zero-detection frames age tracks implicitly only when a later frame
+  * arrives (identical to the reference, which only iterates frames
+  * present in the input).
+  */
+object StreamingTracker {
+
+  /** Batch-or-streaming entry: works on any Dataset[TrackerIn], including
+    * a `readStream` source. Use `.writeStream.outputMode("append")`.
+    */
+  def track(dets: Dataset[TrackerIn], cfg: TrackerConfig = TrackerConfig()): Dataset[SeqTrackOut] = {
+    val spark = dets.sparkSession
+    import spark.implicits._
+    dets.groupByKey(_.seq)
+      .flatMapGroupsWithState[SeqState, SeqTrackOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (seq: String, rows: Iterator[TrackerIn], state: GroupState[SeqState]) =>
+          val prior = state.getOption.getOrElse(SeqState("", 1, Array.empty))
+          val core = Tracker.restoreCore(cfg, prior)
+          val byFrame = rows.toArray.groupBy(_.frame).toArray.sortBy(_._1)
+          val out = byFrame.iterator
+            .filter { case (frame, _) => prior.lastFrame.isEmpty || frame > prior.lastFrame }
+            .flatMap { case (frame, ds) =>
+              core.step(frame, ds.sortBy(_.id).toSeq).map(_.copy(seq = seq))
+            }.toArray
+          val newLast = byFrame.lastOption.map(_._1).getOrElse(prior.lastFrame)
+          state.update(Tracker.snapshotCore(core,
+            if (newLast > prior.lastFrame) newLast else prior.lastFrame))
+          out.iterator
+      }
+  }
+}
