@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Deterministic MOT-shaped tables derived from the driver's synthetic
+  * TPC-H tables (TESTDATA.md), used as inputs for the MOT-domain
+  * operator queries so they can be DuckDB-oracle-checked.
+  *
+  * THE DERIVATION IS SHARED SQL TEXT: the same CTE body runs on Spark
+  * (via `spark.sql` over temp views) and inside the oracle SQL strings —
+  * so the inputs are bit-identical by construction and the comparison
+  * exercises ONLY the operator under test (the Scala library vs the
+  * hand-written DuckDB equivalent).
+  *
+  * Shape: 2 sequences × 120 frames, ~30 stable object identities per
+  * sequence; tracks are ground truth with deterministic jitter, ~1/9 of
+  * rows dropped (misses) and ~1/13 identity-switched — so every CLEAR /
+  * Identity metric is exercised with non-trivial values.
+  */
+object Derived {
+
+  /** CTE text defining gt + tracks from `lineitem`. Valid in both Spark
+    * SQL and DuckDB (ANSI subset: %, ||, CASE, CAST, row_number).
+    */
+  val motCtes: String =
+    """gt_raw AS (
+      |  SELECT 's' || CAST(l_orderkey % 2 AS STRING) AS seq,
+      |         CAST(l_orderkey % 120 AS INT) AS frameIdx,
+      |         CAST(l_partkey % 30 AS INT) AS id,
+      |         CAST((l_partkey * 37) % 800 AS DOUBLE) AS x,
+      |         CAST((l_suppkey * 53) % 800 AS DOUBLE) AS y,
+      |         CAST(20 + (l_partkey % 40) AS DOUBLE) AS w,
+      |         CAST(20 + (l_suppkey % 40) AS DOUBLE) AS h,
+      |         l_orderkey, l_linenumber, l_suppkey, l_partkey
+      |  FROM lineitem
+      |),
+      |gt AS (
+      |  SELECT seq, frameIdx, id, x, y, w, h, l_orderkey, l_linenumber, l_suppkey, l_partkey FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY seq, frameIdx, id ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) AS rn
+      |    FROM gt_raw) t WHERE rn = 1
+      |),
+      |tr_raw AS (
+      |  SELECT seq, frameIdx,
+      |         CAST(CASE WHEN (l_orderkey + l_partkey) % 13 = 0 THEN (l_partkey % 30) + 100 ELSE l_partkey % 30 END AS INT) AS id,
+      |         x + CAST(l_orderkey % 7 AS DOUBLE) - 3.0 AS x,
+      |         y + CAST(l_suppkey % 7 AS DOUBLE) - 3.0 AS y,
+      |         w, h,
+      |         CAST(50 + l_orderkey % 50 AS DOUBLE) / 100.0 AS conf,
+      |         l_orderkey, l_linenumber
+      |  FROM gt
+      |  WHERE (l_orderkey + l_suppkey) % 9 <> 0
+      |),
+      |tracks AS (
+      |  SELECT seq, frameIdx, id, x, y, w, h, conf FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY seq, frameIdx, id ORDER BY l_orderkey, l_linenumber) AS rn2
+      |    FROM tr_raw) t WHERE rn2 = 1
+      |)""".stripMargin
+
+  /** Embedding-carrying GT: joins a deterministic vec per object
+    * identity (object k → embeddings.vec_id = k).
+    */
+  val motEmbCte: String =
+    """gt_emb AS (
+      |  SELECT g.*, e.embedding AS emb
+      |  FROM gt g JOIN embeddings e ON e.vec_id = (g.id * 7 + g.frameIdx) % 500
+      |)""".stripMargin
+
+  /** Overlap-heavy detection boxes for the suppression kernels: several
+    * detections per frame cluster around shared anchor points with
+    * varied extents, so NMS/nested-removal decisions are non-trivial.
+    */
+  val detCte: String =
+    """dets AS (
+      |  SELECT 's' || CAST(l_orderkey % 2 AS STRING) AS seq,
+      |         CAST(l_orderkey % 60 AS INT) AS frame,
+      |         CAST(row_number() OVER (PARTITION BY l_orderkey % 2, l_orderkey % 60 ORDER BY l_orderkey, l_linenumber) AS INT) AS id,
+      |         CAST((l_partkey % 12) * 60 + (l_suppkey % 9) AS DOUBLE) AS x1,
+      |         CAST((l_suppkey % 12) * 60 + (l_partkey % 9) AS DOUBLE) AS y1,
+      |         CAST((l_partkey % 12) * 60 + (l_suppkey % 9) + 30 + (l_linenumber * 9) AS DOUBLE) AS x2,
+      |         CAST((l_suppkey % 12) * 60 + (l_partkey % 9) + 30 + ((l_partkey + l_linenumber) % 5) * 11 AS DOUBLE) AS y2,
+      |         CAST(5 + l_orderkey % 97 AS DOUBLE) / 100.0 AS score
+      |  FROM lineitem WHERE l_orderkey % 5 = 0
+      |)""".stripMargin
+
+  private def registerBase(spark: SparkSession, dir: String): Unit =
+    Tables.names.foreach { n =>
+      Tables.load(spark, dir, n).createOrReplaceTempView(n)
+    }
+
+  /** Spark-side materialization of a derived table via the shared text. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    registerBase(spark, dir)
+    val withEmb = s"$motCtes,\n$motEmbCte"
+    name match {
+      case "gt"     => spark.sql(s"WITH $motCtes SELECT * FROM gt")
+      case "tracks" => spark.sql(s"WITH $motCtes SELECT * FROM tracks")
+      case "gt_emb" => spark.sql(s"WITH $withEmb SELECT * FROM gt_emb")
+      case "dets"   => spark.sql(s"WITH $detCte SELECT * FROM dets")
+    }
+  }
+}

@@ -28,6 +28,23 @@ object Tables {
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+
+  /** events with a BIGINT epoch-millis column `ms`. The driver's parquet
+    * carries TIMESTAMP(NANOS), which Spark only reads as a raw
+    * nanosecond LONG (`spark.sql.legacy.parquet.nanosAsLong`) — derive
+    * ms with integer division so the value matches DuckDB's
+    * `epoch_ms(ts)` exactly.
+    */
+  def eventsMs(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    e.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        e.withColumn("ms", org.apache.spark.sql.functions.expr("ts div 1000000"))
+      case _ =>
+        e.withColumn("ms", org.apache.spark.sql.functions.unix_millis(
+          org.apache.spark.sql.functions.col("ts")))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

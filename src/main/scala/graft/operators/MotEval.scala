@@ -86,9 +86,14 @@ object MotEval {
     val trCounts = trs.groupBy("seq").agg(
       count(lit(1)).as("Dets"), countDistinct("id").as("IDs"))
 
-    // CLEAR TP / LocA (A7, A8)
+    // CLEAR TP / LocA (A7, A8). LocA is a 1e-9-quantized mean: each IoU
+    // is fixed-pointed before summation so the aggregate is an exact
+    // integer sum — shuffle-order-independent (deviation from the
+    // reference's np.mean is ≤ 1e-9, documented).
     val tp = mm.groupBy("seq").agg(
-      count(lit(1)).as("CLR_TP"), avg("iou").as("LocA"))
+      count(lit(1)).as("CLR_TP"),
+      (sum(round(col("iou") * 1e9).cast("long")).cast("double") /
+        count(lit(1)) / 1e9).as("LocA"))
 
     // IDSW + Frag (A10, A11): windows over matched frames only — identity
     // persists across gaps (reference eval.py:291-316).
@@ -130,7 +135,15 @@ object MotEval {
     }
     val idtpGt = longestRunSum(mm, "gt_id", "track_id")
       .withColumnRenamed("sum(best)", "IDTP")
-    val idtpTr = longestRunSum(mm, "track_id", "gt_id")
+    // Track-side trajectories keep ONE gt per (frame, track): the
+    // reference's track_to_gt dict is overwritten on duplicate claims
+    // (eval.py:248, last-in-dict-order wins). Deterministic pin: highest
+    // gt_id (documented tie-break deviation).
+    val wTr = Window.partitionBy("seq", "frameIdx", "track_id")
+      .orderBy(col("gt_id").desc)
+    val mmTr = mm.withColumn("rn_tr", row_number().over(wTr))
+      .filter(col("rn_tr") === 1).drop("rn_tr")
+    val idtpTr = longestRunSum(mmTr, "track_id", "gt_id")
       .withColumnRenamed("sum(best)", "IDTP_tracks")
 
     val joined = gtCounts

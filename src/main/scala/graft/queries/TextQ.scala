@@ -1,0 +1,279 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Text
+import graft.operators.{Dedup, SimilaritySearch, TextAnalysis}
+
+/** Text-analysis, dedup, and similarity-search query catalog over the
+  * `documents` / `embeddings` tables (training-data-pipeline operators,
+  * SURVEY §7.2 M8). Oracle parity via portable MD5 hashing and
+  * quantized-integer accumulation (see functions.Text / Rel header).
+  */
+object TextQ {
+
+  /** Stopword profiles for language-ID (deterministic operator shape —
+    * the synthetic corpus shares one vocabulary, so these are arbitrary
+    * but fixed; alphabetical CASE order = tie-break).
+    */
+  val profiles: Map[String, Seq[String]] = Map(
+    "de" -> Seq("join", "row", "customer"),
+    "en" -> Seq("the", "a", "order"),
+    "es" -> Seq("slow", "agg", "merge"),
+    "fr" -> Seq("scan", "data", "query"),
+    "zh" -> Seq("small", "stream", "value"))
+
+  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  val defs: Seq[Q] = Seq(
+
+    // Language-ID confusion matrix: label vs stopword-argmax prediction.
+    Q("t01_langid",
+      (s, d) => TextAnalysis.withLangId(Tables.documents(s, d), profiles)
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n_docs")),
+      Some {
+        val hit = profiles.toSeq.sortBy(_._1).map { case (lang, ws) =>
+          s"len(list_filter(string_split(lower(text), ' '), t -> t IN (${inList(ws)}))) AS hits_$lang"
+        }.mkString(",\n    ")
+        """WITH h AS (
+          |  SELECT lang,
+          |    HITS
+          |  FROM documents
+          |), p AS (
+          |  SELECT lang,
+          |    CASE WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr AND hits_de >= hits_zh THEN 'de'
+          |         WHEN hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_zh THEN 'en'
+          |         WHEN hits_es >= hits_fr AND hits_es >= hits_zh THEN 'es'
+          |         WHEN hits_fr >= hits_zh THEN 'fr'
+          |         ELSE 'zh' END AS lang_pred
+          |  FROM h
+          |)
+          |SELECT lang, lang_pred, count(*) AS n_docs FROM p GROUP BY lang, lang_pred"""
+          .stripMargin.replace("HITS", hit)
+      }),
+
+    // Quality heuristics per source: exact-count ratios, 1e9-quantized
+    // before averaging.
+    Q("t02_quality",
+      (s, d) => {
+        val q = TextAnalysis.withQuality(Tables.documents(s, d), Seq("the", "a", "of"))
+          .withColumn("punct_q", round(col("q_punct_ratio") * 1e9).cast("long"))
+          .withColumn("stop_q", round(col("q_stop_ratio") * 1e9).cast("long"))
+        q.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("q_n_tokens").as("total_tokens"),
+          (sum("q_len").cast("double") / count(lit(1))).as("avg_len"),
+          (sum("punct_q").cast("double") / count(lit(1)) / 1e9).as("avg_punct_ratio"),
+          (sum("stop_q").cast("double") / count(lit(1)) / 1e9).as("avg_stop_ratio"))
+      },
+      Some("""WITH q AS (
+        |  SELECT source, length(text) AS len,
+        |    len(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS n_tokens,
+        |    CAST(ROUND(CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END * 1e9) AS BIGINT) AS punct_q,
+        |    CAST(ROUND(CASE WHEN len(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) > 0 THEN CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ('the', 'a', 'of'))) AS DOUBLE) / len(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) ELSE 0.0 END * 1e9) AS BIGINT) AS stop_q
+        |  FROM documents
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(CAST(sum(len) AS BIGINT) AS DOUBLE) / count(*) AS avg_len,
+        |  CAST(CAST(sum(punct_q) AS BIGINT) AS DOUBLE) / count(*) / 1e9 AS avg_punct_ratio,
+        |  CAST(CAST(sum(stop_q) AS BIGINT) AS DOUBLE) / count(*) / 1e9 AS avg_stop_ratio
+        |FROM q GROUP BY source""".stripMargin)),
+
+    // Document fingerprints (order-canonical content signature).
+    Q("t03_fingerprint",
+      (s, d) => TextAnalysis.withFingerprint(Tables.documents(s, d))
+        .groupBy("lang").agg(
+          countDistinct("fingerprint").as("n_distinct"),
+          min("fingerprint").as("min_fp")),
+      Some("""SELECT lang,
+        | count(DISTINCT md5(array_to_string(list_sort(list_distinct(list_filter(string_split(lower(text), ' '), t -> len(t) > 0))), ' '))) AS n_distinct,
+        | min(md5(array_to_string(list_sort(list_distinct(list_filter(string_split(lower(text), ' '), t -> len(t) > 0))), ' '))) AS min_fp
+        |FROM documents GROUP BY lang""".stripMargin)),
+
+    // Token counting (whitespace + subword-piece proxy).
+    Q("t04_token_counts",
+      (s, d) => TextAnalysis.withTokenCounts(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("n_subword_pieces").cast("long").as("n_subword_pieces")),
+      Some("""SELECT doc_id,
+        | len(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS n_tokens,
+        | len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), x -> len(x) > 0))
+        |   + len(list_filter(regexp_split_to_array(text, '[A-Za-z0-9\s]+'), x -> len(x) > 0)) AS n_subword_pieces
+        |FROM documents""".stripMargin)),
+
+    // Exact dedup on a truncated-content key (the corpus has no full
+    // duplicates; prefix dedup exercises the operator).
+    Q("d01_exact_dedup",
+      (s, d) => Dedup.exact(
+          Tables.documents(s, d).withColumn("k", substring(col("text"), 1, 40)),
+          "k")
+        .groupBy("content_hash").agg(
+          min("keep_id").as("keep_id"), max("dup_count").as("dup_count"))
+        .filter(col("dup_count") >= 1),
+      Some("""SELECT md5(substr(text, 1, 40)) AS content_hash,
+        | min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin)),
+
+    // MinHash signatures (the LSH building block): per doc the min MD5
+    // over tokens for 4 seeds, as one concatenated signature.
+    Q("d02_minhash_sig",
+      (s, d) => {
+        val toks = Tables.documents(s, d).select(col("doc_id"),
+          explode(Text.distinctTokens(col("text"))).as("tok"))
+        val perSeed = toks
+          .withColumn("seed", explode(array((0 until 4).map(lit): _*)))
+          .groupBy("doc_id", "seed")
+          .agg(min(md5(concat(lit("s"), col("seed"), lit("_"), col("tok")))).as("mh"))
+        perSeed.groupBy("doc_id")
+          .agg(md5(concat_ws("|", sort_array(collect_list(
+            concat_ws(":", col("seed"), col("mh")))))).as("signature"))
+      },
+      Some("""WITH toks AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS tok
+        |    FROM documents) t
+        |), per_seed AS (
+        |  SELECT doc_id, seed, min(md5('s' || CAST(seed AS VARCHAR) || '_' || tok)) AS mh
+        |  FROM toks, range(4) r(seed) GROUP BY doc_id, seed
+        |)
+        |SELECT doc_id, md5(string_agg(CAST(seed AS VARCHAR) || ':' || mh, '|' ORDER BY CAST(seed AS VARCHAR) || ':' || mh)) AS signature
+        |FROM per_seed GROUP BY doc_id""".stripMargin)),
+
+    // SimHash 16-bit fingerprints from per-token hash votes.
+    Q("d03_simhash",
+      (s, d) => Dedup.simhash(Tables.documents(s, d)),
+      Some {
+        val votes = (0 until 16).map(b =>
+          s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b").mkString(",\n    ")
+        val bits = (0 until 16).map(b =>
+          s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+        s"""WITH toks AS (
+          |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS tok
+          |  FROM documents
+          |), h16 AS (
+          |  SELECT doc_id,
+          |    (CASE WHEN ascii(substr(md5(tok), 1, 1)) <= 57 THEN ascii(substr(md5(tok), 1, 1)) - 48 ELSE ascii(substr(md5(tok), 1, 1)) - 87 END) * 4096 +
+          |    (CASE WHEN ascii(substr(md5(tok), 2, 1)) <= 57 THEN ascii(substr(md5(tok), 2, 1)) - 48 ELSE ascii(substr(md5(tok), 2, 1)) - 87 END) * 256 +
+          |    (CASE WHEN ascii(substr(md5(tok), 3, 1)) <= 57 THEN ascii(substr(md5(tok), 3, 1)) - 48 ELSE ascii(substr(md5(tok), 3, 1)) - 87 END) * 16 +
+          |    (CASE WHEN ascii(substr(md5(tok), 4, 1)) <= 57 THEN ascii(substr(md5(tok), 4, 1)) - 48 ELSE ascii(substr(md5(tok), 4, 1)) - 87 END) AS h
+          |  FROM toks
+          |), votes AS (
+          |  SELECT doc_id,
+          |    $votes
+          |  FROM h16 GROUP BY doc_id
+          |)
+          |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM votes""".stripMargin
+      }),
+
+    // N-gram Jaccard similarity for a deterministic candidate pair set
+    // (adjacent doc ids) — the verify stage of near-dup detection.
+    Q("d04_ngram_jaccard",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val cands = docs.select(col("doc_id").as("doc_a"))
+          .withColumn("doc_b", col("doc_a") + 1)
+          .filter(col("doc_a") % 2 === 0)
+        Dedup.jaccardPairs(docs, cands, n = 3)
+          .select(col("doc_a"), col("doc_b"),
+            col("inter").cast("long").as("inter"),
+            col("unionSz").cast("long").as("unionsz"),
+            col("jaccard"))
+      },
+      Some("""WITH grams AS (
+        |  SELECT doc_id, list_distinct(
+        |    list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gs
+        |  FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS toks
+        |        FROM documents) t
+        |  WHERE len(toks) >= 3
+        |), cands AS (
+        |  SELECT doc_id AS doc_a, doc_id + 1 AS doc_b FROM documents WHERE doc_id % 2 = 0
+        |)
+        |SELECT c.doc_a, c.doc_b,
+        |  len(list_intersect(a.gs, b.gs)) AS inter,
+        |  len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)) AS unionsz,
+        |  CASE WHEN len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)) = 0 THEN 0.0
+        |       ELSE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) END AS jaccard
+        |FROM cands c JOIN grams a ON c.doc_a = a.doc_id JOIN grams b ON c.doc_b = b.doc_id""".stripMargin)),
+
+    // Brute-force cosine top-k (quantized — bit-identical across
+    // engines and partitionings; see functions.Vectors.cosineQ).
+    Q("s01_cosine_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 20)
+        import graft.functions.Vectors
+        import org.apache.spark.sql.expressions.Window
+        val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+        val c = emb.select(col("vec_id").as("corpus_id"), col("embedding").as("c_vec"))
+        val pairs = c.crossJoin(broadcast(q))
+          .filter(col("query_id") =!= col("corpus_id"))
+          .withColumn("cosine", round(Vectors.cosineQ(col("q_vec"), col("c_vec")), 9))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("corpus_id").asc)
+        pairs.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select("query_id", "corpus_id", "cosine", "rank")
+      },
+      Some("""WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20
+        |), dots AS (
+        |  SELECT q.query_id, c.vec_id AS corpus_id,
+        |    CAST(sum(CAST(ROUND(CAST(q.qv[i + 1] AS DOUBLE) * CAST(c.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq,
+        |    CAST(sum(CAST(ROUND(CAST(q.qv[i + 1] AS DOUBLE) * CAST(q.qv[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nq,
+        |    CAST(sum(CAST(ROUND(CAST(c.embedding[i + 1] AS DOUBLE) * CAST(c.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nc
+        |  FROM q, embeddings c, range(64) r(i)
+        |  WHERE q.query_id <> c.vec_id
+        |  GROUP BY q.query_id, c.vec_id
+        |), cos AS (
+        |  SELECT query_id, corpus_id,
+        |    ROUND(CASE WHEN nq = 0 OR nc = 0 THEN 0.0
+        |      ELSE CAST(dq AS DOUBLE) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) END, 9) AS cosine
+        |  FROM dots
+        |)
+        |SELECT query_id, corpus_id, cosine, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+        |  FROM cos) t
+        |WHERE rank <= 5""".stripMargin)),
+
+    // LSH bucket assignment (the ANN scale path): 8 sign-bit planes with
+    // MD5-derived coefficients, quantized dot products.
+    Q("s02_lsh_buckets",
+      (s, d) => {
+        import graft.functions.Vectors
+        val emb = Tables.embeddings(s, d)
+        val sig = (0 until 8).map { p =>
+          val dotq = aggregate(
+            zip_with(col("embedding"),
+              transform(sequence(lit(0), size(col("embedding")) - 1), i => {
+                val h = md5(concat(lit(s"p${p}_d"), i.cast("string")))
+                (Text.hexDigit(substring(h, 1, 1)) * 4096 +
+                  Text.hexDigit(substring(h, 2, 1)) * 256 +
+                  Text.hexDigit(substring(h, 3, 1)) * 16 +
+                  Text.hexDigit(substring(h, 4, 1))).cast("double") / 65536.0 - 0.5
+              }),
+              (x, coef) => round(x.cast("double") * coef * 1e12).cast("long")),
+            lit(0L), (acc, v) => acc + v)
+          when(dotq > 0L, lit(1L << p)).otherwise(0L)
+        }.reduce(_ + _)
+        emb.withColumn("lsh_bucket", sig).select("vec_id", "lsh_bucket")
+      },
+      Some {
+        val hd = (k: Int) => s"(CASE WHEN ascii(substr(h, $k, 1)) <= 57 THEN ascii(substr(h, $k, 1)) - 48 ELSE ascii(substr(h, $k, 1)) - 87 END)"
+        s"""WITH coefs AS (
+          |  SELECT p, i,
+          |    CAST(${hd(1)} * 4096 + ${hd(2)} * 256 + ${hd(3)} * 16 + ${hd(4)} AS DOUBLE) / 65536.0 - 0.5 AS coef
+          |  FROM (SELECT p, i, md5('p' || CAST(p AS VARCHAR) || '_d' || CAST(i AS VARCHAR)) AS h
+          |        FROM range(8) a(p), range(64) b(i)) t
+          |), dots AS (
+          |  SELECT e.vec_id, c.p,
+          |    CAST(sum(CAST(ROUND(CAST(e.embedding[c.i + 1] AS DOUBLE) * c.coef * 1e12) AS BIGINT)) AS BIGINT) AS dq
+          |  FROM embeddings e, coefs c
+          |  GROUP BY e.vec_id, c.p
+          |)
+          |SELECT vec_id, CAST(sum(CASE WHEN dq > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS lsh_bucket
+          |FROM dots GROUP BY vec_id""".stripMargin
+      })
+  )
+}
