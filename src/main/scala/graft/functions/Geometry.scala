@@ -59,15 +59,17 @@ object Geometry {
     when(union <= 0.0, lit(0.0)).otherwise(inter / union)
   }
 
-  /** E7 — intersection / area(smaller box): containment ratio, not IoU
-    * (_calculate_intersection_ratio, reference src/detection.py:1263-1302).
+  /** E7 — containment ratio, not IoU: DIRECTIONAL intersection /
+    * area(first box) — the fraction of box1 inside box2
+    * (_calculate_intersection_ratio divides by its first argument's
+    * area, reference src/detection.py:1295-1302).
     */
   def containmentRatio(x1: Column, y1: Column, w1: Column, h1: Column,
                        x2: Column, y2: Column, w2: Column, h2: Column): Column = {
     val ix = greatest(lit(0.0), least(x1 + w1, x2 + w2) - greatest(x1, x2))
     val iy = greatest(lit(0.0), least(y1 + h1, y2 + h2) - greatest(y1, y2))
-    val smaller = least(area(w1, h1), area(w2, h2))
-    when(smaller <= 0.0, lit(0.0)).otherwise(ix * iy / smaller)
+    val a1 = area(w1, h1)
+    when(a1 <= 0.0, lit(0.0)).otherwise(ix * iy / a1)
   }
 
   /** E4 — weighted mean of similarity features over the sum of weights

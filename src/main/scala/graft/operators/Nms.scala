@@ -32,14 +32,17 @@ object Nms {
     if (union <= 0.0) 0.0 else inter / union
   }
 
-  /** Containment: intersection / area of the smaller box
-    * (_calculate_intersection_ratio, reference src/detection.py:1263-1302).
+  /** Containment: DIRECTIONAL — intersection / area of `a`, i.e. the
+    * fraction of `a` inside `b` (_calculate_intersection_ratio divides
+    * by its FIRST argument's area, reference src/detection.py:1295-1302;
+    * the "smaller"/"larger" parameter names are the caller's intent, not
+    * enforced).
     */
   def containment(a: DetBox, b: DetBox): Double = {
     val ix = math.max(0.0, math.min(a.x2, b.x2) - math.max(a.x1, b.x1))
     val iy = math.max(0.0, math.min(a.y2, b.y2) - math.max(a.y1, b.y1))
-    val smaller = math.min((a.x2 - a.x1) * (a.y2 - a.y1), (b.x2 - b.x1) * (b.y2 - b.y1))
-    if (smaller <= 0.0) 0.0 else ix * iy / smaller
+    val areaA = (a.x2 - a.x1) * (a.y2 - a.y1)
+    if (areaA <= 0.0) 0.0 else ix * iy / areaA
   }
 
   /** O5 — greedy NMS for one frame (reference `_nms`,

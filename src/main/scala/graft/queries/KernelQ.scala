@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Derived
+import graft.operators.{DetBox, Nms, Tracker, TrackerConfig, TrackerIn}
+import graft.sources.Multimodal
+import graft.streaming.StreamingTracker
+
+/** Sequential-kernel queries (SURVEY §7.1 layer 2): not SQL-expressible
+  * — order-dependent greedy loops and keyed mutable state — so the
+  * driver records rows-only checks. Semantics are covered by ScalaTest
+  * goldens (see src/test/scala/graft) instead of the DuckDB oracle.
+  */
+object KernelQ {
+
+  private def detBoxes(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    Derived.table(s, d, "dets")
+      .select(col("seq"), col("frame").cast("string").as("frame"), col("id"),
+        col("x1"), col("y1"), col("x2"), col("y2"), col("score"))
+      .as[DetBox]
+  }
+
+  private def trackerInput(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    // gt boxes + per-(id,frame) embeddings as the tracker's detection
+    // stream; frame zero-padded so lexicographic order == numeric order.
+    Derived.table(s, d, "gt_emb")
+      .select(col("seq"),
+        format_string("%06d", col("frameIdx")).as("frame"),
+        col("id"), col("x"), col("y"), col("w"), col("h"),
+        lit(1.0).as("conf"), col("emb"))
+      .as[TrackerIn]
+  }
+
+  val defs: Seq[Q] = Seq(
+
+    // O5 — greedy NMS kernel per (seq, frame).
+    Q("k01_nms",
+      (s, d) => {
+        Nms.nms(detBoxes(s, d), iouThreshold = 0.5).toDF()
+          .groupBy("seq").agg(count(lit(1)).as("n_kept"),
+            countDistinct("frame").as("n_frames"))
+      }, None),
+
+    // O6 — nested-detection removal kernel (containment + confidence
+    // precedence matrix).
+    Q("k02_nested_removal",
+      (s, d) => {
+        Nms.removeNested(detBoxes(s, d), nmsThreshold = 0.5).toDF()
+          .groupBy("seq").agg(count(lit(1)).as("n_kept"))
+      }, None),
+
+    // T1–T6 — the full batch tracker: Kalman + spatial index +
+    // bidirectional matching + lifecycle + min-length filter.
+    Q("k03_track",
+      (s, d) => {
+        val out = Tracker.track(trackerInput(s, d), TrackerConfig())
+        out.toDF().groupBy("seq").agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct("trackId").as("n_tracks"),
+          max("trackId").cast("long").as("max_track_id"))
+      }, None),
+
+    // J4 — same tracker under pure-greedy global matching.
+    Q("k04_track_greedy",
+      (s, d) => {
+        val out = Tracker.track(trackerInput(s, d),
+          TrackerConfig(bidirectional = false))
+        out.toDF().groupBy("seq").agg(count(lit(1)).as("n_rows"),
+          countDistinct("trackId").as("n_tracks"))
+      }, None),
+
+    // M7 — streaming host (flatMapGroupsWithState) run over the batch
+    // source: must emit rows (batch/streaming parity is asserted in
+    // ScalaTest).
+    Q("k05_track_streaming",
+      (s, d) => {
+        val out = StreamingTracker.track(trackerInput(s, d), TrackerConfig())
+        out.toDF().groupBy("seq").agg(count(lit(1)).as("n_rows"))
+      }, None),
+
+    // M8 — multimodal featurize: binary payloads (document text bytes as
+    // stand-in media) through the batched stub decoder.
+    Q("k06_multimodal",
+      (s, d) => {
+        val media = graft.Tables.documents(s, d).select(
+          concat(lit("doc://"), col("doc_id")).as("path"),
+          lit("image").as("modality"),
+          col("text").cast("binary").as("content"))
+        Multimodal.featurize(media, dim = 16, batchSize = 32).toDF()
+          .select(col("path"), col("modality"),
+            element_at(col("feature"), 1).as("f0"),
+            size(col("feature")).cast("long").as("dim"))
+      }, None)
+  )
+}

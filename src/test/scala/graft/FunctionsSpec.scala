@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.{Geometry, Text, Vectors}
+
+/** Unit + property tests for the scalar expression library (SURVEY §2.7
+  * E1–E14 edge cases and determinism guarantees).
+  */
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def eval1(c: org.apache.spark.sql.Column): Any =
+    spark.range(1).select(c.as("v")).collect().head.get(0)
+
+  test("E6 iou: exact overlap, disjoint, zero-union") {
+    assert(eval1(Geometry.iou(lit(0.0), lit(0.0), lit(10.0), lit(10.0),
+      lit(0.0), lit(0.0), lit(10.0), lit(10.0))) == 1.0)
+    assert(eval1(Geometry.iou(lit(0.0), lit(0.0), lit(10.0), lit(10.0),
+      lit(20.0), lit(20.0), lit(10.0), lit(10.0))) == 0.0)
+    assert(eval1(Geometry.iou(lit(0.0), lit(0.0), lit(0.0), lit(0.0),
+      lit(0.0), lit(0.0), lit(0.0), lit(0.0))) == 0.0)
+    // partial: 90/110
+    val v = eval1(Geometry.iou(lit(0.0), lit(0.0), lit(10.0), lit(10.0),
+      lit(1.0), lit(0.0), lit(10.0), lit(10.0))).asInstanceOf[Double]
+    assert(math.abs(v - 90.0 / 110.0) < 1e-12)
+  }
+
+  test("E2 size similarity: symmetry and zero-area guard") {
+    val a = eval1(Geometry.sizeSim(lit(10.0), lit(10.0), lit(20.0), lit(20.0)))
+    val b = eval1(Geometry.sizeSim(lit(20.0), lit(20.0), lit(10.0), lit(10.0)))
+    assert(a == b && a == 0.25)
+    assert(eval1(Geometry.sizeSim(lit(0.0), lit(10.0), lit(5.0), lit(5.0))) == 0.0)
+  }
+
+  test("E5 min-max normalize is UNCLAMPED (goes negative past hi)") {
+    val v = eval1(lit(1.0) - Geometry.minMaxNorm(lit(150.0), lit(0.0), lit(100.0)))
+    assert(v == -0.5)
+    assert(eval1(Geometry.minMaxNorm(lit(5.0), lit(3.0), lit(3.0))) == 0.0)
+  }
+
+  test("E7 containment is directional: fraction of FIRST box inside second") {
+    // small (10,10,20,20) fully inside big (0,0,100,100)
+    assert(eval1(Geometry.containmentRatio(lit(10.0), lit(10.0), lit(20.0), lit(20.0),
+      lit(0.0), lit(0.0), lit(100.0), lit(100.0))) == 1.0)
+    // big's fraction inside small = 400/10000
+    assert(eval1(Geometry.containmentRatio(lit(0.0), lit(0.0), lit(100.0), lit(100.0),
+      lit(10.0), lit(10.0), lit(20.0), lit(20.0))) == 0.04)
+  }
+
+  test("E9 frame zero-pad: numeric padded, non-numeric passthrough") {
+    val padded = Seq(("7"), ("frame_a")).toDF("f")
+      .select(Geometry.framePad(col("f"))).as[String].collect()
+    assert(padded.toSeq == Seq("000007", "frame_a"))
+  }
+
+  test("E3 cosine: orthogonal, parallel, zero-norm guard; Q-variant matches") {
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 2.0f), Array(2.0f, 4.0f)),
+      (Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    val out = df.select(Vectors.cosine(col("a"), col("b")).as("c"),
+      Vectors.cosineQ(col("a"), col("b")).as("cq")).collect()
+    assert(out(0).getDouble(0) == 0.0)
+    assert(math.abs(out(1).getDouble(0) - 1.0) < 1e-9)
+    assert(out(2).getDouble(0) == 0.0)
+    out.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-6))
+  }
+
+  test("kernel-side appearanceSim matches column cosine within 1e-9") {
+    val a = Array.tabulate(16)(i => (math.sin(i + 1) * 3).toFloat)
+    val b = Array.tabulate(16)(i => (math.cos(i * 2) * 2).toFloat)
+    val kernel = graft.operators.Tracker.appearanceSim(a, b)
+    val df = Seq((a, b)).toDF("a", "b")
+    val col0 = df.select((Vectors.cosine(col("a"), col("b")) + 1.0) / 2.0).collect().head.getDouble(0)
+    assert(math.abs(kernel - col0) < 1e-9)
+  }
+
+  test("minhash invariant under token duplication; fingerprint canonical") {
+    val df = Seq(("the quick fox the fox"), ("fox the quick")).toDF("t")
+      .select(Text.fingerprint(col("t")).as("fp")).as[String].collect()
+    assert(df(0) == df(1)) // same distinct-token set -> same fingerprint
+  }
+
+  test("hash16 stays in [0, 65535]") {
+    val vals = Seq("a", "b", "zz", "table", "小").toDF("t")
+      .select(Text.hash16(col("t"))).collect().map(_.getInt(0))
+    assert(vals.forall(v => v >= 0 && v <= 65535))
+  }
+
+  test("weightedScore: reference formula (weighted mean over sum of weights)") {
+    val v = eval1(Geometry.weightedScore(Seq(
+      (lit(1.0), 0.2), (lit(0.5), 0.2), (lit(0.8), 0.5), (lit(0.0), 0.1))))
+      .asInstanceOf[Double]
+    assert(math.abs(v - (1.0 * 0.2 + 0.5 * 0.2 + 0.8 * 0.5 + 0.0 * 0.1) / 1.0) < 1e-12)
+  }
+}
