@@ -87,15 +87,26 @@ object Derived {
       Tables.load(spark, dir, n).createOrReplaceTempView(n)
     }
 
+  // The derived tables saturate at ~3.6k rows regardless of scale factor
+  // (the dedup keeps one row per (seq, frame, id)), but deriving them
+  // scans + windows the full lineitem each time. Materialize once per
+  // (session, dir) — SURVEY §4 P6 (materialized intermediate): every
+  // MOT-operator query then starts from a tiny in-memory relation.
+  private val cache = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
   /** Spark-side materialization of a derived table via the shared text. */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    registerBase(spark, dir)
-    val withEmb = s"$motCtes,\n$motEmbCte"
-    name match {
-      case "gt"     => spark.sql(s"WITH $motCtes SELECT * FROM gt")
-      case "tracks" => spark.sql(s"WITH $motCtes SELECT * FROM tracks")
-      case "gt_emb" => spark.sql(s"WITH $withEmb SELECT * FROM gt_emb")
-      case "dets"   => spark.sql(s"WITH $detCte SELECT * FROM dets")
-    }
-  }
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.getOrElseUpdate((dir, name), {
+      registerBase(spark, dir)
+      val withEmb = s"$motCtes,\n$motEmbCte"
+      val df = name match {
+        case "gt"     => spark.sql(s"WITH $motCtes SELECT * FROM gt")
+        case "tracks" => spark.sql(s"WITH $motCtes SELECT * FROM tracks")
+        case "gt_emb" => spark.sql(s"WITH $withEmb SELECT * FROM gt_emb")
+        case "dets"   => spark.sql(s"WITH $detCte SELECT * FROM dets")
+      }
+      val cached = df.cache()
+      cached.count() // force materialization so timings measure operators
+      cached
+    })
 }

@@ -58,7 +58,9 @@ object TextAnalysis {
     */
   def withLangId(docs: DataFrame, profiles: Map[String, Seq[String]],
                  textCol: String = "text"): DataFrame = {
-    val toks = Text.tokens(col(textCol))
+    // Tokenize ONCE into a materialized column — N profile scans then
+    // reuse it instead of re-splitting the text N times.
+    val toks = col("__toks")
     // argmax via greatest over (hits, revRank, lang) structs: hits first;
     // revRank gives alphabetically-first language the win on ties.
     val withRank = profiles.toSeq.sortBy(_._1).zipWithIndex.map {
@@ -66,8 +68,12 @@ object TextAnalysis {
         struct(size(filter(toks, t => t.isin(words: _*))).as("hits"),
           lit(profiles.size - i).as("revRank"), lit(lang).as("lang"))
     }
-    docs.withColumn("lang_pred", greatest(withRank: _*).getField("lang"))
-      .withColumn("lang_hits", greatest(withRank: _*).getField("hits"))
+    val best = greatest(withRank: _*)
+    docs.withColumn("__toks", Text.tokens(col(textCol)))
+      .withColumn("__best", best)
+      .withColumn("lang_pred", col("__best").getField("lang"))
+      .withColumn("lang_hits", col("__best").getField("hits"))
+      .drop("__toks", "__best")
   }
 
   /** Document fingerprint: md5 of sorted distinct tokens (order-canonical

@@ -284,7 +284,7 @@ object MotQ {
             col("x"), col("y"), col("w"), col("h"),
             col("next_x"), col("next_y"), col("next_w"), col("next_h")))
           .withColumn("appearance_similarity",
-            round((Vectors.cosineQ(col("emb"), col("next_emb")) + 1.0) / 2.0, 9))
+            round((Vectors.cosineQNative(col("emb"), col("next_emb")) + 1.0) / 2.0, 9))
           .agg(
             round(min("appearance_similarity"), 9).as("appearance"),
             round(max("distance"), 9).as("distance"),

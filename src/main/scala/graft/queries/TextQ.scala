@@ -209,7 +209,7 @@ object TextQ {
         val c = emb.select(col("vec_id").as("corpus_id"), col("embedding").as("c_vec"))
         val pairs = c.crossJoin(broadcast(q))
           .filter(col("query_id") =!= col("corpus_id"))
-          .withColumn("cosine", round(Vectors.cosineQ(col("q_vec"), col("c_vec")), 9))
+          .withColumn("cosine", round(Vectors.cosineQNative(col("q_vec"), col("c_vec")), 9))
         val w = Window.partitionBy("query_id")
           .orderBy(col("cosine").desc, col("corpus_id").asc)
         pairs.withColumn("rank", row_number().over(w).cast("long"))

@@ -88,6 +88,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(vals.forall(v => v >= 0 && v <= 65535))
   }
 
+  test("native graft_dotq (codegen Expression) == composable dotQ") {
+    val rng = new scala.util.Random(7)
+    val rows = Seq.fill(50)((
+      Array.fill(64)(rng.nextFloat() * 2 - 1),
+      Array.fill(64)(rng.nextFloat() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+    val out = df.select(
+      Vectors.dotQ(col("a"), col("b")).as("hof"),
+      Vectors.dotQNative(col("a"), col("b")).as("native"),
+      Vectors.cosineQ(col("a"), col("b")).as("cq"),
+      Vectors.cosineQNative(col("a"), col("b")).as("cqn")).collect()
+    out.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"${r.getLong(0)} vs ${r.getLong(1)}")
+      assert(r.getDouble(2) == r.getDouble(3))
+    }
+  }
+
   test("weightedScore: reference formula (weighted mean over sum of weights)") {
     val v = eval1(Geometry.weightedScore(Seq(
       (lit(1.0), 0.2), (lit(0.5), 0.2), (lit(0.8), 0.5), (lit(0.0), 0.1))))

@@ -12,4 +12,6 @@ object SparkTestBase {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+
+  GraftExtensions.register(spark)
 }
