@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{KernelQ, MotQ, Q, Rel, TextQ}
+import graft.queries.{ExtQ, KernelQ, MotQ, Q, Rel, TextQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +12,8 @@ import graft.queries.{KernelQ, MotQ, Q, Rel, TextQ}
   */
 object SparkEntry {
 
-  private val catalog: Seq[Q] = Rel.defs ++ TextQ.defs ++ MotQ.defs ++ KernelQ.defs
+  private val catalog: Seq[Q] =
+    Rel.defs ++ TextQ.defs ++ MotQ.defs ++ KernelQ.defs ++ ExtQ.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the star-join revenue rollup (J-category + A-category in one plan).

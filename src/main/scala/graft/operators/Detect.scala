@@ -66,6 +66,31 @@ object DetectFilters {
     ii
   }
 
+  /** Mask statistics for a box: struct(maskedCnt, total, degenerate) —
+    * the O(1) integral-image lookups the filter builds on, exposed for
+    * oracle checks and diagnostics.
+    */
+  def maskStats(x1: Column, y1: Column, x2: Column, y2: Column,
+                integral: Array[Long], maskH: Int, maskW: Int,
+                imgW: Column, imgH: Column): Column = {
+    val l0 = greatest(lit(0), x1.cast("int"))
+    val t0 = greatest(lit(0), y1.cast("int"))
+    val r0 = least(x2.cast("int"), imgW.cast("int"))
+    val b0 = least(y2.cast("int"), imgH.cast("int"))
+    val degenerate = r0 <= l0 || b0 <= t0
+    val l = greatest(lit(0), least(l0, lit(maskW - 1)))
+    val r = greatest(l + 1, least(r0, lit(maskW)))
+    val t = greatest(lit(0), least(t0, lit(maskH - 1)))
+    val b = greatest(t + 1, least(b0, lit(maskH)))
+    val iiCol = lit(integral)
+    val wid = maskW + 1
+    def at(row: Column, colIdx: Column): Column =
+      element_at(iiCol, (row * wid + colIdx + 1).cast("int"))
+    val maskedCnt = at(b, r) - at(t, r) - at(b, l) + at(t, l)
+    val total = ((r - l) * (b - t)).cast("long")
+    struct(maskedCnt.as("maskedCnt"), total.as("total"), degenerate.as("degenerate"))
+  }
+
   def maskFilter(x1: Column, y1: Column, x2: Column, y2: Column,
                  integral: Array[Long], maskH: Int, maskW: Int,
                  imgW: Column, imgH: Column, ratioThreshold: Double): Column = {

@@ -13,61 +13,11 @@ object MotQ {
 
   private val W = s"WITH ${Derived.motCtes}"
 
-  val defs: Seq[Q] = Seq(
-
-    // J5 — per-frame greedy IoU argmax (MotEval.matchFrames).
-    Q("m01_iou_match",
-      (s, d) => {
-        val gt = Derived.table(s, d, "gt")
-        val tr = Derived.table(s, d, "tracks")
-        graft.operators.MotEval.matchFrames(gt, tr, 0.3)
-          .select(col("seq"), col("frameIdx"), col("gt_id"), col("track_id"),
-            round(col("iou"), 9).as("iou"))
-      },
-      Some(s"""$W,
-        |pairs AS (
-        |  SELECT g.seq, g.frameIdx, g.id AS gt_id, t.id AS track_id,
-        |    CASE WHEN (g.w * g.h + t.w * t.h
-        |            - greatest(least(g.x + g.w, t.x + t.w) - greatest(g.x, t.x), 0)
-        |              * greatest(least(g.y + g.h, t.y + t.h) - greatest(g.y, t.y), 0)) <= 0 THEN 0.0
-        |      ELSE greatest(least(g.x + g.w, t.x + t.w) - greatest(g.x, t.x), 0)
-        |            * greatest(least(g.y + g.h, t.y + t.h) - greatest(g.y, t.y), 0)
-        |        / (g.w * g.h + t.w * t.h
-        |            - greatest(least(g.x + g.w, t.x + t.w) - greatest(g.x, t.x), 0)
-        |              * greatest(least(g.y + g.h, t.y + t.h) - greatest(g.y, t.y), 0)) END AS iou
-        |  FROM gt g JOIN tracks t ON g.seq = t.seq AND g.frameIdx = t.frameIdx
-        |)
-        |SELECT seq, frameIdx, gt_id, track_id, ROUND(iou, 9) AS iou FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY seq, frameIdx, gt_id ORDER BY iou DESC, track_id ASC) AS rn
-        |  FROM pairs WHERE iou >= 0.3 AND iou > 0.0) t
-        |WHERE rn = 1""".stripMargin)),
-
-    // A2/A7-A14 — full CLEAR + Identity metrics per sequence.
-    Q("m02_clear_metrics",
-      (s, d) => {
-        val gt = Derived.table(s, d, "gt")
-        val tr = Derived.table(s, d, "tracks")
-        val m = graft.operators.MotEval.metrics(gt, tr, 0.3)
-        m.select(col("seq"),
-          col("Dets").cast("long").as("Dets"),
-          col("GT_Dets").cast("long").as("GT_Dets"),
-          col("IDs").cast("long").as("IDs"),
-          col("GT_IDs").cast("long").as("GT_IDs"),
-          col("CLR_TP").cast("long").as("CLR_TP"),
-          col("CLR_FN").cast("long").as("CLR_FN"),
-          round(col("CLR_Re"), 9).as("CLR_Re"),
-          round(col("LocA"), 9).as("LocA"),
-          col("IDSW").cast("long").as("IDSW"),
-          col("Frag").cast("long").as("Frag"),
-          col("MT").cast("long").as("MT"),
-          col("PT").cast("long").as("PT"),
-          col("ML").cast("long").as("ML"),
-          col("IDTP").cast("long").as("IDTP"),
-          col("IDFN").cast("long").as("IDFN"),
-          col("IDFP").cast("long").as("IDFP"),
-          round(col("IDF1"), 9).as("IDF1"))
-      },
-      Some(s"""$W,
+  /** Shared CTE chain for the CLEAR/Identity metrics oracle: everything
+    * up to (not including) the final per-sequence SELECT. Reused by the
+    * m09 combined-metrics oracle with a different final projection.
+    */
+  val metricsCtes: String = s"""$W,
         |pairs AS (
         |  SELECT g.seq, g.frameIdx, g.id AS gt_id, t.id AS track_id,
         |    CASE WHEN (g.w * g.h + t.w * t.h
@@ -151,7 +101,13 @@ object MotQ {
         |      SELECT seq, track_id, gt_id, run_id, count(*) AS run_len
         |      FROM runs_tr GROUP BY seq, track_id, gt_id, run_id) a
         |    GROUP BY seq, track_id) b GROUP BY seq
-        |)
+        |)""".stripMargin
+
+  /** Final per-sequence projection; `round` toggles output rounding so
+    * the combined oracle can aggregate unrounded per-seq values.
+    */
+  def metricsSelect(rounded: Boolean): String = {
+    val sel = s"""
         |SELECT g.seq,
         |  coalesce(t.Dets, 0) AS Dets, g.GT_Dets, coalesce(t.IDs, 0) AS IDs, g.GT_IDs,
         |  coalesce(p.CLR_TP, 0) AS CLR_TP,
@@ -172,7 +128,68 @@ object MotQ {
         |LEFT JOIN switches s ON g.seq = s.seq
         |LEFT JOIN buckets b ON g.seq = b.seq
         |LEFT JOIN idtp_gt ig ON g.seq = ig.seq
-        |LEFT JOIN idtp_tr it ON g.seq = it.seq""".stripMargin)),
+        |LEFT JOIN idtp_tr it ON g.seq = it.seq""".stripMargin
+    if (rounded) sel
+    else sel.replace("ROUND(CASE", "(CASE").replace(", 9) AS CLR_Re", ") AS CLR_Re")
+      .replace("ROUND(coalesce(p.LocA, 0.0), 9) AS LocA", "coalesce(p.LocA, 0.0) AS LocA")
+      .replace(", 9) AS IDF1", ") AS IDF1")
+  }
+
+  val defs: Seq[Q] = Seq(
+
+    // J5 — per-frame greedy IoU argmax (MotEval.matchFrames).
+    Q("m01_iou_match",
+      (s, d) => {
+        val gt = Derived.table(s, d, "gt")
+        val tr = Derived.table(s, d, "tracks")
+        graft.operators.MotEval.matchFrames(gt, tr, 0.3)
+          .select(col("seq"), col("frameIdx"), col("gt_id"), col("track_id"),
+            round(col("iou"), 9).as("iou"))
+      },
+      Some(s"""$W,
+        |pairs AS (
+        |  SELECT g.seq, g.frameIdx, g.id AS gt_id, t.id AS track_id,
+        |    CASE WHEN (g.w * g.h + t.w * t.h
+        |            - greatest(least(g.x + g.w, t.x + t.w) - greatest(g.x, t.x), 0)
+        |              * greatest(least(g.y + g.h, t.y + t.h) - greatest(g.y, t.y), 0)) <= 0 THEN 0.0
+        |      ELSE greatest(least(g.x + g.w, t.x + t.w) - greatest(g.x, t.x), 0)
+        |            * greatest(least(g.y + g.h, t.y + t.h) - greatest(g.y, t.y), 0)
+        |        / (g.w * g.h + t.w * t.h
+        |            - greatest(least(g.x + g.w, t.x + t.w) - greatest(g.x, t.x), 0)
+        |              * greatest(least(g.y + g.h, t.y + t.h) - greatest(g.y, t.y), 0)) END AS iou
+        |  FROM gt g JOIN tracks t ON g.seq = t.seq AND g.frameIdx = t.frameIdx
+        |)
+        |SELECT seq, frameIdx, gt_id, track_id, ROUND(iou, 9) AS iou FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY seq, frameIdx, gt_id ORDER BY iou DESC, track_id ASC) AS rn
+        |  FROM pairs WHERE iou >= 0.3 AND iou > 0.0) t
+        |WHERE rn = 1""".stripMargin)),
+
+    // A2/A7-A14 — full CLEAR + Identity metrics per sequence.
+    Q("m02_clear_metrics",
+      (s, d) => {
+        val gt = Derived.table(s, d, "gt")
+        val tr = Derived.table(s, d, "tracks")
+        val m = graft.operators.MotEval.metrics(gt, tr, 0.3)
+        m.select(col("seq"),
+          col("Dets").cast("long").as("Dets"),
+          col("GT_Dets").cast("long").as("GT_Dets"),
+          col("IDs").cast("long").as("IDs"),
+          col("GT_IDs").cast("long").as("GT_IDs"),
+          col("CLR_TP").cast("long").as("CLR_TP"),
+          col("CLR_FN").cast("long").as("CLR_FN"),
+          round(col("CLR_Re"), 9).as("CLR_Re"),
+          round(col("LocA"), 9).as("LocA"),
+          col("IDSW").cast("long").as("IDSW"),
+          col("Frag").cast("long").as("Frag"),
+          col("MT").cast("long").as("MT"),
+          col("PT").cast("long").as("PT"),
+          col("ML").cast("long").as("ML"),
+          col("IDTP").cast("long").as("IDTP"),
+          col("IDFN").cast("long").as("IDFN"),
+          col("IDFP").cast("long").as("IDFP"),
+          round(col("IDF1"), 9).as("IDF1"))
+      },
+      Some(MotQ.metricsCtes + "\n" + MotQ.metricsSelect(rounded = true))),
 
     // J1 — grid band join ≡ exact radius join: candidate-pair counts per
     // sequence (the oracle is the NAIVE theta join — proving the
