@@ -4,9 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Table catalog over a driver-provided scale-factor directory.
   *
-  * Mirrors the reference's file-system catalog (`get_sequences`,
-  * reference src/utils/helpers.py:575-662) as a thin path-convention
-  * resolver: one parquet file per table name. All reads are plain
+  * Analogous (in the path-convention-discovery sense only) to the
+  * reference's `get_sequences` (src/utils/helpers.py:575-662), which
+  * maps sequence directories to image/gt/det/embedding file paths; here
+  * the namespace is one parquet file per table name. All reads are plain
   * `spark.read.parquet` so Catalyst gets full predicate pushdown /
   * column pruning into the scan — at 100 TB these tables would be
   * partitioned directories instead of single files and the same code

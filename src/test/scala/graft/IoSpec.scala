@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.mot.MotCsv
+import graft.sources.Multimodal
+
+/** Source/sink specs: lenient MOT parsing (S2), frame→ids projection
+  * (S3), binaryFile media scan (S10), batched multimodal featurize.
+  */
+class IoSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("S2 lenient read drops malformed lines, keeps first 6 cols") {
+    val dir = Files.createTempDirectory("mot_lenient").toFile
+    val f = new java.io.File(dir, "det.txt")
+    Files.writeString(f.toPath,
+      """1,1,10.0,20.0,30.0,40.0,0.9,1,-1,-1
+        |garbage line without commas
+        |2,1,11.0,21.0,31.0,41.0,0.8,1,-1,-1
+        |3,notanint,1.0,2.0,3.0,4.0,0.5,1,-1,-1
+        |""".stripMargin)
+    val df = MotCsv.readLenient(spark, f.getAbsolutePath)
+    val rows = df.orderBy("frame").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getString(0)).toSeq == Seq("000001", "000002"))
+    assert(rows.head.getDouble(2) == 10.0)
+  }
+
+  test("S1 strict read zero-pads numeric frames") {
+    val dir = Files.createTempDirectory("mot_strict").toFile
+    val f = new java.io.File(dir, "det.txt")
+    Files.writeString(f.toPath,
+      "7,2,1.0,2.0,3.0,4.0,0.5,1,-1,-1\nframe_x,3,1.0,2.0,3.0,4.0,0.5,1,-1,-1\n")
+    val frames = MotCsv.read(spark, f.getAbsolutePath)
+      .select("frame").collect().map(_.getString(0)).sorted
+    assert(frames.toSeq == Seq("000007", "frame_x"))
+  }
+
+  test("S3 candidates: frame -> sorted id list") {
+    val dir = Files.createTempDirectory("mot_cand").toFile
+    val f = new java.io.File(dir, "det.txt")
+    Files.writeString(f.toPath,
+      "1,5,1,1,1,1,0.5,1,-1,-1\n1,2,1,1,1,1,0.5,1,-1,-1\n2,9,1,1,1,1,0.5,1,-1,-1\n")
+    val c = MotCsv.candidates(MotCsv.read(spark, f.getAbsolutePath))
+      .orderBy("frame").collect()
+    assert(c(0).getSeq[Int](1) == Seq(2, 5))
+    assert(c(1).getSeq[Int](1) == Seq(9))
+  }
+
+  test("S10 media directory scan sniffs modality from extension") {
+    val dir = Files.createTempDirectory("media").toFile
+    Files.write(new java.io.File(dir, "a.jpg").toPath, Array[Byte](1, 2, 3))
+    Files.write(new java.io.File(dir, "b.wav").toPath, Array[Byte](4, 5))
+    Files.write(new java.io.File(dir, "c.mp4").toPath, Array[Byte](6))
+    val m = Multimodal.readMediaDir(spark, dir.getAbsolutePath)
+      .select("modality").collect().map(_.getString(0)).sorted
+    assert(m.toSeq == Seq("audio", "image", "video"))
+  }
+
+  test("multimodal featurize: batched stub decode is deterministic") {
+    val dir = Files.createTempDirectory("media2").toFile
+    Files.write(new java.io.File(dir, "a.jpg").toPath, Array.tabulate(100)(_.toByte))
+    val media = Multimodal.readMediaDir(spark, dir.getAbsolutePath)
+    val f1 = Multimodal.featurize(media, dim = 8).collect().head
+    val f2 = Multimodal.featurize(media, dim = 8).collect().head
+    assert(f1.feature.toSeq == f2.feature.toSeq)
+    assert(f1.feature.length == 8)
+  }
+}
