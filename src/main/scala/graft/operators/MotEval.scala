@@ -61,11 +61,13 @@ object MotEval {
     * row per (frame, track).
     */
   def gtFilteredTracks(gt: DataFrame, tracks: DataFrame, iouThreshold: Double): DataFrame = {
+    // name-based semi join: the match output shares lineage with
+    // `tracks`, and dataframe-reference join conditions on a shared
+    // cached plan hit Spark 4.1's unresolved-exprId wart.
     val m = matchFrames(gt, tracks, iouThreshold, strict = true)
-      .select("seq", "frameIdx", "track_id").dropDuplicates("seq", "frameIdx", "track_id")
-    tracks.join(m,
-      tracks("seq") === m("seq") && tracks("frameIdx") === m("frameIdx") &&
-        tracks("id") === m("track_id"), "left_semi")
+      .select(col("seq"), col("frameIdx"), col("track_id").as("id"))
+      .dropDuplicates("seq", "frameIdx", "id")
+    tracks.join(m, Seq("seq", "frameIdx", "id"), "left_semi")
   }
 
   /** A2–A14 — the full per-sequence metrics row. Pass the same DataFrames

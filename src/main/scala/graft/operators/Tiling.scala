@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sliding-window inference tiling (SURVEY §2.8 note + §4 P10;
+  * reference src/detection.py:1340-1397): 2-D spatial tiling with
+  * fractional overlap and edge snapping — in-engine this is a
+  * partitioning strategy for image-batch inference, expressed as a
+  * tile-spec GENERATOR (explode of computed offsets), not a temporal
+  * window.
+  *
+  * Faithful details: step = floor(window·(1−overlap)); offsets walk
+  * range(0, dim, step) and any tile overrunning the edge SNAPS to
+  * `dim − window` (reference reassigns the loop variable per iteration,
+  * so several trailing offsets can snap to the SAME edge tile —
+  * duplicates are preserved, not deduped). `useWindows` gates tiling on
+  * max(h,w) > window.
+  */
+object Tiling {
+
+  /** Pure generator for one (h, w): list of (x, y) tile origins. */
+  def tileOrigins(h: Int, w: Int, winH: Int, winW: Int, overlap: Double): Seq[(Int, Int)] = {
+    val stepX = (winW * (1 - overlap)).toInt
+    val stepY = (winH * (1 - overlap)).toInt
+    val ys = Range(0, h, math.max(stepY, 1)).map(y => if (y + winH > h) h - winH else y)
+    val xs = Range(0, w, math.max(stepX, 1)).map(x => if (x + winW > w) w - winW else x)
+    for (y <- ys; x <- xs) yield (x, y)
+  }
+
+  /** Plan-level generator: input rows carry image dims (`hCol`, `wCol`,
+    * already scaled); output = one row per tile with `tile_x`, `tile_y`.
+    * Images not exceeding the window emit a single (0,0) "direct" tile.
+    */
+  def tiles(images: DataFrame, hCol: String, wCol: String,
+            winH: Int, winW: Int, overlap: Double): DataFrame = {
+    val stepX = math.max((winW * (1 - overlap)).toInt, 1)
+    val stepY = math.max((winH * (1 - overlap)).toInt, 1)
+    val h = col(hCol).cast("int")
+    val w = col(wCol).cast("int")
+    val useWindows = greatest(h, w) > math.max(winH, winW)
+    // range(0, dim, step) == sequence(0, dim-1, step) for dim >= 1
+    val ys = transform(sequence(lit(0), h - 1, lit(stepY)),
+      y => when(y + winH > h, h - winH).otherwise(y))
+    val xs = transform(sequence(lit(0), w - 1, lit(stepX)),
+      x => when(x + winW > w, w - winW).otherwise(x))
+    images
+      .withColumn("__ys", when(useWindows, ys).otherwise(array(lit(0))))
+      .withColumn("__xs", when(useWindows, xs).otherwise(array(lit(0))))
+      .withColumn("tile_y", explode(col("__ys")))
+      .withColumn("tile_x", explode(col("__xs")))
+      .withColumn("direct", !useWindows)
+      .drop("__ys", "__xs")
+  }
+}

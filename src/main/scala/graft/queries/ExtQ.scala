@@ -214,6 +214,97 @@ object ExtQ {
             col("count").as("n_events"))
       },
       Some("""SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, count(*) AS n_events
-        |FROM events GROUP BY 1""".stripMargin))
+        |FROM events GROUP BY 1""".stripMargin)),
+
+    // M7 — streaming stateful dedup: two streams of the same source
+    // unioned (guaranteed duplicates) → dropDuplicates on the key →
+    // append sink. Oracle = the plain batch distinct counts.
+    Q("st2_stream_dedup",
+      (s, d) => {
+        val schema = Tables.events(s, d).schema
+        def src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(d)
+        val name = "st2_dedup_" + math.abs(d.hashCode).toString
+        val q = src.union(src).dropDuplicates("event_id")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name).groupBy("event_type").agg(count(lit(1)).as("n_events"))
+      },
+      Some("""SELECT event_type, count(*) AS n_events FROM events GROUP BY 1""")),
+
+    // P10 — sliding-window tile-spec generator with edge snapping
+    // (reference src/detection.py:1358-1368), duplicates preserved.
+    Q("f03_tile_specs",
+      (s, d) => {
+        val imgs = Tables.part(s, d).filter(col("p_partkey") < 400)
+          .select(col("p_partkey").as("img_id"),
+            (lit(300) + pmod(col("p_partkey"), lit(1200))).cast("int").as("h"),
+            (lit(300) + col("p_size") * 40).cast("int").as("w"))
+        graft.operators.Tiling.tiles(imgs, "h", "w", winH = 512, winW = 512, overlap = 0.35)
+          .groupBy("img_id", "direct").agg(
+            count(lit(1)).as("n_tiles"),
+            min("tile_x").cast("long").as("min_x"),
+            max("tile_x").cast("long").as("max_x"),
+            max("tile_y").cast("long").as("max_y"))
+      },
+      Some("""WITH imgs AS (
+        |  SELECT p_partkey AS img_id,
+        |    CAST(300 + (p_partkey % 1200) AS INT) AS h,
+        |    CAST(300 + p_size * 40 AS INT) AS w
+        |  FROM part WHERE p_partkey < 400
+        |), tiles AS (
+        |  SELECT i.img_id, greatest(i.h, i.w) <= 512 AS direct,
+        |    CASE WHEN greatest(i.h, i.w) <= 512 THEN 0
+        |         WHEN xs.x + 512 > i.w THEN i.w - 512 ELSE xs.x END AS tile_x,
+        |    CASE WHEN greatest(i.h, i.w) <= 512 THEN 0
+        |         WHEN ys.y + 512 > i.h THEN i.h - 512 ELSE ys.y END AS tile_y
+        |  FROM imgs i,
+        |    LATERAL (SELECT unnest(CASE WHEN greatest(i.h, i.w) <= 512 THEN [0]
+        |      ELSE range(0, i.h, 332) END) AS y) ys,
+        |    LATERAL (SELECT unnest(CASE WHEN greatest(i.h, i.w) <= 512 THEN [0]
+        |      ELSE range(0, i.w, 332) END) AS x) xs
+        |)
+        |SELECT img_id, direct, count(*) AS n_tiles,
+        |  CAST(min(tile_x) AS BIGINT) AS min_x,
+        |  CAST(max(tile_x) AS BIGINT) AS max_x,
+        |  CAST(max(tile_y) AS BIGINT) AS max_y
+        |FROM tiles GROUP BY img_id, direct""".stripMargin)),
+
+    // A17 — average precision (the reference's second training-eval
+    // metric, src/embedding.py:1754): AP = mean over positives of
+    // precision@rank, score-desc order.
+    Q("a02_average_precision",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .withColumn("pos", (col("label") >= 5).cast("int"))
+          .withColumn("score", element_at(col("embedding"), 1).cast("double"))
+        val w = Window.orderBy(col("score").desc, col("vec_id").asc)
+        val ranked = e
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .withColumn("cum_pos",
+            sum("pos").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast("long"))
+        // per-term 1e12 quantization -> order-independent integer sum
+        ranked.filter(col("pos") === 1)
+          .agg(count(lit(1)).cast("long").as("n_pos"),
+            round(sum(round(col("cum_pos").cast("double") / col("rnk") * 1e12)
+              .cast("long")).cast("double") / count(lit(1)) / 1e12, 9)
+              .as("average_precision"))
+      },
+      Some("""WITH ranked AS (
+        |  SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos,
+        |    row_number() OVER w AS rnk,
+        |    sum(CASE WHEN label >= 5 THEN 1 ELSE 0 END) OVER (
+        |      ORDER BY CAST(embedding[1] AS DOUBLE) DESC, vec_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+        |  FROM embeddings
+        |  WINDOW w AS (ORDER BY CAST(embedding[1] AS DOUBLE) DESC, vec_id ASC)
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pos,
+        |  ROUND(CAST(CAST(sum(CAST(ROUND(CAST(cum_pos AS DOUBLE) / rnk * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE) / count(*) / 1e12, 9) AS average_precision
+        |FROM ranked WHERE pos = 1""".stripMargin))
   )
 }
