@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.streaming.Trigger
+import graft.operators.{Tracker, TrackerConfig, TrackerIn}
+import graft.streaming.StreamingTracker
+
+/** True streaming parity: the tracker fed through a FILE STREAM with
+  * one file per micro-batch, so per-sequence state is snapshotted and
+  * restored across batches (SURVEY §7.2 M7) — then compared to the
+  * batch kernel on the identical detections.
+  */
+class StreamingParitySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private val emb = Array.fill(8)(1.0f)
+  private def det(frame: Int, id: Int, x: Double, y: Double) =
+    TrackerIn("a", f"$frame%06d", id, x, y, 30, 30, 0.9, emb)
+
+  test("multi-micro-batch streaming == batch (state restore across batches)") {
+    import spark.implicits._
+    val dets = (1 to 9).flatMap(f => Seq(
+      det(f, 0, 5.0 * f, 10),
+      det(f, 1, 600.0, 600 + 5.0 * f))) ++
+      // object 2 appears mid-stream, dies (gap 4 > maxAge 3), reappears
+      (1 to 2).map(f => det(f, 2, 300, 300)) ++
+      (7 to 9).map(f => det(f, 2, 300, 300))
+
+    val dir = Files.createTempDirectory("stream_dets").toString
+    // one file per frame-triple -> 3 micro-batches in arrival order
+    val groups = dets.groupBy(d => (d.frame.toInt - 1) / 3).toSeq.sortBy(_._1)
+    groups.foreach { case (g, ds) =>
+      spark.createDataset(ds).coalesce(1).write.parquet(s"$dir/batch=$g")
+    }
+
+    val batch = Tracker.track(spark.createDataset(dets), TrackerConfig())
+      .collect().toSeq.sortBy(r => (r.frame, r.trackId))
+
+    val schema = spark.createDataset(dets).schema
+    val name = "stream_parity_out"
+    val q = StreamingTracker.track(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .as[TrackerIn],
+        TrackerConfig())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamed = spark.table(name).as[graft.operators.SeqTrackOut]
+      .collect().toSeq.sortBy(r => (r.frame, r.trackId))
+
+    assert(streamed.nonEmpty)
+    assert(batch == streamed,
+      s"batch=${batch.mkString(";")} streamed=${streamed.mkString(";")}")
+  }
+}
