@@ -101,6 +101,18 @@ object Geometry {
   def cellKey(c: Column, cellSize: Double): Column =
     floor(c / lit(cellSize)).cast("long")
 
+  /** E13 — deterministic color from an object id (reference
+    * src/utils/visualize.py:581-607 seeds an RNG per id; here an
+    * md5-derived RGB — visual-only, engine-deterministic).
+    */
+  def colorForId(id: Column): Column = {
+    val h = md5(id.cast("string"))
+    struct(
+      conv(substring(h, 1, 2), 16, 10).cast("int").as("r"),
+      conv(substring(h, 3, 2), 16, 10).cast("int").as("g"),
+      conv(substring(h, 5, 2), 16, 10).cast("int").as("b"))
+  }
+
   /** E8 — (x,y,w,h) → corner struct. */
   def toCorners(x: Column, y: Column, w: Column, h: Column): Column =
     struct(x.as("x1"), y.as("y1"), (x + w).as("x2"), (y + h).as("y2"))

@@ -362,6 +362,13 @@ object Tracker {
     import org.apache.spark.sql.expressions.Window
     val withLen = raw.withColumn("trkLen",
       count(lit(1)).over(Window.partitionBy($"seq", $"trackId")))
-    withLen.filter($"trkLen" >= cfg.minTrackLength).drop("trkLen").as[SeqTrackOut]
+    // A15 — run statistics as observable metrics (the reference's live
+    // per-frame postfix, src/tracking.py:757-760): collected by the
+    // driver via QueryExecutionListener, zero plan overhead.
+    withLen.filter($"trkLen" >= cfg.minTrackLength).drop("trkLen")
+      .observe("tracker_stats",
+        count(lit(1)).as("rows_emitted"),
+        approx_count_distinct($"trackId").as("approx_tracks"))
+      .as[SeqTrackOut]
   }
 }
