@@ -15,6 +15,8 @@ import graft.expressions.DotQuantized
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotqDescriptor)
+    ext.injectFunction(GraftExtensions.distLeDescriptor)
+    ext.injectOptimizerRule(_ => graft.optimizer.BandJoinRewrite)
   }
 }
 
@@ -24,8 +26,21 @@ object GraftExtensions {
     new ExpressionInfo(classOf[DotQuantized].getName, "graft_dotq"),
     (children: Seq[Expression]) => DotQuantized(children(0), children(1)))
 
-  /** Imperative registration for an already-built session. */
-  def register(spark: SparkSession): Unit =
+  private val distLeDescriptor = (
+    FunctionIdentifier("graft_dist_le"),
+    new ExpressionInfo(classOf[graft.expressions.DistanceLE].getName, "graft_dist_le"),
+    (c: Seq[Expression]) => graft.expressions.DistanceLE(c(0), c(1), c(2), c(3), c(4)))
+
+  /** Imperative registration for an already-built session: functions
+    * plus the band-join optimizer rule (idempotent).
+    */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       dotqDescriptor._1, dotqDescriptor._2, dotqDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      distLeDescriptor._1, distLeDescriptor._2, distLeDescriptor._3)
+    val opt = spark.sessionState.experimentalMethods
+    if (!opt.extraOptimizations.contains(graft.optimizer.BandJoinRewrite))
+      opt.extraOptimizations = opt.extraOptimizations :+ graft.optimizer.BandJoinRewrite
+  }
 }

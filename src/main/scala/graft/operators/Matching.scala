@@ -53,6 +53,28 @@ object Matching {
       .drop("cellx", "celly")
   }
 
+  /** J1 via the OPTIMIZER: declare the theta join with the
+    * `graft_dist_le` marker predicate and let
+    * [[graft.optimizer.BandJoinRewrite]] turn it into the cell
+    * equi-join. Requires GraftExtensions registered on the session.
+    * Same results as [[bandJoin]]; this is the "Catalyst rewrites your
+    * intent" form, bandJoin the explicit-plan form.
+    */
+  def distanceJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   radius: Double): DataFrame = {
+    val l = left.columns.foldLeft(left)((d, c) =>
+      if (keys.contains(c)) d else d.withColumnRenamed(c, s"l_$c"))
+    val r = right.columns.foldLeft(right)((d, c) =>
+      if (keys.contains(c)) d else d.withColumnRenamed(c, s"r_$c"))
+    val keyCond = keys.map(k => l(k) === r(k)).reduceOption(_ && _)
+    val distCond = call_function("graft_dist_le",
+      l("l_cx"), l("l_cy"), r("r_cx"), r("r_cy"), lit(radius))
+    val cond = keyCond.map(_ && distCond).getOrElse(distCond)
+    keys.foldLeft(l.join(r, cond))((df, k) => df.drop(r(k)))
+      .withColumn("dist",
+        sqrt(pow(col("l_cx") - col("r_cx"), 2) + pow(col("l_cy") - col("r_cy"), 2)))
+  }
+
   /** J3 — bidirectional (mutual-best) match over a scored pair table
     * (reference `_matching_bidirectional`, src/tracking.py:929-1035).
     *

@@ -215,6 +215,31 @@ object MotQ {
         |WHERE sqrt(pow((g.x + g.w / 2) - (t.x + t.w / 2), 2) + pow((g.y + g.h / 2) - (t.y + t.h / 2), 2)) <= 150.0
         |GROUP BY g.seq""".stripMargin)),
 
+    // J1 via the OPTIMIZER RULE (BandJoinRewrite): declarative
+    // graft_dist_le predicate, automatically rewritten to the cell
+    // equi-join. Oracle = the same naive theta join as m03 — proving
+    // rule-rewritten results match the unoptimized semantics.
+    Q("m10_distance_join_rule",
+      (s, d) => {
+        val gt = Derived.table(s, d, "gt")
+          .withColumn("cx", col("x") + col("w") / 2)
+          .withColumn("cy", col("y") + col("h") / 2)
+        val tr = Derived.table(s, d, "tracks")
+          .withColumn("cx", col("x") + col("w") / 2)
+          .withColumn("cy", col("y") + col("h") / 2)
+        graft.operators.Matching.distanceJoin(
+            gt.select(col("seq"), col("frameIdx"), col("id"), col("cx"), col("cy")),
+            tr.select(col("seq"), col("frameIdx"), col("id"), col("cx"), col("cy")),
+            Seq("seq", "frameIdx"), radius = 150.0)
+          .groupBy("seq").agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("l_id")).as("n_tracks_with_cand"))
+      },
+      Some(s"""$W
+        |SELECT g.seq, count(*) AS n_pairs, count(DISTINCT g.id) AS n_tracks_with_cand
+        |FROM gt g JOIN tracks t ON g.seq = t.seq AND g.frameIdx = t.frameIdx
+        |WHERE sqrt(pow((g.x + g.w / 2) - (t.x + t.w / 2), 2) + pow((g.y + g.h / 2) - (t.y + t.h / 2), 2)) <= 150.0
+        |GROUP BY g.seq""".stripMargin)),
+
     // J3 — mutual-best match with the restricted det-side rank
     // (reference src/tracking.py:1002-1011 subtlety).
     Q("m04_mutual_best",
