@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native codegen quantized dot product over two `array<float>` columns:
   * `Σ round(a[i]·b[i]·1e12)` as LONG.
@@ -23,29 +23,36 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 case class DotQuantized(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    })
-    if (ok) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"graft_dotq expects (array<float>, array<float>), " +
-        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  private def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
   }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dotq expects array<float|double> on both sides, " +
+        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
 
   override def dataType: DataType = LongType
 
   override def prettyName: String = "graft_dotq"
 
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val lf = isFloat(left)
+    val rf = isFloat(right)
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0L
     var i = 0
     while (i < n) {
-      acc += Math.round(x.getFloat(i).toDouble * y.getFloat(i).toDouble * 1e12)
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += Math.round(xv * yv * 1e12)
       i += 1
     }
     acc
@@ -56,12 +63,13 @@ case class DotQuantized(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val getL = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getR = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += java.lang.Math.round(
-         |    (double) $a.getFloat($i) * (double) $b.getFloat($i) * 1e12);
+         |  $acc += java.lang.Math.round($getL * $getR * 1e12);
          |}
          |${ev.value} = $acc;
        """.stripMargin

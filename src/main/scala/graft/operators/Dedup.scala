@@ -47,7 +47,7 @@ object Dedup {
     val perSeed = toks
       .withColumn("seed", explode(array((0 until numHashes).map(lit): _*)))
       .groupBy("doc_id", "seed")
-      .agg(min(Text.minhash(col("tok"), 0)).as("mh"))
+      .agg(min(Text.md5s(concat(lit("s"), col("seed"), lit("_"), col("tok")))).as("mh"))
     // Band signature: concat of the band's minhashes.
     val banded = perSeed
       .withColumn("band", (col("seed") / rowsPerBand).cast("int"))

@@ -37,27 +37,30 @@ object SimilaritySearch {
   }
 
   /** Deterministic pseudo-random hyperplane coefficient in [-0.5, 0.5):
-    * first 4 MD5 hex digits of "p{plane}_d{dim}" scaled. Portable to any
-    * engine with md5 (the DuckDB oracle included).
+    * first 4 MD5 hex digits of "p{plane}_d{dim}" scaled. Computed ONCE
+    * driver-side (coefficients are row-independent) and shipped as a
+    * literal double array; identical formula in the DuckDB oracle.
     */
-  private def planeCoef(plane: Int, dim: org.apache.spark.sql.Column) = {
-    val h = Text.md5s(concat(lit(s"p${plane}_d"), dim.cast("string")))
-    (Text.hexDigit(substring(h, 1, 1)) * 4096 +
-      Text.hexDigit(substring(h, 2, 1)) * 256 +
-      Text.hexDigit(substring(h, 3, 1)) * 16 +
-      Text.hexDigit(substring(h, 4, 1))).cast("double") / 65536.0 - 0.5
+  def planeCoefs(plane: Int, dims: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dims) { d =>
+      val hex = md.digest(s"p${plane}_d$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val v = hex.take(4).foldLeft(0)((acc, c) => acc * 16 + Integer.parseInt(c.toString, 16))
+      v.toDouble / 65536.0 - 0.5
+    }
   }
 
-  /** Sign-bit LSH signature: bit b = 1 iff dot(vec, plane_b) > 0. */
-  def lshSignature(df: DataFrame, numPlanes: Int,
+  /** Sign-bit LSH signature: bit b = 1 iff dotQ(vec, plane_b) > 0.
+    * Quantized native dot (graft_dotq over float×double arrays) —
+    * codegen'd, shuffle-order deterministic, oracle-parity by
+    * construction.
+    */
+  def lshSignature(df: DataFrame, numPlanes: Int, dims: Int = 64,
                    vecCol: String = "embedding"): DataFrame = {
     val sig = (0 until numPlanes).map { p =>
-      val dot = aggregate(
-        zip_with(col(vecCol),
-          transform(sequence(lit(0), size(col(vecCol)) - 1), d => planeCoef(p, d)),
-          (x, coef) => x.cast("double") * coef),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot > 0.0, lit(1L << p)).otherwise(0L)
+      val dotq = Vectors.dotQNative(col(vecCol), lit(planeCoefs(p, dims)))
+      when(dotq > 0L, lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
     df.withColumn("lsh_bucket", sig)
   }
@@ -68,9 +71,9 @@ object SimilaritySearch {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, numPlanes: Int,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = lshSignature(queries, numPlanes, vecCol)
+    val q = lshSignature(queries, numPlanes, vecCol = vecCol)
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("lsh_bucket"))
-    val c = lshSignature(corpus, numPlanes, vecCol)
+    val c = lshSignature(corpus, numPlanes, vecCol = vecCol)
       .select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"), col("lsh_bucket"))
     val pairs = q.join(c, Seq("lsh_bucket"))
       .filter(col("query_id") =!= col("corpus_id"))

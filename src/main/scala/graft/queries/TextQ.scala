@@ -140,6 +140,105 @@ object TextQ {
         |SELECT doc_id, md5(string_agg(CAST(seed AS VARCHAR) || ':' || mh, '|' ORDER BY CAST(seed AS VARCHAR) || ':' || mh)) AS signature
         |FROM per_seed GROUP BY doc_id""".stripMargin)),
 
+    // MinHash + LSH banding END-TO-END: candidate pairs from band-bucket
+    // collisions, verified with exact token-set Jaccard (the full
+    // near-dup pipeline: shingle -> minhash -> band -> bucket-join ->
+    // verify). Oracle replicates every stage.
+    Q("d05_minhash_lsh_pairs",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val cands = Dedup.minhashCandidates(docs, numHashes = 8, bands = 2)
+        Dedup.jaccardPairs(docs, cands, n = 1)
+          .select(col("doc_a"), col("doc_b"),
+            col("inter").cast("long").as("inter"),
+            round(col("jaccard"), 9).as("jaccard"))
+      },
+      Some("""WITH toks AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS tok
+        |    FROM documents) t
+        |), per_seed AS (
+        |  SELECT doc_id, seed, min(md5('s' || CAST(seed AS VARCHAR) || '_' || tok)) AS mh
+        |  FROM toks, range(8) r(seed) GROUP BY doc_id, seed
+        |), banded AS (
+        |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+        |    md5(string_agg(CAST(seed AS VARCHAR) || ':' || mh, '|'
+        |        ORDER BY CAST(seed AS VARCHAR) || ':' || mh)) AS band_sig
+        |  FROM per_seed GROUP BY doc_id, CAST(seed // 4 AS INT)
+        |), cands AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.band_sig = b.band_sig
+        |  WHERE a.doc_id < b.doc_id
+        |), sets AS (
+        |  SELECT doc_id, list_distinct(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS gs
+        |  FROM documents
+        |)
+        |SELECT c.doc_a, c.doc_b,
+        |  len(list_intersect(sa.gs, sb.gs)) AS inter,
+        |  ROUND(CASE WHEN len(sa.gs) + len(sb.gs) - len(list_intersect(sa.gs, sb.gs)) = 0 THEN 0.0
+        |    ELSE CAST(len(list_intersect(sa.gs, sb.gs)) AS DOUBLE)
+        |      / (len(sa.gs) + len(sb.gs) - len(list_intersect(sa.gs, sb.gs))) END, 9) AS jaccard
+        |FROM cands c JOIN sets sa ON c.doc_a = sa.doc_id JOIN sets sb ON c.doc_b = sb.doc_id""".stripMargin)),
+
+    // LSH ANN end-to-end: bucket join + quantized-cosine rerank top-3.
+    Q("s03_lsh_topk",
+      (s, d) => {
+        import graft.functions.Vectors
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables.embeddings(s, d)
+        val sig = graft.operators.SimilaritySearch.lshSignature(emb, numPlanes = 6)
+        val q = sig.select(col("vec_id").as("query_id"), col("embedding").as("q_vec"),
+          col("lsh_bucket"))
+        val c = sig.select(col("vec_id").as("corpus_id"), col("embedding").as("c_vec"),
+          col("lsh_bucket"))
+        val pairs = q.join(c, Seq("lsh_bucket"))
+          .filter(col("query_id") =!= col("corpus_id"))
+          .withColumn("cosine", round(Vectors.cosineQNative(col("q_vec"), col("c_vec")), 9))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("corpus_id").asc)
+        pairs.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select("query_id", "corpus_id", "cosine", "rank")
+      },
+      Some {
+        val hd = (k: Int) => s"(CASE WHEN ascii(substr(h, $k, 1)) <= 57 THEN ascii(substr(h, $k, 1)) - 48 ELSE ascii(substr(h, $k, 1)) - 87 END)"
+        s"""WITH coefs AS (
+          |  SELECT p, i,
+          |    CAST(${hd(1)} * 4096 + ${hd(2)} * 256 + ${hd(3)} * 16 + ${hd(4)} AS DOUBLE) / 65536.0 - 0.5 AS coef
+          |  FROM (SELECT p, i, md5('p' || CAST(p AS VARCHAR) || '_d' || CAST(i AS VARCHAR)) AS h
+          |        FROM range(6) a(p), range(64) b(i)) t
+          |), sigs AS (
+          |  SELECT e.vec_id, CAST(sum(CASE WHEN dq > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS lsh_bucket
+          |  FROM (
+          |    SELECT e.vec_id, c.p,
+          |      CAST(sum(CAST(ROUND(CAST(e.embedding[c.i + 1] AS DOUBLE) * c.coef * 1e12) AS BIGINT)) AS BIGINT) AS dq
+          |    FROM embeddings e, coefs c GROUP BY e.vec_id, c.p
+          |  ) e GROUP BY e.vec_id
+          |), pairs AS (
+          |  SELECT qa.vec_id AS query_id, qb.vec_id AS corpus_id
+          |  FROM sigs qa JOIN sigs qb ON qa.lsh_bucket = qb.lsh_bucket
+          |  WHERE qa.vec_id <> qb.vec_id
+          |), dots AS (
+          |  SELECT p.query_id, p.corpus_id,
+          |    CAST(sum(CAST(ROUND(CAST(a.embedding[i + 1] AS DOUBLE) * CAST(b.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq,
+          |    CAST(sum(CAST(ROUND(CAST(a.embedding[i + 1] AS DOUBLE) * CAST(a.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nq,
+          |    CAST(sum(CAST(ROUND(CAST(b.embedding[i + 1] AS DOUBLE) * CAST(b.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nc
+          |  FROM pairs p
+          |  JOIN embeddings a ON a.vec_id = p.query_id
+          |  JOIN embeddings b ON b.vec_id = p.corpus_id, range(64) r(i)
+          |  GROUP BY p.query_id, p.corpus_id
+          |), cos AS (
+          |  SELECT query_id, corpus_id,
+          |    ROUND(CASE WHEN nq = 0 OR nc = 0 THEN 0.0
+          |      ELSE CAST(dq AS DOUBLE) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) END, 9) AS cosine
+          |  FROM dots
+          |)
+          |SELECT query_id, corpus_id, cosine, rank FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+          |  FROM cos) t
+          |WHERE rank <= 3""".stripMargin
+      }),
+
     // SimHash 16-bit fingerprints from per-token hash votes.
     Q("d03_simhash",
       (s, d) => Dedup.simhash(Tables.documents(s, d)),
@@ -240,25 +339,8 @@ object TextQ {
     // LSH bucket assignment (the ANN scale path): 8 sign-bit planes with
     // MD5-derived coefficients, quantized dot products.
     Q("s02_lsh_buckets",
-      (s, d) => {
-        import graft.functions.Vectors
-        val emb = Tables.embeddings(s, d)
-        val sig = (0 until 8).map { p =>
-          val dotq = aggregate(
-            zip_with(col("embedding"),
-              transform(sequence(lit(0), size(col("embedding")) - 1), i => {
-                val h = md5(concat(lit(s"p${p}_d"), i.cast("string")))
-                (Text.hexDigit(substring(h, 1, 1)) * 4096 +
-                  Text.hexDigit(substring(h, 2, 1)) * 256 +
-                  Text.hexDigit(substring(h, 3, 1)) * 16 +
-                  Text.hexDigit(substring(h, 4, 1))).cast("double") / 65536.0 - 0.5
-              }),
-              (x, coef) => round(x.cast("double") * coef * 1e12).cast("long")),
-            lit(0L), (acc, v) => acc + v)
-          when(dotq > 0L, lit(1L << p)).otherwise(0L)
-        }.reduce(_ + _)
-        emb.withColumn("lsh_bucket", sig).select("vec_id", "lsh_bucket")
-      },
+      (s, d) => SimilaritySearch.lshSignature(Tables.embeddings(s, d), numPlanes = 8)
+        .select("vec_id", "lsh_bucket"),
       Some {
         val hd = (k: Int) => s"(CASE WHEN ascii(substr(h, $k, 1)) <= 57 THEN ascii(substr(h, $k, 1)) - 48 ELSE ascii(substr(h, $k, 1)) - 87 END)"
         s"""WITH coefs AS (
