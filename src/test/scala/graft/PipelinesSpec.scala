@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.mot.MotCsv
+
+/** End-to-end pipeline compositions over MOT files: detect-postprocess →
+  * track → eval → metric tables (the reference's CLI surface, SURVEY §3).
+  */
+class PipelinesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def tmp(name: String) =
+    Files.createTempDirectory(name).toString
+
+  test("track -> eval -> metric tables end-to-end over files") {
+    import spark.implicits._
+    val dir = tmp("pipe")
+    // GT: 2 objects over 8 frames; detections = GT jittered; per-frame ids
+    val gtRows = for (f <- 1 to 8; o <- 1 to 2)
+      yield (f"$f%06d", o, 10.0 + o * 200 + f * 4, 20.0 + o * 100, 40.0, 36.0, 1.0, 1, -1, -1)
+    val detRows = gtRows.zipWithIndex.map { case ((fr, o, x, y, w, h, _, _, _, _), i) =>
+      (fr, o - 1, x + 1.5, y - 1.0, w, h, 0.9, 1, -1, -1) // det ids 0,1 per frame
+    }
+    def writeCsv(rows: Seq[(String, Int, Double, Double, Double, Double, Double, Int, Int, Int)],
+                 path: String): Unit =
+      Files.writeString(java.nio.file.Paths.get(path),
+        rows.map(r => r.productIterator.mkString(",")).mkString("", "\n", "\n"))
+    writeCsv(gtRows, s"$dir/gt.txt")
+    writeCsv(detRows, s"$dir/det.txt")
+    // embeddings: identical unit vectors (appearance gate passes)
+    val embs = detRows.map(r => (r._1, r._2, Array.fill(8)(1.0f)))
+      .toDF("frame", "id", "vector")
+
+    Pipelines.track(spark, s"$dir/det.txt", embs, s"$dir/track")
+    val trackFile = s"$dir/track"
+    val trackDf = MotCsv.read(spark, trackFile)
+    assert(trackDf.count() == 16)
+    assert(trackDf.select("id").distinct().count() == 2)
+
+    val (perSeq, combined) = Pipelines.eval(spark, s"$dir/gt.txt", trackFile,
+      s"$dir/eval", iouThreshold = 0.3)
+    val m = perSeq.collect().head
+    assert(m.getLong(m.fieldIndex("CLR_TP")) == 16)
+    assert(m.getLong(m.fieldIndex("IDSW")) == 0)
+    assert(m.getLong(m.fieldIndex("MT")) == 2)
+    val tables = Pipelines.formatMetricTables(perSeq, combined)
+    assert(tables.contains("CLEAR") && tables.contains("COMBINED")
+      && tables.contains("IDF1"))
+  }
+
+  test("detect post-processing: cascade + NMS + nested removal -> det.txt ordinals") {
+    import spark.implicits._
+    val raw = Seq(
+      // frame 1: two strong overlapping (NMS keeps 1), one nested low-conf,
+      // one below confidence, one disjoint keeper
+      ("s", "000001", 1, 10.0, 10.0, 60.0, 60.0, 0.9),
+      ("s", "000001", 2, 12.0, 12.0, 62.0, 62.0, 0.8),
+      ("s", "000001", 3, 20.0, 20.0, 30.0, 30.0, 0.3),
+      ("s", "000001", 4, 200.0, 200.0, 240.0, 240.0, 0.05),
+      ("s", "000001", 5, 300.0, 300.0, 350.0, 345.0, 0.7)
+    ).toDF("seq", "frame", "id", "x1", "y1", "x2", "y2", "score")
+    val dir = tmp("det_out")
+    Pipelines.detectPostprocess(spark, raw, s"$dir/det", 400, 400,
+      confThreshold = 0.1)
+    val out = MotCsv.read(spark, s"$dir/det").collect()
+    assert(out.length == 2) // boxes 1 and 5 survive
+    assert(out.map(_.getInt(1)).sorted.toSeq == Seq(1, 2)) // per-frame ordinals
+  }
+}
