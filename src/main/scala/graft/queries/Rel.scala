@@ -371,6 +371,27 @@ object Rel {
         |FROM (SELECT l_returnflag, l_quantity, CAST(l_quantity AS BIGINT) AS q FROM lineitem) t
         |GROUP BY l_returnflag""".stripMargin)),
 
+    // Salted skew join: results must equal the plain join (the oracle IS
+    // the plain join) — the salt only re-routes shuffle traffic.
+    Q("q18_salted_join",
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+          .withColumn("hot_key", (col("l_orderkey") % 5).cast("int"))
+        val dim = Tables.region(s, d)
+          .select((col("r_regionkey") % 5).cast("int").as("hot_key"),
+            col("r_name"))
+        graft.operators.Skew.saltedJoin(l, dim, "hot_key", n = 8,
+            saltExpr = col("l_partkey") + col("l_suppkey"))
+          .groupBy("r_name").agg(
+            count(lit(1)).as("n_rows"),
+            sum("l_quantity").as("sum_qty"))
+      },
+      Some("""SELECT r_name, count(*) AS n_rows, sum(l_quantity) AS sum_qty
+        |FROM (SELECT l_quantity, CAST(l_orderkey % 5 AS INT) AS hot_key FROM lineitem) l
+        |JOIN (SELECT CAST(r_regionkey % 5 AS INT) AS hot_key, r_name FROM region) r
+        |  USING (hot_key)
+        |GROUP BY r_name""".stripMargin)),
+
     // Tumbling time window (streaming-shaped batch agg, SURVEY §2.8).
     Q("q17_hourly_window",
       (s, d) => Tables.eventsMs(s, d)
