@@ -80,6 +80,34 @@ object KernelQ {
         out.toDF().groupBy("seq").agg(count(lit(1)).as("n_rows"))
       }, None),
 
+    // BASELINE.md domain anchor: CLEAR/Identity metrics over the
+    // reference's "typical dataset" shape — 1000 frames × ~50 objects
+    // (≈50k gt rows). The reference docstring estimates 10–15 s
+    // (src/utils/eval.py:685-689); bench records ours. Rows-only (the
+    // metric semantics are oracle-checked at m02 on the smaller shape).
+    Q("m11_eval_anchor",
+      (s, d) => {
+        graft.Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+        def derive(jitter: Boolean) = s.sql(
+          s"""SELECT seq, frameIdx, id,
+             |  x${if (jitter) " + CAST(l_orderkey % 7 AS DOUBLE) - 3.0" else ""} AS x,
+             |  y${if (jitter) " + CAST(l_suppkey % 7 AS DOUBLE) - 3.0" else ""} AS y, w, h
+             |FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY frameIdx, id ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) AS rn
+             |  FROM (
+             |    SELECT 'anchor' AS seq,
+             |      CAST(l_orderkey % 1000 AS INT) AS frameIdx,
+             |      CAST(l_partkey % 50 AS INT) AS id,
+             |      CAST((l_partkey * 37) % 1600 AS DOUBLE) AS x,
+             |      CAST((l_suppkey * 53) % 1600 AS DOUBLE) AS y,
+             |      CAST(20 + (l_partkey % 40) AS DOUBLE) AS w,
+             |      CAST(20 + (l_suppkey % 40) AS DOUBLE) AS h,
+             |      l_orderkey, l_linenumber, l_partkey, l_suppkey
+             |    FROM lineitem) raw) t
+             |WHERE rn = 1${if (jitter) " AND (l_orderkey + l_suppkey) % 9 <> 0" else ""}""".stripMargin)
+        graft.operators.MotEval.metrics(derive(false), derive(true), 0.3)
+      }, None),
+
     // M8 — multimodal featurize: binary payloads (document text bytes as
     // stand-in media) through the batched stub decoder.
     Q("k06_multimodal",
