@@ -115,11 +115,11 @@ object Rel {
         |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000.0)
         |GROUP BY c_mktsegment""".stripMargin)),
 
-    // Anti join (J9): customers with no orders at all, by nation.
+    // Anti join (J9): customers with no large order, by nation.
     Q("q05_anti_join",
       (s, d) => {
         val c = Tables.customer(s, d)
-        val o = Tables.orders(s, d)
+        val o = Tables.orders(s, d).filter(col("o_totalprice") > 300000.0)
         val n = broadcast(Tables.nation(s, d))
         c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
           .join(n, c("c_nationkey") === n("n_nationkey"))
@@ -127,7 +127,7 @@ object Rel {
       },
       Some("""SELECT n_name, count(*) AS n_customers
         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
         |GROUP BY n_name""".stripMargin)),
 
     // Sessionization (A12 gaps-and-islands shape on the events stream):
@@ -370,6 +370,46 @@ object Rel {
         |   - (CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*)) * (CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*))) AS stddev_pop_qty
         |FROM (SELECT l_returnflag, l_quantity, CAST(l_quantity AS BIGINT) AS q FROM lineitem) t
         |GROUP BY l_returnflag""".stripMargin)),
+
+    // Correlated EXISTS with a time predicate (TPC-H Q4 shape): orders
+    // placed in 1996 that have a heavy line item.
+    Q("q19_exists_timerange",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .withColumn("oms", expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))"))
+          .filter(col("oms") >= 820454400000L && col("oms") < 852076800000L)
+        val l = Tables.lineitem(s, d).filter(col("l_quantity") >= 45.0)
+        o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+          .groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE epoch_ms(o_orderdate) >= 820454400000 AND epoch_ms(o_orderdate) < 852076800000
+        |  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45.0)
+        |GROUP BY o_orderpriority""".stripMargin)),
+
+    // Scalar-subquery threshold: customers above the global mean balance
+    // (mean from exact cents so the comparison is engine-identical).
+    Q("q20_above_avg_balance",
+      (s, d) => {
+        val c = Tables.customer(s, d).withColumn("bal_cents", cents(col("c_acctbal")))
+        val thr = c.agg((sum("bal_cents").cast("double") / count(lit(1)))
+          .as("thr_cents"))
+        c.crossJoin(broadcast(thr))
+          .filter(col("bal_cents").cast("double") > col("thr_cents"))
+          .groupBy("c_mktsegment").agg(
+            count(lit(1)).as("n_above"),
+            (sum("bal_cents").cast("double") / 100.0).as("total_above"))
+      },
+      Some("""WITH c AS (
+        |  SELECT c_mktsegment, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents FROM customer
+        |), thr AS (
+        |  SELECT CAST(CAST(sum(bal_cents) AS BIGINT) AS DOUBLE) / count(*) AS thr_cents FROM c
+        |)
+        |SELECT c_mktsegment, count(*) AS n_above,
+        |  CAST(CAST(sum(bal_cents) AS BIGINT) AS DOUBLE) / 100.0 AS total_above
+        |FROM c, thr WHERE CAST(bal_cents AS DOUBLE) > thr_cents
+        |GROUP BY c_mktsegment""".stripMargin)),
 
     // Salted skew join: results must equal the plain join (the oracle IS
     // the plain join) — the salt only re-routes shuffle traffic.
