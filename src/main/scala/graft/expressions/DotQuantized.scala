@@ -16,6 +16,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * integer sum keeps results bit-identical across engines and
   * partitionings (the oracle-parity property; see Vectors).
   *
+  * Rounding is HALF AWAY FROM ZERO — the one rule shared by Spark's
+  * `round()` (HALF_UP BigDecimal) and DuckDB's `ROUND`, so the native
+  * path, the composable Vectors.dotQ, and every oracle SQL agree on
+  * exact-tie products (signed embeddings make negative x.5 products
+  * real). Plain `Math.round` (half toward +∞) would diverge on those
+  * ties; see the tie test in FunctionsSpec.
+  *
   * This is the SURVEY §7.1 "custom `Expression` (perf)" deliverable:
   * scalar extension via Catalyst, not a UDF — null-safe, codegen'd,
   * registered through SparkSessionExtensions (GraftExtensions).
@@ -52,7 +59,8 @@ case class DotQuantized(left: Expression, right: Expression)
     while (i < n) {
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
-      acc += Math.round(xv * yv * 1e12)
+      val p = xv * yv * 1e12
+      acc += (if (p < 0) -Math.round(-p) else Math.round(p))
       i += 1
     }
     acc
@@ -63,13 +71,15 @@ case class DotQuantized(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val p = ctx.freshName("p")
       val getL = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getR = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += java.lang.Math.round($getL * $getR * 1e12);
+         |  double $p = $getL * $getR * 1e12;
+         |  $acc += ($p < 0) ? -java.lang.Math.round(-$p) : java.lang.Math.round($p);
          |}
          |${ev.value} = $acc;
        """.stripMargin

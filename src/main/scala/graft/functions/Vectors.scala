@@ -21,7 +21,11 @@ object Vectors {
 
   private def d(c: Column): Column = c.cast("double")
 
-  /** Exact-integer quantized dot product: sum of round(x*y*1e12) as long. */
+  /** Exact-integer quantized dot product: sum of round(x*y*1e12) as long.
+    * Spark's `round` is HALF_UP (half AWAY FROM ZERO) — the same tie
+    * rule as DuckDB's ROUND and the native DotQuantized kernel, so all
+    * three paths agree on signed x.5 products.
+    */
   def dotQ(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => round(d(x) * d(y) * lit(1e12)).cast("long")),

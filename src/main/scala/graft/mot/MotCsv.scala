@@ -42,12 +42,32 @@ object MotCsv {
 
   /** S2 — lenient read: first 6 columns, malformed lines dropped
     * (parse_annotations, reference src/utils/helpers.py:339-395).
+    *
+    * The reference accepts any line whose FIRST SIX fields parse —
+    * short lines (6–9 cols, the common MOT gt layout), extra trailing
+    * fields, and unparseable trailing columns all survive. A schema'd
+    * CSV read in DROPMALFORMED mode would reject on token-count
+    * mismatch, so we split manually: line → fields, take 1–6,
+    * `try_cast` each (null on failure, like the reference's caught
+    * ValueError/IndexError), drop rows where any required field is
+    * null. `id` is additionally gated on an integer regex because SQL
+    * casts accept "7.0" where Python's `int()` raises. Still a
+    * splittable line read with codegen'd projections — no extra pass.
     */
   def readLenient(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(schema).option("mode", "DROPMALFORMED").csv(path)
-      .select("frame", "id", "x", "y", "w", "h")
-      .na.drop(Seq("frame", "id", "x", "y", "w", "h"))
-      .withColumn("frame", Geometry.framePad(col("frame")))
+    spark.read.text(path)
+      .where(length(trim(col("value"))) > 0)
+      .select(split(trim(col("value"), " \t\r"), ",").as("p"))
+      .selectExpr(
+        "try_element_at(p, 1) AS frame",
+        "CASE WHEN trim(try_element_at(p, 2)) RLIKE '^[+-]?[0-9]+$' " +
+          "THEN try_cast(trim(try_element_at(p, 2)) AS INT) END AS id",
+        "try_cast(trim(try_element_at(p, 3)) AS DOUBLE) AS x",
+        "try_cast(trim(try_element_at(p, 4)) AS DOUBLE) AS y",
+        "try_cast(trim(try_element_at(p, 5)) AS DOUBLE) AS w",
+        "try_cast(trim(try_element_at(p, 6)) AS DOUBLE) AS h")
+      .na.drop(Seq("id", "x", "y", "w", "h"))
+      .withColumn("frame", Geometry.framePad(trim(col("frame"))))
 
   /** S3 — frame → id-list projection (extract_candidates, reference
     * src/utils/helpers.py:450-478).

@@ -105,6 +105,23 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_dotq rounds half AWAY FROM ZERO on negative ties (matches Spark round + DuckDB)") {
+    // Find a double d where d * 1e12 lands EXACTLY on n + 0.5, so the
+    // tie rule is actually exercised (Math.round would give -n here;
+    // half-away-from-zero gives -(n+1), matching Spark/DuckDB ROUND).
+    val tie = (1 to 100000).iterator
+      .map(n => (n, (n + 0.5) / 1e12))
+      .find { case (n, d) => d * 1.0 * 1e12 == n + 0.5 }
+    assert(tie.nonEmpty, "no exact x.5 quantized product found in search range")
+    val (n, d) = tie.get
+    val df = Seq((Array(-d), Array(1.0))).toDF("a", "b")
+    val out = df.select(
+      Vectors.dotQ(col("a"), col("b")).as("hof"),
+      Vectors.dotQNative(col("a"), col("b")).as("native")).collect().head
+    assert(out.getLong(0) == -(n + 1L), s"composable gave ${out.getLong(0)}")
+    assert(out.getLong(1) == -(n + 1L), s"native gave ${out.getLong(1)}")
+  }
+
   test("weightedScore: reference formula (weighted mean over sum of weights)") {
     val v = eval1(Geometry.weightedScore(Seq(
       (lit(1.0), 0.2), (lit(0.5), 0.2), (lit(0.8), 0.5), (lit(0.0), 0.1))))

@@ -28,6 +28,27 @@ class IoSpec extends AnyFunSuite {
     assert(rows.head.getDouble(2) == 10.0)
   }
 
+  test("S2 lenient read accepts 6/7/9-col lines and bad trailing cols (parse_annotations parity)") {
+    // The reference parses only the first six fields: short MOT gt
+    // layouts (6–9 cols) and unparseable trailing columns all survive;
+    // only a failure within the first six fields drops the line.
+    val dir = Files.createTempDirectory("mot_lenient_short").toFile
+    val f = new java.io.File(dir, "gt.txt")
+    Files.writeString(f.toPath,
+      """1,1,10,20,30,40
+        |2,2,11,21,31,41,0.8
+        |3,3,12,22,32,42,1,-1,-1
+        |4,4,13,23,33,43,notaconf,x,y,z
+        |5,5,14,24,34
+        |
+        |6,6,15,25,35,notaheight,0.9,1,-1,-1
+        |""".stripMargin)
+    val rows = MotCsv.readLenient(spark, f.getAbsolutePath).orderBy("frame").collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("000001", "000002", "000003", "000004"))
+    assert(rows.map(_.getDouble(2)).toSeq == Seq(10.0, 11.0, 12.0, 13.0))
+  }
+
   test("S1 strict read zero-pads numeric frames") {
     val dir = Files.createTempDirectory("mot_strict").toFile
     val f = new java.io.File(dir, "det.txt")
