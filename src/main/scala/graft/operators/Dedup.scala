@@ -100,6 +100,33 @@ object Dedup {
     votes.withColumn("simhash", sim).select("doc_id", "simhash")
   }
 
+  /** Embedding near-dup end-to-end: multi-table sign-bit LSH candidate
+    * generation (SimilaritySearch.lshTables — a pair is a candidate
+    * when ANY table's bucket agrees, banding-style) followed by the
+    * exact quantized-cosine verify at `threshold`. Nothing here is
+    * all-pairs: the self-join keys on (tbl, bucket) with bounded
+    * fan-out, and the verify join touches candidates only. Quantized
+    * cosine (bit-identical across engines) makes the threshold cut
+    * reproducible — a plain-double cosine could flip boundary pairs
+    * between partitionings.
+    */
+  def embeddingNearDupLsh(emb: DataFrame, numTables: Int, planesPerTable: Int,
+                          threshold: Double, dims: Int = 64): DataFrame = {
+    val sigs = SimilaritySearch.lshTables(emb, numTables, planesPerTable, dims)
+    val a = sigs.select(col("vec_id").as("doc_a"), col("tbl"), col("bucket"))
+    val b = sigs.select(col("vec_id").as("doc_b"), col("tbl"), col("bucket"))
+    val cands = a.join(b, Seq("tbl", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val e = emb.select(col("vec_id"), col("embedding"))
+    cands
+      .join(e.select(col("vec_id").as("doc_a"), col("embedding").as("emb_a")), Seq("doc_a"))
+      .join(e.select(col("vec_id").as("doc_b"), col("embedding").as("emb_b")), Seq("doc_b"))
+      .withColumn("cosine", round(Vectors.cosineQNative(col("emb_a"), col("emb_b")), 9))
+      .filter(col("cosine") >= threshold)
+      .select("doc_a", "doc_b", "cosine")
+  }
+
   /** Embedding near-dup: cosine ≥ threshold via the LSH-bucketed
     * similarity join (see SimilaritySearch.lshBuckets for the candidate
     * generation at scale); this variant is the exact verify step.

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{Text, Vectors}
@@ -65,8 +65,67 @@ object SimilaritySearch {
     df.withColumn("lsh_bucket", sig)
   }
 
+  /** Multi-table LSH: `numTables` independent sign-bit signatures
+    * (table t uses plane ids t·B .. t·B+B−1), exploded to one row per
+    * (id, tbl, bucket). Banding trades precision for recall exactly
+    * like MinHash bands: a pair is a candidate when ANY table agrees.
+    * One pass over the vectors computes every table's signature
+    * (the dot products are codegen'd native exprs), so recall costs
+    * no extra scans — only a wider explode before the bucket join.
+    */
+  def lshTables(df: DataFrame, numTables: Int, planesPerTable: Int,
+                dims: Int = 64, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val buckets = (0 until numTables).map { t =>
+      (0 until planesPerTable).map { b =>
+        val p = t * planesPerTable + b
+        val dotq = Vectors.dotQNative(col(vecCol), lit(planeCoefs(p, dims)))
+        when(dotq > 0L, lit(1L << b)).otherwise(0L)
+      }.reduce(_ + _)
+    }
+    df.select(col(idCol), col(vecCol),
+        posexplode(array(buckets: _*)).as(Seq("tbl", "bucket")))
+      .withColumn("tbl", col("tbl").cast("long"))
+  }
+
+  /** IVF-flat ANN — the classic scale path: a small centroid set
+    * partitions the corpus into `nlist` cells (assignment = broadcast
+    * argmax join, map-side only); queries probe their `nprobe` nearest
+    * cells and rerank exactly inside them. At 100 TB the corpus is
+    * written partitioned BY cell, so a probe prunes to nprobe/nlist of
+    * the data before any shuffle. Centroid "training" here is
+    * deterministic sampling (first `nlist` vectors) — swap in k-means
+    * offline without touching the serving plan. Quantized cosine
+    * everywhere → bit-identical across engines/partitionings.
+    */
+  def ivfTopK(corpus: DataFrame, queryPred: Column, k: Int, nlist: Int,
+              nprobe: Int, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val cents = corpus.filter(col(idCol) < nlist)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    // Cell scores for every vector (corpus assignment + query probes
+    // come from the same ranked table — one broadcast join, one pass).
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", round(Vectors.cosineQNative(col(vecCol), col("cv")), 9))
+    val w = Window.partitionBy(idCol).orderBy(col("ccos").desc, col("cid").asc)
+    val ranked = scored.withColumn("rn", row_number().over(w))
+    val cells = ranked.filter(col("rn") === 1)
+      .select(col(idCol), col(vecCol).as("c_vec"), col("cid").as("cell"))
+    val probes = ranked.filter(col("rn") <= nprobe && queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("cid").as("cell"))
+    val pairs = probes.join(cells, Seq("cell"))
+      .filter(col("query_id") =!= col(idCol))
+      .withColumn("cosine", round(Vectors.cosineQNative(col("q_vec"), col("c_vec")), 9))
+    val wr = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    pairs.withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("corpus_id"), col("cosine"), col("rank"))
+  }
+
   /** ANN via LSH buckets + exact rerank. Multi-probe is the `numTables`
-    * axis (vary the plane seed offset) — omitted here; one table with
+    * axis (vary the plane seed offset) — see `lshTables`; one table with
     * `numPlanes` bits already demonstrates the scale path.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, numPlanes: Int,

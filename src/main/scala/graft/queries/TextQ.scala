@@ -180,6 +180,103 @@ object TextQ {
         |      / (len(sa.gs) + len(sb.gs) - len(list_intersect(sa.gs, sb.gs))) END, 9) AS jaccard
         |FROM cands c JOIN sets sa ON c.doc_a = sa.doc_id JOIN sets sb ON c.doc_b = sb.doc_id""".stripMargin)),
 
+    // Embedding-cosine near-dup END-TO-END: 2-table × 6-bit sign-LSH
+    // candidates (pair survives when ANY table's bucket agrees —
+    // banding for recall), exact quantized-cosine verify at τ=0.40.
+    // Threshold compares the ROUNDED quantized cosine on both engines,
+    // so boundary pairs can't flip between partitionings.
+    Q("d06_embedding_neardup",
+      (s, d) => Dedup.embeddingNearDupLsh(Tables.embeddings(s, d),
+        numTables = 2, planesPerTable = 6, threshold = 0.40),
+      Some {
+        val hd = (k: Int) => s"(CASE WHEN ascii(substr(h, $k, 1)) <= 57 THEN ascii(substr(h, $k, 1)) - 48 ELSE ascii(substr(h, $k, 1)) - 87 END)"
+        s"""WITH coefs AS (
+          |  SELECT p, i,
+          |    CAST(${hd(1)} * 4096 + ${hd(2)} * 256 + ${hd(3)} * 16 + ${hd(4)} AS DOUBLE) / 65536.0 - 0.5 AS coef
+          |  FROM (SELECT p, i, md5('p' || CAST(p AS VARCHAR) || '_d' || CAST(i AS VARCHAR)) AS h
+          |        FROM range(12) a(p), range(64) b(i)) t
+          |), dots AS (
+          |  SELECT e.vec_id, c.p,
+          |    CAST(sum(CAST(ROUND(CAST(e.embedding[c.i + 1] AS DOUBLE) * c.coef * 1e12) AS BIGINT)) AS BIGINT) AS dq
+          |  FROM embeddings e, coefs c GROUP BY e.vec_id, c.p
+          |), sigs AS (
+          |  SELECT vec_id, p // 6 AS tbl,
+          |    CAST(sum(CASE WHEN dq > 0 THEN 1 << (p % 6) ELSE 0 END) AS BIGINT) AS bucket
+          |  FROM dots GROUP BY vec_id, p // 6
+          |), cands AS (
+          |  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+          |  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.bucket = b.bucket
+          |  WHERE a.vec_id < b.vec_id
+          |), dq AS (
+          |  SELECT c.doc_a, c.doc_b,
+          |    CAST(sum(CAST(ROUND(CAST(a.embedding[i + 1] AS DOUBLE) * CAST(b.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq,
+          |    CAST(sum(CAST(ROUND(CAST(a.embedding[i + 1] AS DOUBLE) * CAST(a.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS na,
+          |    CAST(sum(CAST(ROUND(CAST(b.embedding[i + 1] AS DOUBLE) * CAST(b.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nb
+          |  FROM cands c
+          |  JOIN embeddings a ON a.vec_id = c.doc_a
+          |  JOIN embeddings b ON b.vec_id = c.doc_b, range(64) r(i)
+          |  GROUP BY c.doc_a, c.doc_b
+          |), cos AS (
+          |  SELECT doc_a, doc_b,
+          |    ROUND(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+          |      ELSE CAST(dq AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) END, 9) AS cosine
+          |  FROM dq
+          |)
+          |SELECT doc_a, doc_b, cosine FROM cos WHERE cosine >= 0.40""".stripMargin
+      }),
+
+    // IVF-flat ANN: nlist=8 sampled centroids, corpus partitioned by
+    // argmax-cosine cell, queries probe nprobe=2 cells, exact rerank
+    // top-5 inside the probed cells. The cell assignment is the
+    // 100 TB partition key (see SimilaritySearch.ivfTopK).
+    Q("s04_ivf_topk",
+      (s, d) => SimilaritySearch.ivfTopK(Tables.embeddings(s, d),
+        queryPred = col("vec_id") < 10, k = 5, nlist = 8, nprobe = 2),
+      Some("""WITH cents AS (
+        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+        |), cellcos AS (
+        |  SELECT v.vec_id, c.cid,
+        |    CAST(sum(CAST(ROUND(CAST(v.embedding[i + 1] AS DOUBLE) * CAST(c.cv[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq,
+        |    CAST(sum(CAST(ROUND(CAST(v.embedding[i + 1] AS DOUBLE) * CAST(v.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nv,
+        |    CAST(sum(CAST(ROUND(CAST(c.cv[i + 1] AS DOUBLE) * CAST(c.cv[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nc
+        |  FROM embeddings v, cents c, range(64) r(i)
+        |  GROUP BY v.vec_id, c.cid
+        |), scored AS (
+        |  SELECT vec_id, cid,
+        |    ROUND(CASE WHEN nv = 0 OR nc = 0 THEN 0.0
+        |      ELSE CAST(dq AS DOUBLE) / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) END, 9) AS ccos
+        |  FROM cellcos
+        |), ranked AS (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+        |  FROM scored
+        |), cells AS (
+        |  SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1
+        |), probes AS (
+        |  SELECT vec_id AS query_id, cid AS cell FROM ranked WHERE rn <= 2 AND vec_id < 10
+        |), cands AS (
+        |  SELECT p.query_id, m.vec_id AS corpus_id
+        |  FROM probes p JOIN cells m ON p.cell = m.cell
+        |  WHERE p.query_id <> m.vec_id
+        |), dots AS (
+        |  SELECT c.query_id, c.corpus_id,
+        |    CAST(sum(CAST(ROUND(CAST(a.embedding[i + 1] AS DOUBLE) * CAST(b.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq,
+        |    CAST(sum(CAST(ROUND(CAST(a.embedding[i + 1] AS DOUBLE) * CAST(a.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nq,
+        |    CAST(sum(CAST(ROUND(CAST(b.embedding[i + 1] AS DOUBLE) * CAST(b.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nc
+        |  FROM cands c
+        |  JOIN embeddings a ON a.vec_id = c.query_id
+        |  JOIN embeddings b ON b.vec_id = c.corpus_id, range(64) r(i)
+        |  GROUP BY c.query_id, c.corpus_id
+        |), cos AS (
+        |  SELECT query_id, corpus_id,
+        |    ROUND(CASE WHEN nq = 0 OR nc = 0 THEN 0.0
+        |      ELSE CAST(dq AS DOUBLE) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) END, 9) AS cosine
+        |  FROM dots
+        |)
+        |SELECT query_id, corpus_id, cosine, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS BIGINT) AS rank
+        |  FROM cos) t
+        |WHERE rank <= 5""".stripMargin)),
+
     // LSH ANN end-to-end: bucket join + quantized-cosine rerank top-3.
     Q("s03_lsh_topk",
       (s, d) => {
