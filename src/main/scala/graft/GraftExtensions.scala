@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotqDescriptor)
     ext.injectFunction(GraftExtensions.distLeDescriptor)
+    ext.injectFunction(GraftExtensions.interSizeDescriptor)
     ext.injectOptimizerRule(_ => graft.optimizer.BandJoinRewrite)
   }
 }
@@ -31,6 +32,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[graft.expressions.DistanceLE].getName, "graft_dist_le"),
     (c: Seq[Expression]) => graft.expressions.DistanceLE(c(0), c(1), c(2), c(3), c(4)))
 
+  private val interSizeDescriptor = (
+    FunctionIdentifier("graft_inter_size"),
+    new ExpressionInfo(classOf[graft.expressions.SortedIntersectSize].getName, "graft_inter_size"),
+    (c: Seq[Expression]) => graft.expressions.SortedIntersectSize(c(0), c(1)))
+
   /** Imperative registration for an already-built session: functions
     * plus the band-join optimizer rule (idempotent).
     */
@@ -39,6 +45,8 @@ object GraftExtensions {
       dotqDescriptor._1, dotqDescriptor._2, dotqDescriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
       distLeDescriptor._1, distLeDescriptor._2, distLeDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      interSizeDescriptor._1, interSizeDescriptor._2, interSizeDescriptor._3)
     val opt = spark.sessionState.experimentalMethods
     if (!opt.extraOptimizations.contains(graft.optimizer.BandJoinRewrite))
       opt.extraOptimizations = opt.extraOptimizations :+ graft.optimizer.BandJoinRewrite

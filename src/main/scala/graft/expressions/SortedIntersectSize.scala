@@ -1,0 +1,84 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+
+/** Native codegen intersection SIZE of two SORTED DISTINCT
+  * `array<string>` columns — a two-pointer merge, no per-call hash set.
+  *
+  * `size(array_intersect(a, b))` builds a hash set of one side for
+  * every row; on a similarity-verify join evaluating hundreds of
+  * thousands of candidate pairs (Dedup.jaccardPairs), that allocation
+  * dominates the stage. The merge is allocation-free and each element
+  * is compared at most once.
+  *
+  * PRECONDITION (caller-enforced, see jaccardPairs): both arrays are
+  * sorted ascending by UTF8String binary order (`sort_array`) and
+  * element-distinct (`array_distinct`); null elements are not expected
+  * (token/shingle arrays never carry them). Unsorted input silently
+  * undercounts — this expression is an internal building block, not a
+  * general SQL surface.
+  */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_inter_size expects array<string> on both sides, " +
+        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "graft_inter_size"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var cnt = 0
+    while (i < nx && j < ny) {
+      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (c == 0) { cnt += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val cnt = ctx.freshName("cnt")
+      val c = ctx.freshName("c")
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $i = 0, $j = 0, $cnt = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($c == 0) { $cnt++; $i++; $j++; }
+         |  else if ($c < 0) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectSize =
+    copy(left = newLeft, right = newRight)
+}

@@ -38,22 +38,38 @@ object Dedup {
     * billions of docs (the LSH guarantee), and the dedup never goes
     * quadratic.
     */
+  /** Per-seed minhashes as COLUMNS `mh0..mh{n-1}`: min over tokens of
+    * md5("s{seed}_" + token). Column-wise (not seed-exploded) on
+    * purpose — the token table is shuffled once instead of once per
+    * seed, and `min` partial-aggregates map-side, so the shuffle
+    * carries |docs|×n minhashes rather than |tokens|×n rows. Values
+    * are identical to the seed-exploded form.
+    */
+  def minhashSignatures(docs: DataFrame, numHashes: Int,
+                        textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(Text.distinctTokens(col(textCol))).as("tok"))
+    val aggs = (0 until numHashes).map(s =>
+      min(Text.md5s(concat(lit(s"s${s}_"), col("tok")))).as(s"mh$s"))
+    toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
   def minhashCandidates(docs: DataFrame, numHashes: Int, bands: Int,
                         textCol: String = "text"): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val toks = docs.select(col("doc_id"),
-      explode(Text.distinctTokens(col(textCol))).as("tok"))
-    // One minhash per seed: min over tokens of md5("s{seed}_" + token).
-    val perSeed = toks
-      .withColumn("seed", explode(array((0 until numHashes).map(lit): _*)))
-      .groupBy("doc_id", "seed")
-      .agg(min(Text.md5s(concat(lit("s"), col("seed"), lit("_"), col("tok")))).as("mh"))
-    // Band signature: concat of the band's minhashes.
-    val banded = perSeed
-      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(md5(concat_ws("|", sort_array(collect_list(
-        concat_ws(":", col("seed"), col("mh")))))).as("band_sig"))
+    val sigs = minhashSignatures(docs, numHashes, textCol)
+    // Band signature: md5 of the band's sorted "seed:minhash" strings —
+    // same formula as the seed-exploded collect_list form (single-digit
+    // seeds sort lexicographically = numerically).
+    val bandStructs = (0 until bands).map { band =>
+      val elems = (band * rowsPerBand until (band + 1) * rowsPerBand)
+        .map(s => concat_ws(":", lit(s), col(s"mh$s")))
+      struct(lit(band).as("band"),
+        md5(concat_ws("|", sort_array(array(elems: _*)))).as("band_sig"))
+    }
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
     val a = banded.select(col("band"), col("band_sig"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band"), col("band_sig"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "band_sig"))
@@ -63,17 +79,24 @@ object Dedup {
 
   /** Exact token-set Jaccard for candidate pairs (verification stage
     * after LSH, or standalone n-gram Jaccard dedup when `n > 1`).
+    *
+    * Gram arrays are sorted ONCE per document (map-side, before the
+    * join), so the per-pair intersection is the native two-pointer
+    * merge `graft_inter_size` instead of `array_intersect`'s per-row
+    * hash set — the verify stage evaluates |candidates| pairs, and at
+    * LSH-collision fan-outs that allocation was the dominant cost.
     */
   def jaccardPairs(docs: DataFrame, candidates: DataFrame, n: Int = 1,
                    textCol: String = "text"): DataFrame = {
     val grams = if (n == 1) Text.distinctTokens(col(textCol))
       else array_distinct(Text.shingles(Text.tokens(col(textCol)), n))
-    val sets = docs.select(col("doc_id"), grams.as("grams"))
+    val sets = docs.select(col("doc_id"), sort_array(grams).as("grams"))
     val withA = candidates.join(sets.withColumnRenamed("doc_id", "doc_a")
       .withColumnRenamed("grams", "grams_a"), Seq("doc_a"))
     val withB = withA.join(sets.withColumnRenamed("doc_id", "doc_b")
       .withColumnRenamed("grams", "grams_b"), Seq("doc_b"))
-    withB.withColumn("inter", size(array_intersect(col("grams_a"), col("grams_b"))))
+    withB.withColumn("inter",
+        call_function("graft_inter_size", col("grams_a"), col("grams_b")))
       .withColumn("unionSz",
         size(col("grams_a")) + size(col("grams_b")) - col("inter"))
       .withColumn("jaccard",

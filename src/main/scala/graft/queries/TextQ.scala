@@ -119,15 +119,10 @@ object TextQ {
     // over tokens for 4 seeds, as one concatenated signature.
     Q("d02_minhash_sig",
       (s, d) => {
-        val toks = Tables.documents(s, d).select(col("doc_id"),
-          explode(Text.distinctTokens(col("text"))).as("tok"))
-        val perSeed = toks
-          .withColumn("seed", explode(array((0 until 4).map(lit): _*)))
-          .groupBy("doc_id", "seed")
-          .agg(min(md5(concat(lit("s"), col("seed"), lit("_"), col("tok")))).as("mh"))
-        perSeed.groupBy("doc_id")
-          .agg(md5(concat_ws("|", sort_array(collect_list(
-            concat_ws(":", col("seed"), col("mh")))))).as("signature"))
+        val sigs = Dedup.minhashSignatures(Tables.documents(s, d), numHashes = 4)
+        val elems = (0 until 4).map(i => concat_ws(":", lit(i), col(s"mh$i")))
+        sigs.select(col("doc_id"),
+          md5(concat_ws("|", sort_array(array(elems: _*)))).as("signature"))
       },
       Some("""WITH toks AS (
         |  SELECT DISTINCT doc_id, tok FROM (

@@ -105,6 +105,21 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_inter_size (sorted two-pointer merge) == size(array_intersect)") {
+    val rng = new scala.util.Random(11)
+    val vocab = (0 until 40).map(i => s"tok$i")
+    val rows = Seq.fill(100)((
+      rng.shuffle(vocab).take(rng.nextInt(vocab.size) + 1).toArray,
+      rng.shuffle(vocab).take(rng.nextInt(vocab.size) + 1).toArray))
+    val df = rows.toDF("a", "b")
+      .select(sort_array(array_distinct(col("a"))).as("a"),
+        sort_array(array_distinct(col("b"))).as("b"))
+    val out = df.select(
+      call_function("graft_inter_size", col("a"), col("b")).as("merge"),
+      size(array_intersect(col("a"), col("b"))).as("builtin")).collect()
+    out.foreach(r => assert(r.getInt(0) == r.getInt(1), s"$r"))
+  }
+
   test("graft_dotq rounds half AWAY FROM ZERO on negative ties (matches Spark round + DuckDB)") {
     // Find a double d where d * 1e12 lands EXACTLY on n + 0.5, so the
     // tie rule is actually exercised (Math.round would give -n here;
