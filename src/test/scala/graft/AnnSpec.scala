@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, SimilaritySearch}
+
+/** Properties of the ANN / embedding-dedup operators:
+  * - IVF with nprobe = nlist degrades to exact search (same pairs and
+  *   ranks as brute force) — the recall/cost dial has a closed top end.
+  * - IVF output is internally consistent (contiguous ranks, ordered
+  *   cosines) at any nprobe.
+  * - multi-table sign-LSH can never miss an identical-vector pair
+  *   (equal vectors share every bucket), and every emitted pair
+  *   respects the threshold and doc_a < doc_b canonicalization.
+  */
+class AnnSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def syntheticEmb(n: Int, dims: Int = 16): org.apache.spark.sql.DataFrame = {
+    val rng = new scala.util.Random(42)
+    val rows = (0 until n).map(i => (i, Array.fill(dims)(rng.nextFloat() * 2 - 1)))
+    // vec 40 is an exact copy of vec 10 — a guaranteed near-dup pair.
+    val withDup = rows.map { case (i, v) => if (i == 40) (i, rows(10)._2.clone()) else (i, v) }
+    withDup.toDF("vec_id", "embedding")
+  }
+
+  test("ivfTopK with nprobe = nlist equals brute-force top-k (pairs and ranks)") {
+    val emb = syntheticEmb(60)
+    val ivf = SimilaritySearch.ivfTopK(emb, col("vec_id") < 5, k = 4, nlist = 6, nprobe = 6)
+      .select("query_id", "corpus_id", "rank").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    val bf = SimilaritySearch.bruteForceTopK(
+        emb.filter(col("vec_id") < 5), emb, k = 4)
+      .select("query_id", "corpus_id", "rank").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2).toLong)).toSet
+    assert(ivf == bf)
+  }
+
+  test("ivfTopK output is internally consistent at restrictive nprobe") {
+    val emb = syntheticEmb(60)
+    val out = SimilaritySearch.ivfTopK(emb, col("vec_id") < 8, k = 3, nlist = 6, nprobe = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1L to byRank.length))
+      assert(byRank.sliding(2).forall { w =>
+        w.length < 2 || w(0)._3 >= w(1)._3
+      })
+      assert(rows.forall(r => r._1 != r._2))
+    }
+  }
+
+  test("embeddingNearDupLsh always finds identical-vector pairs; output respects threshold") {
+    val emb = syntheticEmb(60)
+    val out = Dedup.embeddingNearDupLsh(emb, numTables = 2, planesPerTable = 6,
+        threshold = 0.9, dims = 16)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    // identical vectors share every bucket -> the pair cannot be missed
+    assert(out.exists { case (a, b, c) => a == 10 && b == 40 && c == 1.0 })
+    assert(out.forall { case (a, b, c) => a < b && c >= 0.9 })
+    assert(out.map(t => (t._1, t._2)).distinct.length == out.length)
+  }
+
+  test("lshTables emits exactly one bucket per (id, table)") {
+    val emb = syntheticEmb(30)
+    val sigs = SimilaritySearch.lshTables(emb, numTables = 3, planesPerTable = 4, dims = 16)
+      .select("vec_id", "tbl").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(sigs.length == 30 * 3)
+    assert(sigs.distinct.length == sigs.length)
+  }
+}
