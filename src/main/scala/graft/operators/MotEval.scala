@@ -78,7 +78,14 @@ object MotEval {
     * the global avg IoU).
     */
   def metrics(gt: DataFrame, tracks: DataFrame, iouThreshold: Double): DataFrame = {
-    val mm = matchFrames(gt, tracks, iouThreshold)
+    // The match table feeds FIVE aggregation branches (TP/LocA, IDSW/
+    // Frag, coverage, both IDTP sides); without persisting it, Spark
+    // recomputes the frame join + argmax window once per branch — and
+    // re-derives the inputs upstream of it each time. One cache entry,
+    // bounded by matched GT rows (eval-scale, not corpus-scale data).
+    // Values are unaffected: the row set is deterministic and every
+    // downstream aggregate is shuffle-order-independent.
+    val mm = matchFrames(gt, tracks, iouThreshold).cache()
     val gts = gt
     val trs = tracks
 

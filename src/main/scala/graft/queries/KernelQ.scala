@@ -105,7 +105,10 @@ object KernelQ {
              |      l_orderkey, l_linenumber, l_partkey, l_suppkey
              |    FROM lineitem) raw) t
              |WHERE rn = 1${if (jitter) " AND (l_orderkey + l_suppkey) % 9 <> 0" else ""}""".stripMargin)
-        graft.operators.MotEval.metrics(derive(false), derive(true), 0.3)
+        // Cache both derived relations: metrics fans them into several
+        // aggregation branches, and each branch would otherwise repeat
+        // the 600k-row lineitem scan + dedup window.
+        graft.operators.MotEval.metrics(derive(false).cache(), derive(true).cache(), 0.3)
       }, None),
 
     // M8 — multimodal featurize: binary payloads (document text bytes as
