@@ -150,6 +150,46 @@ object Dedup {
       .select("doc_a", "doc_b", "cosine")
   }
 
+  /** Connected components over a duplicate-pair table — the clustering
+    * step that turns pairwise near-dup hits into dedup groups (keep one
+    * representative per component). Iterative min-label propagation:
+    * every node starts labeled with itself; each round takes the min of
+    * its own and its neighbors' labels; converged when nothing changes.
+    * The fixpoint (min reachable id per component) is independent of
+    * iteration order and partitioning, so results are deterministic on
+    * any cluster layout.
+    *
+    * Scale: each round is one hash shuffle of the (bounded) edge table
+    * joined to the label table — O(diameter) rounds, and near-dup
+    * components are dense (LSH collisions), so diameters are tiny.
+    * `localCheckpoint` truncates the growing lineage each round so the
+    * plan stays O(1) regardless of round count.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String = "doc_a",
+                          dstCol: String = "doc_b", maxIter: Int = 50): DataFrame = {
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val und = sym.union(sym.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val msgs = und.join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), col("label"))
+      val next = labels.union(msgs)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") < col("o.label")).isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Embedding near-dup: cosine ≥ threshold via the LSH-bucketed
     * similarity join (see SimilaritySearch.lshBuckets for the candidate
     * generation at scale); this variant is the exact verify step.

@@ -273,20 +273,47 @@ object ExtQ {
         |  CAST(max(tile_y) AS BIGINT) AS max_y
         |FROM tiles GROUP BY img_id, direct""".stripMargin)),
 
-    // 100 TB posture: sketch-based distincts (A2 scale variant). No SQL
-    // oracle — HLL estimates are engine-specific; the exact counterpart
-    // is q11. Output sanity: estimate within 5% of exact, asserted here
-    // in-plan so the rows-only gate still catches drift.
+    // 100 TB posture: sketch-based distincts (A2 scale variant). The HLL
+    // estimate itself is engine-specific, so the oracle-checked output is
+    // the exact count plus `approx_ok` = |approx−exact|/exact < 5%; the
+    // oracle asserts TRUE, so sketch drift beyond the bound hash-fails.
     Q("p01_approx_distinct",
       (s, d) => {
         val e = Tables.events(s, d)
         e.groupBy("event_type").agg(
             countDistinct("user_id").as("exact"),
             approx_count_distinct("user_id", 0.02).as("approx"))
-          .withColumn("rel_err",
-            abs(col("approx") - col("exact")).cast("double") / col("exact"))
-          .filter(col("rel_err") < 0.05)
-      }, None),
+          .select(col("event_type"), col("exact"),
+            (abs(col("approx") - col("exact")).cast("double") / col("exact") < 0.05)
+              .as("approx_ok"))
+      },
+      Some("""SELECT event_type, count(DISTINCT user_id) AS exact, TRUE AS approx_ok
+        |FROM events GROUP BY 1""".stripMargin)),
+
+    // 100 TB posture: approximate quantiles (sketch family beside p01's
+    // HLL). The sketch guarantee is on RANK, so the oracle-checked
+    // output is the exact quantile plus `okXX` = approx lies within the
+    // exact [q−0.002, q+0.002] quantile band; the oracle asserts TRUE.
+    Q("p02_approx_quantiles",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        def exact(q: Double) = expr(s"percentile(value, $q)")
+        e.groupBy("event_type").agg(
+            round(exact(0.5), 6).as("p50"),
+            round(exact(0.9), 6).as("p90"),
+            percentile_approx(col("value"), lit(0.5), lit(10000)).as("a50"),
+            percentile_approx(col("value"), lit(0.9), lit(10000)).as("a90"),
+            exact(0.498).as("lo50"), exact(0.502).as("hi50"),
+            exact(0.898).as("lo90"), exact(0.902).as("hi90"))
+          .select(col("event_type"), col("p50"), col("p90"),
+            (col("a50") >= col("lo50") && col("a50") <= col("hi50")).as("ok50"),
+            (col("a90") >= col("lo90") && col("a90") <= col("hi90")).as("ok90"))
+      },
+      Some("""SELECT event_type,
+        |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(value, 0.9), 6) AS p90,
+        |  TRUE AS ok50, TRUE AS ok90
+        |FROM events GROUP BY 1""".stripMargin)),
 
     // A17 — average precision (the reference's second training-eval
     // metric, src/embedding.py:1754): AP = mean over positives of

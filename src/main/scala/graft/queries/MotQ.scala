@@ -15,10 +15,11 @@ object MotQ {
 
   /** Shared CTE chain for the CLEAR/Identity metrics oracle: everything
     * up to (not including) the final per-sequence SELECT. Reused by the
-    * m09 combined-metrics oracle with a different final projection.
+    * m09 combined-metrics oracle with a different final projection, and
+    * (via [[metricsBody]]) by the m11 anchor oracle over differently
+    * derived gt/tracks inputs.
     */
-  val metricsCtes: String = s"""$W,
-        |pairs AS (
+  val metricsBody: String = s"""pairs AS (
         |  SELECT g.seq, g.frameIdx, g.id AS gt_id, t.id AS track_id,
         |    CASE WHEN (g.w * g.h + t.w * t.h
         |            - greatest(least(g.x + g.w, t.x + t.w) - greatest(g.x, t.x), 0)
@@ -102,6 +103,8 @@ object MotQ {
         |      FROM runs_tr GROUP BY seq, track_id, gt_id, run_id) a
         |    GROUP BY seq, track_id) b GROUP BY seq
         |)""".stripMargin
+
+  val metricsCtes: String = s"$W,\n$metricsBody"
 
   /** Final per-sequence projection; `round` toggles output rounding so
     * the combined oracle can aggregate unrounded per-seq values.

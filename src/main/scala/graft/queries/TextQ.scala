@@ -175,6 +175,65 @@ object TextQ {
         |      / (len(sa.gs) + len(sb.gs) - len(list_intersect(sa.gs, sb.gs))) END, 9) AS jaccard
         |FROM cands c JOIN sets sa ON c.doc_a = sa.doc_id JOIN sets sb ON c.doc_b = sb.doc_id""".stripMargin)),
 
+    // Connected-components dedup clustering: the step after pair
+    // generation — LSH pairs verified at Jaccard ≥ 0.9 become edges;
+    // each doc gets cluster_id = min doc_id reachable through duplicate
+    // pairs (iterative min-label propagation, deterministic fixpoint).
+    // Oracle = recursive-CTE transitive closure + min. `keep` marks the
+    // canonical representative a dedup pass would retain.
+    Q("d07_dedup_clusters",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val cands = Dedup.minhashCandidates(docs, numHashes = 8, bands = 2)
+        val edges = Dedup.jaccardPairs(docs, cands, n = 1)
+          .filter(col("jaccard") >= 0.9).select("doc_a", "doc_b")
+        Dedup.connectedComponents(edges)
+          .withColumn("cluster_size",
+            count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
+          .withColumn("keep", col("doc_id") === col("cluster_id"))
+      },
+      Some("""WITH RECURSIVE toks AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS tok
+        |    FROM documents) t
+        |), per_seed AS (
+        |  SELECT doc_id, seed, min(md5('s' || CAST(seed AS VARCHAR) || '_' || tok)) AS mh
+        |  FROM toks, range(8) r(seed) GROUP BY doc_id, seed
+        |), banded AS (
+        |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+        |    md5(string_agg(CAST(seed AS VARCHAR) || ':' || mh, '|'
+        |        ORDER BY CAST(seed AS VARCHAR) || ':' || mh)) AS band_sig
+        |  FROM per_seed GROUP BY doc_id, CAST(seed // 4 AS INT)
+        |), cands AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.band_sig = b.band_sig
+        |  WHERE a.doc_id < b.doc_id
+        |), sets AS (
+        |  SELECT doc_id, list_distinct(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS gs
+        |  FROM documents
+        |), thr AS MATERIALIZED (
+        |  SELECT c.doc_a, c.doc_b
+        |  FROM cands c JOIN sets sa ON c.doc_a = sa.doc_id JOIN sets sb ON c.doc_b = sb.doc_id
+        |  WHERE CASE WHEN len(sa.gs) + len(sb.gs) - len(list_intersect(sa.gs, sb.gs)) = 0 THEN 0.0
+        |    ELSE CAST(len(list_intersect(sa.gs, sb.gs)) AS DOUBLE)
+        |      / (len(sa.gs) + len(sb.gs) - len(list_intersect(sa.gs, sb.gs))) END >= 0.9
+        |), edges AS MATERIALIZED (
+        |  SELECT doc_a AS src, doc_b AS dst FROM thr
+        |  UNION ALL
+        |  SELECT doc_b AS src, doc_a AS dst FROM thr
+        |), reach(node, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, rc.r FROM edges e JOIN reach rc ON rc.node = e.dst
+        |), cc AS (
+        |  SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+        |)
+        |SELECT doc_id, cluster_id,
+        |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+        |  doc_id = cluster_id AS keep
+        |FROM cc""".stripMargin)),
+
     // Embedding-cosine near-dup END-TO-END: 2-table × 6-bit sign-LSH
     // candidates (pair survives when ANY table's bucket agrees —
     // banding for recall), exact quantized-cosine verify at τ=0.40.

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Connected-components dedup clustering (Dedup.connectedComponents):
+  * - fixpoint equals a reference union-find on the same edges
+  * - labels are the component-min id (deterministic canonical rep)
+  * - chain topologies (worst-case diameter) converge, not just dense
+  *   LSH-style cliques
+  * - singletons (no edges touching them) simply don't appear — the
+  *   caller unions them back as their own cluster if needed
+  */
+class CcSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def check(edges: Seq[(Long, Long)]): Unit = {
+    val df = edges.toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == unionFind(edges))
+  }
+
+  test("clique + separate pair + bridge matches union-find") {
+    check(Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (3L, 10L), (20L, 21L)))
+  }
+
+  test("long chain (diameter = n) converges to the chain min") {
+    val chain = (0L until 40L).map(i => (i, i + 1))
+    check(chain)
+    // explicit: every node labeled 0
+    val got = Dedup.connectedComponents(chain.toDF("doc_a", "doc_b"))
+      .agg(countDistinct("cluster_id"), min("cluster_id"), count(lit(1))).head()
+    assert(got.getLong(0) == 1L && got.getLong(1) == 0L && got.getLong(2) == 41L)
+  }
+
+  test("edge direction and duplicates don't matter") {
+    val a = Dedup.connectedComponents(
+      Seq((5L, 9L), (9L, 5L), (5L, 9L), (9L, 7L)).toDF("doc_a", "doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == Set((5L, 5L), (9L, 5L), (7L, 5L)))
+  }
+}
