@@ -235,6 +235,58 @@ object ExtQ {
       },
       Some("""SELECT event_type, count(*) AS n_events FROM events GROUP BY 1""")),
 
+    // M7 — streaming SESSION windows (the reference's only session-like
+    // construct is batch gaps-and-islands, A12; this is its streaming
+    // generalization): session_window(10 min) per user, append mode +
+    // watermark, Trigger.AvailableNow. Append only emits sessions the
+    // final watermark (maxET − 1 s) has closed, so BOTH sides filter to
+    // sessions ending strictly 2 s before maxET — the compared set is
+    // identical regardless of the engine's ≤/< boundary choice. Oracle =
+    // batch gaps-and-islands with the same ≥10-min break rule.
+    Q("st3_stream_session",
+      (s, d) => {
+        val schema = Tables.events(s, d).schema
+        val name = "st3_sess_" + math.abs(d.hashCode).toString
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(d)
+          .withColumn("et", expr("timestamp_micros(ts div 1000)"))
+          .withWatermark("et", "1 second")
+          .groupBy(col("user_id"), session_window(col("et"), "10 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+        val q = stream.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val maxMs = Tables.eventsMs(s, d).agg(max("ms")).head().getLong(0)
+        s.table(name)
+          .select(col("user_id"),
+            unix_millis(col("session_window.start")).as("sess_start_ms"),
+            unix_millis(col("session_window.end")).as("sess_end_ms"),
+            col("n_events"))
+          .filter(col("sess_end_ms") < maxMs - 2000)
+      },
+      Some("""WITH ev AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms FROM events
+        |), l AS (
+        |  SELECT user_id, ms,
+        |    lag(ms) OVER (PARTITION BY user_id ORDER BY ms) AS pms
+        |  FROM ev
+        |), g AS (
+        |  SELECT user_id, ms,
+        |    sum(CASE WHEN pms IS NULL OR ms - pms >= 600000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ms
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM l
+        |), sess AS (
+        |  SELECT user_id, min(ms) AS sess_start_ms,
+        |    max(ms) + 600000 AS sess_end_ms,
+        |    count(*) AS n_events
+        |  FROM g GROUP BY user_id, sid
+        |)
+        |SELECT user_id, sess_start_ms, sess_end_ms, n_events FROM sess
+        |WHERE sess_end_ms < (SELECT max(ms) FROM ev) - 2000""".stripMargin)),
+
     // P10 — sliding-window tile-spec generator with edge snapping
     // (reference src/detection.py:1358-1368), duplicates preserved.
     Q("f03_tile_specs",

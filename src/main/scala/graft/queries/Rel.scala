@@ -441,6 +441,48 @@ object Rel {
           (sum(cents(col("value"))).cast("double") / 100.0).as("total_value")),
       Some("""SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, count(*) AS n_events,
         | CAST(CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS total_value
-        |FROM events GROUP BY 1""".stripMargin))
+        |FROM events GROUP BY 1""".stripMargin)),
+
+    // As-of join (time-series / feature-lookup shape): every click gets
+    // the latest prior-or-equal purchase of the same user. Implemented
+    // as the SCALABLE union-tag form — both sides in ONE window
+    // partitioned by user, `last(ignoreNulls)` carries the right side
+    // forward — a single hash shuffle on user_id, no range join, no
+    // per-row probe. (ms, event_id) ordering pins tie-breaks; missing
+    // matches surface as -1 (avoids nullable-int hashing differences).
+    Q("q21_asof_join",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ms"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tagged = Tables.eventsMs(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .withColumn("p_id",
+            when(col("event_type") === "purchase", col("event_id")))
+          .withColumn("p_ms",
+            when(col("event_type") === "purchase", col("ms")))
+        tagged
+          .withColumn("last_p_id", last("p_id", ignoreNulls = true).over(w))
+          .withColumn("last_p_ms", last("p_ms", ignoreNulls = true).over(w))
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ms"),
+            coalesce(col("last_p_id"), lit(-1L)).as("last_p_id"),
+            coalesce(col("last_p_ms"), lit(-1L)).as("last_p_ms"))
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ms, event_type
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), t AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS) OVER w AS last_p_id,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN ms END IGNORE NULLS) OVER w AS last_p_ms
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_id, user_id, ms,
+        |  coalesce(last_p_id, -1) AS last_p_id,
+        |  coalesce(last_p_ms, -1) AS last_p_ms
+        |FROM t WHERE event_type = 'click'""".stripMargin))
   )
 }
