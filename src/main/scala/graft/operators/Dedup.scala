@@ -186,9 +186,10 @@ object Dedup {
     while (iter < maxIter && !e.isEmpty) {
       // hook: every representative adopts min(self, neighbors) in the
       // CONTRACTED graph (e is in representative space from round 2 on)
+      // not materialized: recomputing this one groupBy inside the
+      // doubling self-join is cheaper than an extra checkpoint job
       val minNb = e.groupBy("src").agg(min("dst").as("mn"))
         .select(col("src").as("rep"), least(col("src"), col("mn")).as("newrep"))
-        .localCheckpoint(true)
       val hooked = labels
         .join(minNb.withColumnRenamed("rep", "label"), Seq("label"), "left")
         .select(col("node"), coalesce(col("newrep"), col("label")).as("label"))
