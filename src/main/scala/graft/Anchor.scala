@@ -1,12 +1,7 @@
 package graft
 object Anchor {
   def main(args: Array[String]): Unit = {
-    val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    GraftExtensions.register(spark)
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = LocalSession.build("32", logLevel = "ERROR")
     // warm-up: session + codegen + file scan
     SparkEntry.queries("m11_eval_anchor")(spark, "/root/testdata/sf0.1").collect()
     val t0 = System.nanoTime()

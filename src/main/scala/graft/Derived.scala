@@ -102,14 +102,16 @@ object Derived {
   // scans + windows the full lineitem each time. Materialize once per
   // (session, dir) — SURVEY §4 P6 (materialized intermediate): every
   // MOT-operator query then starts from a tiny in-memory relation.
-  private val cache = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private val cache = scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
 
   /** Spark-side materialization of a derived table via the shared text.
     * gt materializes once from lineitem; tracks/gt_emb derive from the
     * cached gt (registered as the `gt` view) — same CTE text, one scan.
+    * Keyed by (session, dir, name): a DataFrame is bound to its context,
+    * so a restarted session must not see a stopped session's entry.
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.getOrElseUpdate((dir, name), {
+    cache.getOrElseUpdate((spark.sparkContext.applicationId, dir, name), {
       registerBase(spark, dir)
       // Spark-side SQL uses NESTED SUBQUERIES, not WITH: Spark 4.1's
       // InlineCTE/DeduplicateRelations crashes (UnresolvedException /

@@ -10,15 +10,7 @@ object Prof {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    GraftExtensions.register(spark)
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = LocalSession.build(cpus, logLevel = "ERROR")
     spark.range(1000000).selectExpr("sum(id % 7)").collect()
     for (name <- args) {
       val fn = SparkEntry.queries(name)

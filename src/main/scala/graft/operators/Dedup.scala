@@ -56,6 +56,9 @@ object Dedup {
 
   def minhashCandidates(docs: DataFrame, numHashes: Int, bands: Int,
                         textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands) — " +
+        "trailing seeds would silently drop from banding")
     val rowsPerBand = numHashes / bands
     val sigs = minhashSignatures(docs, numHashes, textCol)
     // Band signature: md5 of the band's sorted "seed:minhash" strings —
@@ -223,6 +226,11 @@ object Dedup {
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[cc] round $iter")
     }
+    // a silent partial merge would be a wrong-but-plausible clustering;
+    // with doubling+contraction, maxIter=50 covers graphs far beyond
+    // 2^50 diameter, so hitting it means a logic bug — fail loudly
+    require(e.isEmpty,
+      s"connectedComponents did not converge in $maxIter rounds")
     // the edge set can empty while the label forest still has depth > 1
     // (a cluster's rep was itself relabeled in a later round): compress
     // to the fixpoint with doubling — depth halves per pass
@@ -245,21 +253,4 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
-  /** Embedding near-dup: cosine ≥ threshold via the LSH-bucketed
-    * similarity join (see SimilaritySearch.lshBuckets for the candidate
-    * generation at scale); this variant is the exact verify step.
-    */
-  def embeddingNearDup(emb: DataFrame, candidates: DataFrame,
-                       threshold: Double): DataFrame = {
-    val e = emb.select(col("vec_id"), col("embedding"))
-    val withA = candidates.join(
-      e.withColumnRenamed("vec_id", "doc_a").withColumnRenamed("embedding", "emb_a"),
-      Seq("doc_a"))
-    val withB = withA.join(
-      e.withColumnRenamed("vec_id", "doc_b").withColumnRenamed("embedding", "emb_b"),
-      Seq("doc_b"))
-    withB.withColumn("cosine", Vectors.cosine(col("emb_a"), col("emb_b")))
-      .filter(col("cosine") >= threshold)
-      .select("doc_a", "doc_b", "cosine")
-  }
 }

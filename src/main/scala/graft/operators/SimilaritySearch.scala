@@ -101,20 +101,34 @@ object SimilaritySearch {
   def ivfTopK(corpus: DataFrame, queryPred: Column, k: Int, nlist: Int,
               nprobe: Int, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
+    // Centroids are a tiny model artifact — collected once and shipped
+    // as literals (same posture as the LSH plane coefficients). The
+    // corpus cell assignment below is then a pure projection: per-row
+    // array of (ccos, cid) structs + array_max argmax — NO join and NO
+    // shuffle over the corpus (PLANS item: at 100 TB only the probed
+    // cells' rerank join moves data).
     val cents = corpus.filter(col(idCol) < nlist)
-      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
-    // Cell scores for every vector (corpus assignment + query probes
-    // come from the same ranked table — one broadcast join, one pass).
-    val scored = corpus.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(cents))
-      .withColumn("ccos", round(Vectors.cosineQNative(col(vecCol), col("cv")), 9))
-    val w = Window.partitionBy(idCol).orderBy(col("ccos").desc, col("cid").asc)
-    val ranked = scored.withColumn("rn", row_number().over(w))
-    val cells = ranked.filter(col("rn") === 1)
-      .select(col(idCol), col(vecCol).as("c_vec"), col("cid").as("cell"))
-    val probes = ranked.filter(col("rn") <= nprobe && queryPred)
-      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("cid").as("cell"))
-    val pairs = probes.join(cells, Seq("cell"))
+      .select(col(idCol).cast("int").as("cid"), col(vecCol).as("cv"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    // struct ordering is lexicographic: max ccos first, then max -cid
+    // == min cid — identical to ORDER BY ccos DESC, cid ASC rank 1
+    def cellScores(vec: Column) = array(cents.map { case (cid, cv) =>
+      struct(round(Vectors.cosineQNative(vec, lit(cv)), 9).as("ccos"),
+        lit(-cid).as("neg"), lit(cid).as("cid"))
+    }: _*)
+    val cells = corpus.select(col(idCol), col(vecCol).as("c_vec"),
+      array_max(cellScores(col(vecCol))).getField("cid").as("cell"))
+    // probes: explode the same scores for the (small) query subset only
+    val probes = corpus.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        explode(cellScores(col(vecCol))).as("cs"))
+    val wp = Window.partitionBy("query_id")
+      .orderBy(col("cs.ccos").desc, col("cs.cid").asc)
+    val probeCells = probes.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("q_vec"), col("cs.cid").as("cell"))
+    val pairs = probeCells.join(cells, Seq("cell"))
       .filter(col("query_id") =!= col(idCol))
       .withColumn("cosine", round(Vectors.cosineQNative(col("q_vec"), col("c_vec")), 9))
     val wr = Window.partitionBy("query_id")

@@ -32,9 +32,11 @@ object TextQ {
     * out. 5 scalar columns, |candidates| rows — cache-friendly.
     */
   private val pairCache =
-    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String), org.apache.spark.sql.DataFrame]
   private def scoredPairs(s: org.apache.spark.sql.SparkSession, d: String) =
-    pairCache.getOrElseUpdate(d, {
+    // keyed by (session, dir): a DataFrame is bound to its session, so a
+    // restarted session must not see a cache entry from a stopped one
+    pairCache.getOrElseUpdate((s.sparkContext.applicationId, d), {
       val docs = Tables.documents(s, d)
       val cands = Dedup.minhashCandidates(docs, numHashes = 8, bands = 2)
       val df = Dedup.jaccardPairs(docs, cands, n = 1).cache()
