@@ -367,6 +367,40 @@ object ExtQ {
         |  TRUE AS ok50, TRUE AS ok90
         |FROM events GROUP BY 1""".stripMargin)),
 
+    // 100 TB posture: count-min-sketch heavy hitters (third sketch
+    // family beside HLL p01 / quantile p02). CMS add+merge are counter
+    // sums — commutative, so estimates are partition-independent with a
+    // fixed seed. The CMS guarantee is one-sided (est ≥ exact, and
+    // est ≤ exact + eps·N w.h.p.): the oracle-checked output is the
+    // exact top-10 user counts plus `in_bound` asserting exactly that.
+    // The sketch aggregates distributed; only the 10-probe readout is
+    // driver-side (the sketch IS the reduction).
+    Q("p03_frequent_items",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.events(s, d)
+        val eps = 0.005
+        val total = e.count()
+        val sketchBytes = e.agg(
+          expr(s"count_min_sketch(user_id, CAST($eps AS DOUBLE), CAST(0.99 AS DOUBLE), 42)"))
+          .head().getAs[Array[Byte]](0)
+        val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(sketchBytes))
+        val w = Window.orderBy(col("cnt").desc, col("user_id").asc)
+        val top = e.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+          .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+        val est = udf((uid: Long) => cms.estimateCount(uid))
+        top.withColumn("e", est(col("user_id")))
+          .select(col("user_id"), col("cnt"), col("rnk").cast("long").as("rnk"),
+            (col("e") >= col("cnt") && col("e") <= col("cnt") + lit(eps * total))
+              .as("in_bound"))
+      },
+      Some("""SELECT user_id, cnt, rnk, TRUE AS in_bound FROM (
+        |  SELECT user_id, count(*) AS cnt,
+        |    row_number() OVER (ORDER BY count(*) DESC, user_id ASC) AS rnk
+        |  FROM events GROUP BY user_id) t
+        |WHERE rnk <= 10""".stripMargin)),
+
     // A17 — average precision (the reference's second training-eval
     // metric, src/embedding.py:1754): AP = mean over positives of
     // precision@rank, score-desc order.
