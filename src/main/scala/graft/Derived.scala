@@ -53,13 +53,13 @@ object Derived {
       |         y + CAST(l_suppkey % 7 AS DOUBLE) - 3.0 AS y,
       |         w, h,
       |         CAST(50 + l_orderkey % 50 AS DOUBLE) / 100.0 AS conf,
-      |         l_orderkey, l_linenumber
+      |         l_orderkey, l_linenumber, l_partkey, l_suppkey
       |  FROM gt
       |  WHERE (l_orderkey + l_suppkey) % 9 <> 0
       |),
       |tracks AS (
       |  SELECT seq, frameIdx, id, x, y, w, h, conf FROM (
-      |    SELECT *, row_number() OVER (PARTITION BY seq, frameIdx, id ORDER BY l_orderkey, l_linenumber) AS rn2
+      |    SELECT *, row_number() OVER (PARTITION BY seq, frameIdx, id ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) AS rn2
       |    FROM tr_raw) t WHERE rn2 = 1
       |)""".stripMargin
 
@@ -83,7 +83,7 @@ object Derived {
     """dets AS (
       |  SELECT 's' || CAST(l_orderkey % 2 AS STRING) AS seq,
       |         CAST(l_orderkey % 60 AS INT) AS frame,
-      |         CAST(row_number() OVER (PARTITION BY l_orderkey % 2, l_orderkey % 60 ORDER BY l_orderkey, l_linenumber) AS INT) AS id,
+      |         CAST(row_number() OVER (PARTITION BY l_orderkey % 2, l_orderkey % 60 ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) AS INT) AS id,
       |         CAST((l_partkey % 12) * 60 + (l_suppkey % 9) AS DOUBLE) AS x1,
       |         CAST((l_suppkey % 12) * 60 + (l_partkey % 9) AS DOUBLE) AS y1,
       |         CAST((l_partkey % 12) * 60 + (l_suppkey % 9) + 30 + (l_linenumber * 9) AS DOUBLE) AS x2,
@@ -137,7 +137,7 @@ object Derived {
           table(spark, dir, "gt").createOrReplaceTempView("gt")
           spark.sql(
             s"""SELECT seq, frameIdx, id, x, y, w, h, conf FROM (
-               |  SELECT *, row_number() OVER (PARTITION BY seq, frameIdx, id ORDER BY l_orderkey, l_linenumber) AS rn2
+               |  SELECT *, row_number() OVER (PARTITION BY seq, frameIdx, id ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) AS rn2
                |  FROM (
                |    SELECT seq, frameIdx,
                |           CAST(CASE WHEN (l_orderkey + l_partkey) % 13 = 0 THEN (l_partkey % 30) + 100 ELSE l_partkey % 30 END AS INT) AS id,
@@ -145,7 +145,7 @@ object Derived {
                |           y + CAST(l_suppkey % 7 AS DOUBLE) - 3.0 AS y,
                |           w, h,
                |           CAST(50 + l_orderkey % 50 AS DOUBLE) / 100.0 AS conf,
-               |           l_orderkey, l_linenumber
+               |           l_orderkey, l_linenumber, l_partkey, l_suppkey
                |    FROM gt
                |    WHERE (l_orderkey + l_suppkey) % 9 <> 0) tr_raw) t WHERE rn2 = 1""".stripMargin)
         case "gt_emb" =>
@@ -155,7 +155,7 @@ object Derived {
         case "dets" => spark.sql(
           s"""SELECT 's' || CAST(l_orderkey % 2 AS STRING) AS seq,
              |       CAST(l_orderkey % 60 AS INT) AS frame,
-             |       CAST(row_number() OVER (PARTITION BY l_orderkey % 2, l_orderkey % 60 ORDER BY l_orderkey, l_linenumber) AS INT) AS id,
+             |       CAST(row_number() OVER (PARTITION BY l_orderkey % 2, l_orderkey % 60 ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) AS INT) AS id,
              |       CAST((l_partkey % 12) * 60 + (l_suppkey % 9) AS DOUBLE) AS x1,
              |       CAST((l_suppkey % 12) * 60 + (l_partkey % 9) AS DOUBLE) AS y1,
              |       CAST((l_partkey % 12) * 60 + (l_suppkey % 9) + 30 + (l_linenumber * 9) AS DOUBLE) AS x2,
