@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Degenerate-input behavior: every operator must handle empty inputs,
+  * no-match shapes, and single-row groups without crashing — at 100 TB
+  * an empty partition, a frame with zero detections, or a sequence with
+  * no GT overlap is routine, not exceptional.
+  */
+class EdgeCaseSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def emptyMot = Seq.empty[(String, Int, Int, Double, Double, Double, Double)]
+    .toDF("seq", "frameIdx", "id", "x", "y", "w", "h")
+
+  private def oneBox(seq: String, f: Int, id: Int, x: Double, y: Double) =
+    Seq((seq, f, id, x, y, 20.0, 20.0)).toDF("seq", "frameIdx", "id", "x", "y", "w", "h")
+
+  test("metrics over empty gt and tracks returns no rows, no crash") {
+    assert(MotEval.metrics(emptyMot, emptyMot, 0.3).count() == 0)
+  }
+
+  test("metrics with zero spatial overlap: CLR_TP=0, full FN, zero ratios") {
+    val gt = oneBox("s", 1, 1, 0, 0).union(oneBox("s", 2, 1, 0, 0))
+    val tr = oneBox("s", 1, 9, 500, 500)
+    val m = MotEval.metrics(gt, tr, 0.3).head()
+    assert(m.getAs[Long]("CLR_TP") == 0L)
+    assert(m.getAs[Long]("CLR_FN") == 2L)
+    assert(m.getAs[Double]("IDF1") == 0.0)
+    assert(m.getAs[Long]("ML") == 1L) // the one GT id is mostly-lost
+  }
+
+  test("nms on an empty frame set and a single box") {
+    val empty = spark.emptyDataset[DetBox]
+    assert(Nms.nms(empty, 0.5).count() == 0)
+    val one = Seq(DetBox("s", "1", 1, 0, 0, 10, 10, 0.9)).toDS()
+    assert(Nms.nms(one, 0.5).collect().toSeq == one.collect().toSeq)
+    assert(Nms.removeNested(one, 0.5).count() == 1)
+  }
+
+  test("nms with zero-area boxes: iou 0, all kept") {
+    val degenerate = Seq(
+      DetBox("s", "1", 1, 5, 5, 5, 5, 0.9), // zero area
+      DetBox("s", "1", 2, 5, 5, 5, 5, 0.8)  // identical zero area
+    ).toDS()
+    assert(Nms.nms(degenerate, 0.5).count() == 2)
+  }
+
+  test("connectedComponents of an empty edge table is empty") {
+    val e = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(e).count() == 0)
+  }
+
+  test("connectedComponents ignores pure self-loops") {
+    val e = Seq((7L, 7L)).toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(e).count() == 0)
+  }
+
+  test("gtFilteredTracks with no qualifying match is empty, not an error") {
+    val gt = oneBox("s", 1, 1, 0, 0)
+    val tr = oneBox("s", 1, 2, 900, 900)
+    assert(MotEval.gtFilteredTracks(gt.withColumn("conf", lit(1.0)),
+      tr.withColumn("conf", lit(1.0)), 0.3).count() == 0)
+  }
+
+  test("combine of a single sequence equals that sequence's counts") {
+    val gt = oneBox("s", 1, 1, 0, 0).union(oneBox("s", 2, 1, 0, 0))
+    val tr = oneBox("s", 1, 1, 1, 1).union(oneBox("s", 2, 1, 1, 1))
+    val per = MotEval.metrics(gt, tr, 0.3)
+    val c = MotEval.combine(per).head()
+    assert(c.getAs[String]("seq") == "COMBINED")
+    assert(c.getAs[Long]("CLR_TP") == per.head().getAs[Long]("CLR_TP"))
+  }
+}
