@@ -298,6 +298,28 @@ object KernelQ {
         |  'image' AS modality,
         |  CAST((ascii(text) * 31) % 256 AS BIGINT) AS b0,
         |  CAST(16 AS BIGINT) AS dim
-        |FROM documents""".stripMargin))
+        |FROM documents""".stripMargin)),
+
+    // M8 — video frame sampling: every stride-th byte offset stands in
+    // for a decoded frame (deterministic stub, Multimodal.sampleFrames).
+    // The per-frame byte offset f·max(1, len/nFrames) is replayed in
+    // SQL (documents are pure ASCII, so byte offset == char offset);
+    // out-of-range offsets produce the stub's all-zero feature.
+    Q("k07_frame_sample",
+      (s, d) => {
+        val media = graft.Tables.documents(s, d).select(
+          concat(lit("doc://"), col("doc_id")).as("path"),
+          col("text").cast("binary").as("content"))
+        Multimodal.sampleFrames(media, nFrames = 4, dim = 8).toDF()
+          .select(col("path"), col("frameIdx").cast("long").as("frameIdx"),
+            round(element_at(col("feature"), 1) * 255).cast("long").as("b0"),
+            size(col("feature")).cast("long").as("dim"))
+      },
+      Some("""SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS path,
+        |  f.f AS frameIdx,
+        |  CASE WHEN f.f * greatest(1, length(text) // 4) + 1 > length(text) THEN 0
+        |    ELSE CAST((ascii(substr(text, CAST(f.f * greatest(1, length(text) // 4) + 1 AS INT), 1)) * 31) % 256 AS BIGINT) END AS b0,
+        |  CAST(8 AS BIGINT) AS dim
+        |FROM documents, range(4) f(f)""".stripMargin))
   )
 }
