@@ -110,8 +110,12 @@ object Derived {
     * Keyed by (session, dir, name): a DataFrame is bound to its context,
     * so a restarted session must not see a stopped session's entry.
     */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.getOrElseUpdate((spark.sparkContext.applicationId, dir, name), {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val appId = spark.sparkContext.applicationId
+    // evict entries from stopped contexts so the map (and the stopped
+    // sessions' object graphs) can't grow across restarts in one JVM
+    cache.keys.filter(_._1 != appId).foreach(cache.remove)
+    cache.getOrElseUpdate((appId, dir, name), {
       registerBase(spark, dir)
       // Spark-side SQL uses NESTED SUBQUERIES, not WITH: Spark 4.1's
       // InlineCTE/DeduplicateRelations crashes (UnresolvedException /
@@ -167,4 +171,5 @@ object Derived {
       cached.count() // force materialization so timings measure operators
       cached
     })
+  }
 }

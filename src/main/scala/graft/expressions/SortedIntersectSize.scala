@@ -17,10 +17,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
   *
   * PRECONDITION (caller-enforced, see jaccardPairs): both arrays are
   * sorted ascending by UTF8String binary order (`sort_array`) and
-  * element-distinct (`array_distinct`); null elements are not expected
-  * (token/shingle arrays never carry them). Unsorted input silently
-  * undercounts — this expression is an internal building block, not a
-  * general SQL surface.
+  * element-distinct (`array_distinct`). Unsorted input silently
+  * undercounts — the sortedness contract is the caller's. Null
+  * ELEMENTS are skipped (they can't match anything), so the function
+  * is safe from arbitrary SQL via its session registration.
   */
 case class SortedIntersectSize(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -49,10 +49,14 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     var j = 0
     var cnt = 0
     while (i < nx && j < ny) {
-      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
-      if (c == 0) { cnt += 1; i += 1; j += 1 }
-      else if (c < 0) i += 1
-      else j += 1
+      if (x.isNullAt(i)) i += 1
+      else if (y.isNullAt(j)) j += 1
+      else {
+        val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (c == 0) { cnt += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
     }
     cnt
   }
@@ -70,9 +74,13 @@ case class SortedIntersectSize(left: Expression, right: Expression)
          |int $ny = $b.numElements();
          |int $i = 0, $j = 0, $cnt = 0;
          |while ($i < $nx && $j < $ny) {
-         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
-         |  if ($c == 0) { $cnt++; $i++; $j++; }
-         |  else if ($c < 0) { $i++; } else { $j++; }
+         |  if ($a.isNullAt($i)) { $i++; }
+         |  else if ($b.isNullAt($j)) { $j++; }
+         |  else {
+         |    int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |    if ($c == 0) { $cnt++; $i++; $j++; }
+         |    else if ($c < 0) { $i++; } else { $j++; }
+         |  }
          |}
          |${ev.value} = $cnt;
        """.stripMargin

@@ -43,7 +43,10 @@ object MotCsv {
   /** S2 — lenient read: first 6 columns, malformed lines dropped
     * (parse_annotations, reference src/utils/helpers.py:339-395).
     *
-    * The reference accepts any line whose FIRST SIX fields parse —
+    * The reference accepts any line whose id/bbox fields (2–6) parse —
+    * the FRAME field never rejects a line: non-numeric (even empty)
+    * frames are kept verbatim (reference src/utils/helpers.py:368-373),
+    * so no frame-based drop happens here either. Beyond that,
     * short lines (6–9 cols, the common MOT gt layout), extra trailing
     * fields, and unparseable trailing columns all survive. A schema'd
     * CSV read in DROPMALFORMED mode would reject on token-count

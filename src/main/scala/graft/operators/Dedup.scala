@@ -183,6 +183,7 @@ object Dedup {
       .filter(col("src") =!= col("dst")).localCheckpoint(true)
     var e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(true)
+    e0.unpersist() // only needed to build the symmetric closure
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint(true)
     var iter = 0

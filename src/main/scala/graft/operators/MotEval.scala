@@ -166,7 +166,7 @@ object MotEval {
         "IDTP", "IDTP_tracks"))
       .na.fill(0.0, Seq("LocA"))
 
-    joined
+    val out = joined
       .withColumn("CLR_FN", col("GT_Dets") - col("CLR_TP"))
       .withColumn("CLR_Re",
         when(col("GT_Dets") > 0, col("CLR_TP") / col("GT_Dets")).otherwise(0.0))
@@ -183,6 +183,13 @@ object MotEval {
         lit(2) * col("IDTP") / (lit(2) * col("IDTP") + col("IDFN") + col("IDFP")))
         .otherwise(0.0))
       .drop("IDTP_tracks")
+    // metrics is a terminal aggregation: one tiny row per sequence.
+    // Materialize it eagerly so the mm cache entry can be released NOW
+    // instead of pinning storage for the session lifetime (each call
+    // would otherwise leak one cached match table).
+    val materialized = out.localCheckpoint(true)
+    mm.unpersist()
+    materialized
   }
 
   /** A6 — COMBINED row across sequences (combine_metrics, reference

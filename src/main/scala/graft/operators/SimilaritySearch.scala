@@ -111,6 +111,9 @@ object SimilaritySearch {
       .select(col(idCol).cast("int").as("cid"), col(vecCol).as("cv"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
+    require(cents.length == nlist,
+      s"ivfTopK sampled ${cents.length} centroids, expected $nlist — " +
+        s"'$idCol < $nlist' assumes dense 0-based ids; train/pass centroids explicitly otherwise")
     // struct ordering is lexicographic: max ccos first, then max -cid
     // == min cid — identical to ORDER BY ccos DESC, cid ASC rank 1
     def cellScores(vec: Column) = array(cents.map { case (cid, cv) =>

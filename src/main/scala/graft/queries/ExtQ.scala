@@ -249,7 +249,10 @@ object ExtQ {
         val name = "st3_sess_" + math.abs(d.hashCode).toString
         val stream = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(d)
-          .withColumn("et", expr("timestamp_micros(ts div 1000)"))
+          // floor event time to MILLISECONDS: the oracle sessionizes on
+          // epoch_ms, and a micro-precision gap decision within 1 ms of
+          // the 10-min boundary would split differently on each side
+          .withColumn("et", expr("timestamp_millis(ts div 1000000)"))
           .withWatermark("et", "1 second")
           .groupBy(col("user_id"), session_window(col("et"), "10 minutes"))
           .agg(count(lit(1)).as("n_events"))

@@ -33,16 +33,19 @@ object TextQ {
     */
   private val pairCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), org.apache.spark.sql.DataFrame]
-  private def scoredPairs(s: org.apache.spark.sql.SparkSession, d: String) =
-    // keyed by (session, dir): a DataFrame is bound to its session, so a
-    // restarted session must not see a cache entry from a stopped one
-    pairCache.getOrElseUpdate((s.sparkContext.applicationId, d), {
+  private def scoredPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    // keyed by (context, dir): a DataFrame is bound to its context, so a
+    // restarted context must not see (or retain) a stopped one's entries
+    val appId = s.sparkContext.applicationId
+    pairCache.keys.filter(_._1 != appId).foreach(pairCache.remove)
+    pairCache.getOrElseUpdate((appId, d), {
       val docs = Tables.documents(s, d)
       val cands = Dedup.minhashCandidates(docs, numHashes = 8, bands = 2)
       val df = Dedup.jaccardPairs(docs, cands, n = 1).cache()
       df.count()
       df
     })
+  }
 
   val defs: Seq[Q] = Seq(
 
