@@ -120,6 +120,13 @@ class FunctionsSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getInt(0) == r.getInt(1), s"$r"))
   }
 
+  test("graft_inter_size skips null elements instead of crashing (SQL surface)") {
+    val r = spark.sql(
+      "SELECT graft_inter_size(array(CAST(NULL AS STRING), 'a', 'b'), array('a', CAST(NULL AS STRING)))")
+      .head().getInt(0)
+    assert(r == 1)
+  }
+
   test("graft_dotq rounds half AWAY FROM ZERO on negative ties (matches Spark round + DuckDB)") {
     // Find a double d where d * 1e12 lands EXACTLY on n + 0.5, so the
     // tie rule is actually exercised (Math.round would give -n here;
