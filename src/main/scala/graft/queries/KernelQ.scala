@@ -246,12 +246,12 @@ object KernelQ {
         graft.Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
         // Cache both derived relations: metrics fans them into several
         // aggregation branches, and each branch would otherwise repeat
-        // the 600k-row lineitem scan + dedup window. metrics is eager
-        // (localCheckpointed result), so both caches release right after.
-        val gtA = s.sql(anchorSql(jitter = false)).cache()
-        val trA = s.sql(anchorSql(jitter = true)).cache()
-        val m = graft.operators.MotEval.metrics(gtA, trA, 0.3)
-        gtA.unpersist(); trA.unpersist()
+        // the 600k-row lineitem scan + dedup window. CacheManager
+        // dedupes by canonicalized plan, so repeat calls reuse the
+        // same two entries (no per-call growth).
+        val m = graft.operators.MotEval.metrics(
+          s.sql(anchorSql(jitter = false)).cache(),
+          s.sql(anchorSql(jitter = true)).cache(), 0.3)
         m.select(col("seq"),
           col("Dets").cast("long").as("Dets"),
           col("GT_Dets").cast("long").as("GT_Dets"),
