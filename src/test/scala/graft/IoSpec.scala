@@ -49,6 +49,21 @@ class IoSpec extends AnyFunSuite {
     assert(rows.map(_.getDouble(2)).toSeq == Seq(10.0, 11.0, 12.0, 13.0))
   }
 
+  test("S2 lenient read keeps non-numeric and EMPTY frames verbatim (reference fallback)") {
+    // parse_annotations never rejects on the frame field: int() failure
+    // falls back to the original string (reference
+    // src/utils/helpers.py:368-373), so "" and "cam_a" both survive.
+    val dir = Files.createTempDirectory("mot_lenient_frame").toFile
+    val f = new java.io.File(dir, "gt.txt")
+    Files.writeString(f.toPath,
+      """,1,10,20,30,40
+        |cam_a,2,11,21,31,41
+        |7,3,12,22,32,42
+        |""".stripMargin)
+    val rows = MotCsv.readLenient(spark, f.getAbsolutePath).orderBy("id").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("", "cam_a", "000007"))
+  }
+
   test("S1 strict read zero-pads numeric frames") {
     val dir = Files.createTempDirectory("mot_strict").toFile
     val f = new java.io.File(dir, "det.txt")
