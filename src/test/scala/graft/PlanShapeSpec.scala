@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+/** Physical-plan regression tests: the 100 TB posture documented in
+  * PLANS.md, asserted on the actual plans — a refactor that silently
+  * adds a shuffle, loses the rank-limit pushdown, or drops a native
+  * expression out of the plan fails here instead of surfacing as a
+  * cluster-scale regression. String-matched against the AQE initial
+  * plan (shapes below are decided at planning time, not by runtime
+  * re-optimization).
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  private def shuffles(p: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(p).length
+
+  test("q21_asof_join: one hash shuffle, window carry-forward, no join operator") {
+    val p = plan("q21_asof_join")
+    assert(shuffles(p) == 1, s"expected exactly 1 shuffle:\n$p")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")
+      && !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"as-of must not plan a join:\n$p")
+  }
+
+  test("m01_iou_match: broadcast equi-join with IoU residual + rank-limit pushdown") {
+    val p = plan("m01_iou_match")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), s"row_number argmax must push down:\n$p")
+  }
+
+  test("s01_cosine_topk: broadcast NLJ serving shape, native dotq, top-k pushdown") {
+    val p = plan("s01_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("graft_dotq"), s"native quantized dot must stay in the plan:\n$p")
+  }
+
+  test("dedup verify join: native sorted-merge intersect on a broadcast pair stream") {
+    val docs = Tables.documents(spark, dir)
+    val cands = Dedup.minhashCandidates(docs, numHashes = 8, bands = 2)
+    val p = Dedup.jaccardPairs(docs, cands).queryExecution.executedPlan.toString
+    assert(p.contains("graft_inter_size"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q01_pricing_summary: partial agg before one shuffle, scan pruned to 5 columns") {
+    // formatted mode: the only variant that prints the scan's ReadSchema
+    val p = SparkEntry.queries("q01_pricing_summary")(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // "(n) Exchange" detail headers: one per exchange node (the tree
+    // summary repeats the name, so don't count bare "Exchange")
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).length == 1,
+      s"expected exactly 1 shuffle:\n$p")
+    assert("partial_sum".r.findAllIn(p).length >= 1, s"no map-side combine:\n$p")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    val cols = read.split(",").map(_.split(":").head.trim).toSet
+    assert(cols == Set("l_returnflag", "l_linestatus", "l_quantity",
+      "l_extendedprice", "l_discount"), s"scan not pruned: $read")
+  }
+}
