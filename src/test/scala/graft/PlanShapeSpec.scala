@@ -51,6 +51,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q03_star_revenue: hinted dims broadcast, not shuffled") {
+    val p = plan("q03_star_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the hinted nation/region joins must never fall back to a
+    // shuffle join at planning time (AQE may upgrade more at runtime)
+    assert("BroadcastExchange".r.findAllIn(p).length >= 2,
+      s"nation/region should plan as broadcast:\n$p")
+  }
+
+  test("salted join == plain join for any salt fan-out") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 1 hot key (90% of rows) + uniform tail, dim has extra payload
+    val fact = (1 to 2000).map(i => (if (i % 10 != 0) 7L else i.toLong % 50, i))
+      .toDF("k", "v")
+    val dim = (0L to 60L).map(k => (k, s"p$k")).toDF("k", "payload")
+    val plain = fact.join(dim, "k")
+      .collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
+    for (n <- Seq(1, 3, 8)) {
+      val salted = operators.Skew.saltedJoin(fact, dim, "k", n, crc32(col("v").cast("string")))
+        .select("k", "v", "payload")
+        .collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
+      assert(salted == plain, s"salt n=$n changed the join result")
+    }
+  }
+
   test("q01_pricing_summary: partial agg before one shuffle, scan pruned to 5 columns") {
     // formatted mode: the only variant that prints the scan's ReadSchema
     val p = SparkEntry.queries("q01_pricing_summary")(spark, dir)
