@@ -55,4 +55,55 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(batch == streamed,
       s"batch=${batch.mkString(";")} streamed=${streamed.mkString(";")}")
   }
+
+  test("session window spanning micro-batches merges state across batches") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+
+    val min = 60000L
+    // user a: one session whose events are SPLIT across batch files
+    // (0m, 5m | 8m), then a second session (30m, 33m); user b: single
+    // event. The sentinel at 120m advances the watermark far enough to
+    // close and emit every session in append mode.
+    val batches = Seq(
+      Seq(("a", 0L * min), ("a", 5 * min), ("b", 2 * min)),
+      Seq(("a", 8 * min)),
+      Seq(("a", 30 * min), ("a", 33 * min)),
+      Seq(("sentinel", 120 * min)))
+
+    val dir = java.nio.file.Files.createTempDirectory("sess_batches").toString
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("user_id", "ms")
+        .withColumn("et", timestamp_millis(col("ms"))).drop("ms")
+        .coalesce(1).write.parquet(s"$dir/batch=$i")
+    }
+
+    val name = "sess_span_out"
+    val q = spark.readStream
+      .schema("user_id STRING, et TIMESTAMP")
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .withWatermark("et", "1 second")
+      .groupBy(col("user_id"), session_window(col("et"), "10 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table(name)
+      .filter(col("user_id") =!= "sentinel")
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("s"),
+        unix_millis(col("session_window.end")).as("e"),
+        col("n_events"))
+      .as[(String, Long, Long, Long)].collect().toSeq.sorted
+
+    // session end = last event + gap; the 0m/5m/8m events must land in
+    // ONE session even though they arrived over two micro-batches
+    val want = Seq(
+      ("a", 0L * min, 18 * min, 3L),
+      ("a", 30 * min, 43 * min, 2L),
+      ("b", 2 * min, 12 * min, 1L)).sorted
+    assert(got == want, s"got=$got want=$want")
+  }
 }
