@@ -106,4 +106,49 @@ class StreamingParitySpec extends AnyFunSuite {
       ("b", 2 * min, 12 * min, 1L)).sorted
     assert(got == want, s"got=$got want=$want")
   }
+
+  test("event later than the watermark is dropped, not merged into a closed window") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+
+    val min = 60000L
+    // batch 0 advances the watermark past 1h; after one propagation
+    // batch (the new watermark gates the late-row filter from the NEXT
+    // batch, not the one where it was computed) a replayed event into
+    // the finalized [0m,10m) window must be dropped, not re-opened;
+    // the sentinel flushes the remaining windows.
+    val batches = Seq(
+      Seq(("a", 0L * min), ("a", 61 * min)),
+      Seq(("y", 62 * min)),
+      Seq(("a", 2 * min)), // late: watermark is already 61m - 1s
+      Seq(("z", 120 * min)))
+
+    val dir = java.nio.file.Files.createTempDirectory("late_batches").toString
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("user_id", "ms")
+        .withColumn("et", timestamp_millis(col("ms"))).drop("ms")
+        .coalesce(1).write.parquet(s"$dir/batch=$i")
+    }
+
+    val name = "late_drop_out"
+    val q = spark.readStream
+      .schema("user_id STRING, et TIMESTAMP")
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .withWatermark("et", "1 second")
+      .groupBy(col("user_id"), window(col("et"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table(name)
+      .filter(col("user_id") === "a")
+      .select(unix_millis(col("window.start")).as("s"), col("n"))
+      .as[(Long, Long)].collect().toSeq.sorted
+
+    // the late 2m event must not appear: [0,10m) stays n=1
+    assert(got == Seq((0L, 1L), (61 * min / (10 * min) * 10 * min, 1L)),
+      s"got=$got")
+  }
 }
