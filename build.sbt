@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST ~2000 chars of `sbt runMain` output for
+// Bench's one-line JSON. LoggedOutput (the fork default) prefixes every
+// forked line with "[info] " and re-buffers; pass the child's stdout
+// through untouched so the JSON line survives verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,5 +31,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] on a 128 GiB box: 8g starves the storage pool (~4.6 GiB)
+  // once the query catalog's shared caches are resident at sf0.1 —
+  // eviction+GC thrash made cached-pipeline queries 3-4x slower inside
+  // the full bench than in isolation. 48g leaves ample headroom for the
+  // driver-side oracle tooling on the same machine.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -16,19 +16,30 @@ object Bench {
     val spark = LocalSession.build(cpus)
     // Warm the JVM, codegen, and shuffle machinery outside the timings.
     spark.range(1000000).selectExpr("sum(id % 7)").collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated allowlist for local bisection runs; the
+    // driver never sets it, so round benches always cover the catalog.
+    val only = sys.env.get("GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // A swallowed failure must not masquerade as a fast success:
       // record per-query ok and surface failures in an "errors" list.
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // The driver keeps only the last ~2000 chars of the run's output, so
+    // the whole line must fit in that window: centisecond precision
+    // (Locale.ROOT — never a comma decimal point) keeps ~70 queries
+    // under ~1700 chars.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

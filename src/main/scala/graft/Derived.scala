@@ -102,7 +102,7 @@ object Derived {
   // scans + windows the full lineitem each time. Materialize once per
   // (session, dir) — SURVEY §4 P6 (materialized intermediate): every
   // MOT-operator query then starts from a tiny in-memory relation.
-  private val cache = scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
+  private val cache = scala.collection.concurrent.TrieMap.empty[(org.apache.spark.SparkContext, String, String), DataFrame]
 
   /** Spark-side materialization of a derived table via the shared text.
     * gt materializes once from lineitem; tracks/gt_emb derive from the
@@ -111,11 +111,11 @@ object Derived {
     * so a restarted session must not see a stopped session's entry.
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val appId = spark.sparkContext.applicationId
-    // evict entries from stopped contexts so the map (and the stopped
-    // sessions' object graphs) can't grow across restarts in one JVM
-    cache.keys.filter(_._1 != appId).foreach(cache.remove)
-    cache.getOrElseUpdate((appId, dir, name), {
+    // evict only entries whose owning context actually stopped, so the
+    // map (and the stopped sessions' object graphs) can't grow across
+    // restarts in one JVM — while two live sessions coexist untouched
+    cache.keys.filter(_._1.isStopped).foreach(cache.remove)
+    cache.getOrElseUpdate((spark.sparkContext, dir, name), {
       registerBase(spark, dir)
       // Spark-side SQL uses NESTED SUBQUERIES, not WITH: Spark 4.1's
       // InlineCTE/DeduplicateRelations crashes (UnresolvedException /

@@ -187,7 +187,11 @@ object Dedup {
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint(true)
     var iter = 0
-    while (iter < maxIter && !e.isEmpty) {
+    // one emptiness job per round, shared by the loop guard and the
+    // post-loop convergence check (isEmpty is a Spark action; testing it
+    // twice per round doubled the per-iteration job count)
+    var drained = e.isEmpty
+    while (iter < maxIter && !drained) {
       // hook: every representative adopts min(self, neighbors) in the
       // CONTRACTED graph (e is in representative space from round 2 on)
       // not materialized: recomputing this one groupBy inside the
@@ -224,13 +228,14 @@ object Dedup {
       e.unpersist()
       e = relabeled
       iter += 1
+      drained = e.isEmpty
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[cc] round $iter")
     }
     // a silent partial merge would be a wrong-but-plausible clustering;
     // with doubling+contraction, maxIter=50 covers graphs far beyond
     // 2^50 diameter, so hitting it means a logic bug — fail loudly
-    require(e.isEmpty,
+    require(drained,
       s"connectedComponents did not converge in $maxIter rounds")
     // the edge set can empty while the label forest still has depth > 1
     // (a cluster's rep was itself relabeled in a later round): compress

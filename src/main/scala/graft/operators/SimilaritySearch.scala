@@ -107,9 +107,18 @@ object SimilaritySearch {
     // array of (ccos, cid) structs + array_max argmax — NO join and NO
     // shuffle over the corpus (PLANS item: at 100 TB only the probed
     // cells' rerank join moves data).
+    // cast to array<float> so a corpus stored as array<double> reads
+    // correctly, and reject null centroid vectors loudly (getSeq on a
+    // null would otherwise surface as an opaque NPE)
     val cents = corpus.filter(col(idCol) < nlist)
-      .select(col(idCol).cast("int").as("cid"), col(vecCol).as("cv"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .select(col(idCol).cast("int").as("cid"),
+        col(vecCol).cast("array<float>").as("cv"))
+      .collect().map { r =>
+        require(!r.isNullAt(1),
+          s"ivfTopK centroid $idCol=${r.getInt(0)} has a null $vecCol — " +
+            s"'$idCol < $nlist' assumes non-null embeddings for the sampled centroids")
+        (r.getInt(0), r.getSeq[Float](1).toArray)
+      }
       .sortBy(_._1)
     require(cents.length == nlist,
       s"ivfTopK sampled ${cents.length} centroids, expected $nlist — " +

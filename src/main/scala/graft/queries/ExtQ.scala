@@ -21,6 +21,15 @@ object ExtQ {
     Array.tabulate(MaskN, MaskN)((r, c) => ((r / 40) + (c / 40)) % 2 == 0)
   lazy val maskIntegral: Array[Long] = DetectFilters.integralImage(mask)
 
+  /** Memory-sink table name unique per source dir: md5-hex suffix is
+    * sign-safe (hashCode could be Int.MinValue, whose abs is negative —
+    * a dash breaks identifier parsing) and collision-free in practice,
+    * so two dirs queried in one session never share a sink table.
+    */
+  private def sinkName(prefix: String, d: String): String =
+    prefix + java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+
   val defs: Seq[Q] = Seq(
 
     // F1/F2/F4 — the cascade predicates on the derived corner-format
@@ -198,7 +207,7 @@ object ExtQ {
     Q("st1_stream_window",
       (s, d) => {
         val schema = Tables.events(s, d).schema
-        val name = "st1_counts_" + math.abs(d.hashCode).toString
+        val name = sinkName("st1_counts_", d)
         val stream = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(d)
           .withColumn("et", expr("timestamp_micros(ts div 1000)"))
@@ -224,7 +233,7 @@ object ExtQ {
         val schema = Tables.events(s, d).schema
         def src = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(d)
-        val name = "st2_dedup_" + math.abs(d.hashCode).toString
+        val name = sinkName("st2_dedup_", d)
         val q = src.union(src).dropDuplicates("event_id")
           .writeStream.format("memory").queryName(name)
           .outputMode("append")
@@ -246,7 +255,7 @@ object ExtQ {
     Q("st3_stream_session",
       (s, d) => {
         val schema = Tables.events(s, d).schema
-        val name = "st3_sess_" + math.abs(d.hashCode).toString
+        val name = sinkName("st3_sess_", d)
         val stream = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(d)
           // floor event time to MILLISECONDS: the oracle sessionizes on
@@ -383,15 +392,21 @@ object ExtQ {
         import org.apache.spark.sql.expressions.Window
         val e = Tables.events(s, d)
         val eps = 0.005
-        val total = e.count()
         val sketchBytes = e.agg(
           expr(s"count_min_sketch(user_id, CAST($eps AS DOUBLE), CAST(0.99 AS DOUBLE), 42)"))
           .head().getAs[Array[Byte]](0)
         val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
           new java.io.ByteArrayInputStream(sketchBytes))
-        val w = Window.orderBy(col("cnt").desc, col("user_id").asc)
-        val top = e.groupBy("user_id").agg(count(lit(1)).as("cnt"))
-          .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+        // One aggregation pass feeds both the grand total and the
+        // top-10: counts is tiny (|users| rows) and cached, and the
+        // orderBy+limit plans as TakeOrderedAndProject — a per-partition
+        // top-10 + single 10-row merge, never a global sort. The
+        // row_number window only ranks the 10 surviving rows.
+        val counts = e.groupBy("user_id").agg(count(lit(1)).as("cnt")).cache()
+        val total = counts.agg(sum("cnt")).head().getLong(0)
+        val top = counts.orderBy(col("cnt").desc, col("user_id").asc).limit(10)
+          .withColumn("rnk",
+            row_number().over(Window.orderBy(col("cnt").desc, col("user_id").asc)))
         val est = udf((uid: Long) => cms.estimateCount(uid))
         top.withColumn("e", est(col("user_id")))
           .select(col("user_id"), col("cnt"), col("rnk").cast("long").as("rnk"),

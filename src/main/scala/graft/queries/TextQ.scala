@@ -32,13 +32,14 @@ object TextQ {
     * out. 5 scalar columns, |candidates| rows — cache-friendly.
     */
   private val pairCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), org.apache.spark.sql.DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.SparkContext, String), org.apache.spark.sql.DataFrame]
   private def scoredPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
     // keyed by (context, dir): a DataFrame is bound to its context, so a
-    // restarted context must not see (or retain) a stopped one's entries
-    val appId = s.sparkContext.applicationId
-    pairCache.keys.filter(_._1 != appId).foreach(pairCache.remove)
-    pairCache.getOrElseUpdate((appId, d), {
+    // restarted context must not see a stopped one's entries. Evict only
+    // entries whose owning context has actually stopped — two live
+    // sessions in one JVM must not thrash each other's cache.
+    pairCache.keys.filter(_._1.isStopped).foreach(pairCache.remove)
+    pairCache.getOrElseUpdate((s.sparkContext, d), {
       val docs = Tables.documents(s, d)
       val cands = Dedup.minhashCandidates(docs, numHashes = 8, bands = 2)
       val df = Dedup.jaccardPairs(docs, cands, n = 1).cache()
