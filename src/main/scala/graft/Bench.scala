@@ -19,6 +19,13 @@ object Bench {
     // Optional comma-separated allowlist for local bisection runs; the
     // driver never sets it, so round benches always cover the catalog.
     val only = sys.env.get("GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    // A typo'd allowlist name would silently filter to an empty (and
+    // suspiciously fast) run — fail loudly instead of masquerading.
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"GRAFT_BENCH_ONLY names match no catalog query: ${unknown.mkString(",")}")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>

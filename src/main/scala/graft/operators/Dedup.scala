@@ -61,9 +61,10 @@ object Dedup {
         "trailing seeds would silently drop from banding")
     val rowsPerBand = numHashes / bands
     val sigs = minhashSignatures(docs, numHashes, textCol)
-    // Band signature: md5 of the band's sorted "seed:minhash" strings —
-    // same formula as the seed-exploded collect_list form (single-digit
-    // seeds sort lexicographically = numerically).
+    // Band signature: md5 of the band's sorted "seed:minhash" strings.
+    // The sort is LEXICOGRAPHIC over the concatenated string (not
+    // numeric over the seed) — the oracle's string_agg ORDER BY uses
+    // the identical string, so two-digit seeds agree by construction.
     val bandStructs = (0 until bands).map { band =>
       val elems = (band * rowsPerBand until (band + 1) * rowsPerBand)
         .map(s => concat_ws(":", lit(s), col(s"mh$s")))
@@ -80,6 +81,29 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** Star-reduced LSH candidates: per (band, bucket) emit only
+    * (hub = min doc_id, member) edges instead of the full clique.
+    *
+    * The clique form (`minhashCandidates`) is inherently quadratic in
+    * duplicate-CLUSTER size — a corpus with a 1 M-doc near-dup cluster
+    * yields 5·10¹¹ candidate pairs no matter how selective the banding
+    * is, because true duplicates always collide. Star edges cap the
+    * fan-out at |docs| × bands while preserving bucket connectivity
+    * (every member links to its bucket's hub), which is exactly what
+    * downstream connected-components clustering needs. This is the
+    * standard production-dedup shape for web-scale corpora; the cost
+    * is that two members of one bucket are never DIRECTLY compared, so
+    * a pair report derived from star edges lists hub–member pairs only.
+    */
+  def minhashCandidatesStar(docs: DataFrame, numHashes: Int, bands: Int,
+                            textCol: String = "text"): DataFrame = {
+    val banded = bandSignatures(docs, numHashes, bands, textCol)
+    val hubs = banded.groupBy("band", "band_sig").agg(min("doc_id").as("doc_a"))
+    banded.join(hubs, Seq("band", "band_sig"))
+      .filter(col("doc_id") =!= col("doc_a"))
+      .select(col("doc_a"), col("doc_id").as("doc_b")).distinct()
+  }
+
   /** Exact token-set Jaccard for candidate pairs (verification stage
     * after LSH, or standalone n-gram Jaccard dedup when `n > 1`).
     *
@@ -88,17 +112,36 @@ object Dedup {
     * merge `graft_inter_size` instead of `array_intersect`'s per-row
     * hash set — the verify stage evaluates |candidates| pairs, and at
     * LSH-collision fan-outs that allocation was the dominant cost.
+    *
+    * With `minJaccard > 0` the verify is threshold-aware: since
+    * J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), candidates are first joined
+    * against a NARROW (doc_id, size) table and pruned on the size
+    * ratio before the wide gram arrays are ever shuffled — colliding-
+    * but-dissimilar pairs never carry array payloads. The final
+    * `jaccard >= minJaccard` cut subsumes the prefilter, so the
+    * prefilter is invisible to results (a pure shuffle-volume
+    * optimization — the thing that matters when |candidates| is
+    * millions and gram arrays are hundreds of bytes each).
     */
   def jaccardPairs(docs: DataFrame, candidates: DataFrame, n: Int = 1,
-                   textCol: String = "text"): DataFrame = {
+                   textCol: String = "text", minJaccard: Double = 0.0): DataFrame = {
     val grams = if (n == 1) Text.distinctTokens(col(textCol))
       else array_distinct(Text.shingles(Text.tokens(col(textCol)), n))
     val sets = docs.select(col("doc_id"), sort_array(grams).as("grams"))
-    val withA = candidates.join(sets.withColumnRenamed("doc_id", "doc_a")
+    val pruned = if (minJaccard > 0.0) {
+      val sizes = sets.select(col("doc_id"), size(col("grams")).as("sz"))
+      candidates
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+        .filter(least(col("sz_a"), col("sz_b")).cast("double") >=
+          greatest(col("sz_a"), col("sz_b")) * minJaccard)
+        .select("doc_a", "doc_b")
+    } else candidates
+    val withA = pruned.join(sets.withColumnRenamed("doc_id", "doc_a")
       .withColumnRenamed("grams", "grams_a"), Seq("doc_a"))
     val withB = withA.join(sets.withColumnRenamed("doc_id", "doc_b")
       .withColumnRenamed("grams", "grams_b"), Seq("doc_b"))
-    withB.withColumn("inter",
+    val scored = withB.withColumn("inter",
         call_function("graft_inter_size", col("grams_a"), col("grams_b")))
       .withColumn("unionSz",
         size(col("grams_a")) + size(col("grams_b")) - col("inter"))
@@ -106,6 +149,7 @@ object Dedup {
         when(col("unionSz") === 0, 0.0)
           .otherwise(col("inter").cast("double") / col("unionSz")))
       .select("doc_a", "doc_b", "inter", "unionSz", "jaccard")
+    if (minJaccard > 0.0) scored.filter(col("jaccard") >= minJaccard) else scored
   }
 
   /** SimHash: 16-bit fingerprint from per-token hash16 bit votes.

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global ranking without a single-partition window.
+  *
+  * `row_number() OVER (ORDER BY …)` (and global running sums) route
+  * every row through ONE task — the classic 100 TB scale-killer. This
+  * helper computes the identical values with a range-partitioned plan:
+  *
+  *  1. bucket rows by `width_bucket` over the [min, max] score range
+  *     (order-preserving: every row in bucket i sorts before every row
+  *     in bucket i+1, because the bucket is a function of the score);
+  *  2. run the window PER BUCKET (parallel, AQE-coalesced);
+  *  3. collect the tiny per-bucket (count, partial-sum) table — ≤ `nb`
+  *     rows, a bounded model-artifact collect like IVF's centroids —
+  *     prefix-sum it on the driver, and broadcast-join the offsets back.
+  *
+  * rank = within-bucket row_number + #rows in earlier buckets; the
+  * running sum gets the same treatment. Values are bit-identical to the
+  * global-window form (same total order, same tie-break), so oracle SQL
+  * written against `row_number() OVER (ORDER BY …)` still hash-matches.
+  *
+  * Degenerate skew (all scores equal) collapses to one bucket — i.e. the
+  * global window this replaces — but any spread re-parallelizes; `nb`
+  * should track cluster parallelism.
+  */
+object RangeRank {
+
+  /** Adds global-order `rnkName` (LongType row_number over
+    * `scoreCol [asc|desc], tieCol asc`) and, when `cum` is given,
+    * a global running sum of `cum._1` named `cum._2` (inclusive of the
+    * current row, matching `ROWS UNBOUNDED PRECEDING AND CURRENT ROW`).
+    */
+  def withGlobalRank(df: DataFrame, scoreCol: Column, tieCol: Column,
+                     descending: Boolean, rnkName: String,
+                     cum: Option[(Column, String)] = None,
+                     nb: Int = 32): DataFrame = {
+    val bounds = df.agg(min(scoreCol).cast("double"), max(scoreCol).cast("double")).head()
+    if (bounds.isNullAt(0)) { // empty input: just materialize the columns
+      val base = df.withColumn(rnkName, lit(0L))
+      return cum.fold(base) { case (_, n) => base.withColumn(n, lit(0L)) }
+    }
+    val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+    val bkt =
+      if (lo == hi) lit(1)
+      else least(greatest(call_function("width_bucket",
+        scoreCol.cast("double"), lit(lo), lit(hi), lit(nb)), lit(1)), lit(nb))
+    val sumExpr = cum.map(_._1).getOrElse(lit(0))
+    val tagged = df.withColumn("__bkt", bkt)
+    // ≤ nb rows: the only data that ever leaves the executors
+    val perBucket = tagged.groupBy("__bkt")
+      .agg(count(lit(1)).as("__cnt"), sum(sumExpr).cast("long").as("__sum"))
+      .collect()
+      .map(r => (r.getAs[Int]("__bkt"), r.getAs[Long]("__cnt"), r.getAs[Long]("__sum")))
+      .sortBy(r => if (descending) -r._1 else r._1)
+    val offsets = perBucket
+      .scanLeft((0, 0L, 0L)) { case ((_, co, so), (b, c, s)) => (b, co + c, so + s) }
+      .sliding(2).collect { case Array((_, co, so), (b, _, _)) => (b, co, so) }
+      .toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(offsets.toDF("__bkt", "__cnt_off", "__sum_off"))
+    val order = if (descending) Seq(scoreCol.desc, tieCol.asc)
+      else Seq(scoreCol.asc, tieCol.asc)
+    val w = Window.partitionBy("__bkt").orderBy(order: _*)
+    val ranked = tagged.join(offDf, Seq("__bkt"))
+      .withColumn(rnkName,
+        (row_number().over(w).cast("long") + col("__cnt_off")).cast("long"))
+    val withCum = cum.fold(ranked) { case (c, name) =>
+      ranked.withColumn(name,
+        (sum(c).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long") + col("__sum_off")).cast("long"))
+    }
+    withCum.drop("__bkt", "__cnt_off", "__sum_off")
+  }
+}

@@ -403,7 +403,8 @@ object ExtQ {
         // top-10 + single 10-row merge, never a global sort. The
         // row_number window only ranks the 10 surviving rows.
         val counts = e.groupBy("user_id").agg(count(lit(1)).as("cnt")).cache()
-        val total = counts.agg(sum("cnt")).head().getLong(0)
+        // coalesce: sum over an empty table is NULL — degrade to 0, not NPE
+        val total = counts.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
         val top = counts.orderBy(col("cnt").desc, col("user_id").asc).limit(10)
           .withColumn("rnk",
             row_number().over(Window.orderBy(col("cnt").desc, col("user_id").asc)))

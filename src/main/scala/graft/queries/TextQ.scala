@@ -25,11 +25,20 @@ object TextQ {
 
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
 
-  /** Jaccard-scored LSH candidate pairs — materialized ONCE per dir
-    * (SURVEY §4 P6): the same pipeline stage feeds both the near-dup
-    * report (d05) and the dedup clustering (d07), exactly as a real
-    * dedup DAG would persist its verified-pairs table before fanning
-    * out. 5 scalar columns, |candidates| rows — cache-friendly.
+  /** Jaccard-scored LSH near-dup pairs at J ≥ 0.5 — materialized ONCE
+    * per dir (SURVEY §4 P6): the same pipeline stage feeds both the
+    * near-dup report (d05) and the dedup clustering (d07, J ≥ 0.9 ⊂
+    * J ≥ 0.5), exactly as a real dedup DAG would persist its
+    * verified-pairs table before fanning out.
+    *
+    * Banding is 16 hashes in 2 bands of 8: the LSH S-curve threshold
+    * (1/b)^(1/r) = 0.5^(1/8) ≈ 0.917 sits AT the 0.9 dedup threshold,
+    * so candidate volume tracks the true near-dup count instead of the
+    * mid-similarity bulk (the r4 config, 2 bands of 4, thresholded at
+    * 0.84 and admitted ~30% of ALL pairs on this shared-vocabulary
+    * corpus — 3.8 M candidates at sf0.1, 39% of total bench time).
+    * jaccardPairs' size-ratio prefilter then drops colliding-but-
+    * dissimilar pairs before any gram array is shuffled.
     */
   private val pairCache =
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.SparkContext, String), org.apache.spark.sql.DataFrame]
@@ -41,8 +50,8 @@ object TextQ {
     pairCache.keys.filter(_._1.isStopped).foreach(pairCache.remove)
     pairCache.getOrElseUpdate((s.sparkContext, d), {
       val docs = Tables.documents(s, d)
-      val cands = Dedup.minhashCandidates(docs, numHashes = 8, bands = 2)
-      val df = Dedup.jaccardPairs(docs, cands, n = 1).cache()
+      val cands = Dedup.minhashCandidates(docs, numHashes = 16, bands = 2)
+      val df = Dedup.jaccardPairs(docs, cands, n = 1, minJaccard = 0.5).cache()
       df.count()
       df
     })
@@ -175,12 +184,12 @@ object TextQ {
         |    FROM documents) t
         |), per_seed AS (
         |  SELECT doc_id, seed, min(md5('s' || CAST(seed AS VARCHAR) || '_' || tok)) AS mh
-        |  FROM toks, range(8) r(seed) GROUP BY doc_id, seed
+        |  FROM toks, range(16) r(seed) GROUP BY doc_id, seed
         |), banded AS (
-        |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+        |  SELECT doc_id, CAST(seed // 8 AS INT) AS band,
         |    md5(string_agg(CAST(seed AS VARCHAR) || ':' || mh, '|'
         |        ORDER BY CAST(seed AS VARCHAR) || ':' || mh)) AS band_sig
-        |  FROM per_seed GROUP BY doc_id, CAST(seed // 4 AS INT)
+        |  FROM per_seed GROUP BY doc_id, CAST(seed // 8 AS INT)
         |), cands AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM banded a JOIN banded b ON a.band = b.band AND a.band_sig = b.band_sig
@@ -188,13 +197,16 @@ object TextQ {
         |), sets AS (
         |  SELECT doc_id, list_distinct(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS gs
         |  FROM documents
+        |), scored AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    len(list_intersect(sa.gs, sb.gs)) AS inter,
+        |    len(sa.gs) + len(sb.gs) - len(list_intersect(sa.gs, sb.gs)) AS usz
+        |  FROM cands c JOIN sets sa ON c.doc_a = sa.doc_id JOIN sets sb ON c.doc_b = sb.doc_id
         |)
-        |SELECT c.doc_a, c.doc_b,
-        |  len(list_intersect(sa.gs, sb.gs)) AS inter,
-        |  ROUND(CASE WHEN len(sa.gs) + len(sb.gs) - len(list_intersect(sa.gs, sb.gs)) = 0 THEN 0.0
-        |    ELSE CAST(len(list_intersect(sa.gs, sb.gs)) AS DOUBLE)
-        |      / (len(sa.gs) + len(sb.gs) - len(list_intersect(sa.gs, sb.gs))) END, 9) AS jaccard
-        |FROM cands c JOIN sets sa ON c.doc_a = sa.doc_id JOIN sets sb ON c.doc_b = sb.doc_id""".stripMargin)),
+        |SELECT doc_a, doc_b, inter,
+        |  ROUND(CAST(inter AS DOUBLE) / usz, 9) AS jaccard
+        |FROM scored
+        |WHERE usz > 0 AND CAST(inter AS DOUBLE) / usz >= 0.5""".stripMargin)),
 
     // Connected-components dedup clustering: the step after pair
     // generation — LSH pairs verified at Jaccard ≥ 0.9 become edges;
@@ -218,12 +230,12 @@ object TextQ {
         |    FROM documents) t
         |), per_seed AS (
         |  SELECT doc_id, seed, min(md5('s' || CAST(seed AS VARCHAR) || '_' || tok)) AS mh
-        |  FROM toks, range(8) r(seed) GROUP BY doc_id, seed
+        |  FROM toks, range(16) r(seed) GROUP BY doc_id, seed
         |), banded AS (
-        |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+        |  SELECT doc_id, CAST(seed // 8 AS INT) AS band,
         |    md5(string_agg(CAST(seed AS VARCHAR) || ':' || mh, '|'
         |        ORDER BY CAST(seed AS VARCHAR) || ':' || mh)) AS band_sig
-        |  FROM per_seed GROUP BY doc_id, CAST(seed // 4 AS INT)
+        |  FROM per_seed GROUP BY doc_id, CAST(seed // 8 AS INT)
         |), cands AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM banded a JOIN banded b ON a.band = b.band AND a.band_sig = b.band_sig
