@@ -54,26 +54,36 @@ object Dedup {
     toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  def minhashCandidates(docs: DataFrame, numHashes: Int, bands: Int,
-                        textCol: String = "text"): DataFrame = {
+  /** Per-doc band signatures `(doc_id, band, band_sig)` — the shared
+    * banding stage behind both the clique (`minhashCandidates`) and
+    * star (`minhashCandidatesStar`) candidate generators.
+    *
+    * Band signature: md5 of the band's sorted "seed:minhash" strings.
+    * The sort is LEXICOGRAPHIC over the concatenated string (not
+    * numeric over the seed) — the oracle's string_agg ORDER BY uses
+    * the identical string, so two-digit seeds agree by construction.
+    */
+  private[graft] def bandSignatures(docs: DataFrame, numHashes: Int, bands: Int,
+                                    textCol: String): DataFrame = {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be divisible by bands ($bands) — " +
         "trailing seeds would silently drop from banding")
     val rowsPerBand = numHashes / bands
     val sigs = minhashSignatures(docs, numHashes, textCol)
-    // Band signature: md5 of the band's sorted "seed:minhash" strings.
-    // The sort is LEXICOGRAPHIC over the concatenated string (not
-    // numeric over the seed) — the oracle's string_agg ORDER BY uses
-    // the identical string, so two-digit seeds agree by construction.
     val bandStructs = (0 until bands).map { band =>
       val elems = (band * rowsPerBand until (band + 1) * rowsPerBand)
         .map(s => concat_ws(":", lit(s), col(s"mh$s")))
       struct(lit(band).as("band"),
         md5(concat_ws("|", sort_array(array(elems: _*)))).as("band_sig"))
     }
-    val banded = sigs
+    sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+  }
+
+  def minhashCandidates(docs: DataFrame, numHashes: Int, bands: Int,
+                        textCol: String = "text"): DataFrame = {
+    val banded = bandSignatures(docs, numHashes, bands, textCol)
     val a = banded.select(col("band"), col("band_sig"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band"), col("band_sig"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "band_sig"))

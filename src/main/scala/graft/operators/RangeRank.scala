@@ -39,15 +39,24 @@ object RangeRank {
                      cum: Option[(Column, String)] = None,
                      nb: Int = 32): DataFrame = {
     val bounds = df.agg(min(scoreCol).cast("double"), max(scoreCol).cast("double")).head()
-    if (bounds.isNullAt(0)) { // empty input: just materialize the columns
-      val base = df.withColumn(rnkName, lit(0L))
-      return cum.fold(base) { case (_, n) => base.withColumn(n, lit(0L)) }
-    }
-    val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
-    val bkt =
+    // min==NULL means empty input OR every score NULL; either way all
+    // rows (if any) land in the NULL bucket below and rank by tieCol.
+    val (lo, hi) =
+      if (bounds.isNullAt(0)) (0.0, 0.0)
+      else (bounds.getDouble(0), bounds.getDouble(1))
+    // width_bucket returns BIGINT — cast to int so both branches (and
+    // the driver-side getAs[Int]) agree on IntegerType.
+    val nonNullBkt =
       if (lo == hi) lit(1)
       else least(greatest(call_function("width_bucket",
         scoreCol.cast("double"), lit(lo), lit(hi), lit(nb)), lit(1)), lit(nb))
+        .cast("int")
+    // NULL scores go to bucket 0, which sorts FIRST under ascending
+    // bucket order and LAST under descending — exactly where Spark's
+    // default null ordering (asc nulls-first / desc nulls-last) puts
+    // them in the global-window form this replicates. Without this,
+    // NULL rows get a NULL bucket and vanish in the offset inner join.
+    val bkt = when(scoreCol.isNull, lit(0)).otherwise(nonNullBkt)
     val sumExpr = cum.map(_._1).getOrElse(lit(0))
     val tagged = df.withColumn("__bkt", bkt)
     // ≤ nb rows: the only data that ever leaves the executors

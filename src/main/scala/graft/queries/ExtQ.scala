@@ -100,9 +100,11 @@ object ExtQ {
         val e = Tables.embeddings(s, d)
           .withColumn("pos", (col("label") >= 5).cast("int"))
           .withColumn("score", element_at(col("embedding"), 1).cast("double"))
-        val ranked = e.withColumn("rnk",
-          row_number().over(Window.orderBy(col("score").asc, col("vec_id").asc))
-            .cast("long"))
+        // range-partitioned global rank (RangeRank) — bit-identical to
+        // row_number() OVER (ORDER BY score, vec_id) but never routes
+        // all rows through one task (the 100 TB scale-killer).
+        val ranked = graft.operators.RangeRank.withGlobalRank(
+          e, col("score"), col("vec_id"), descending = false, rnkName = "rnk")
         ranked.agg(
           sum("pos").cast("long").as("n_pos"),
           (count(lit(1)) - sum("pos")).cast("long").as("n_neg"),
@@ -127,8 +129,11 @@ object ExtQ {
     Q("o01_seeded_sample",
       (s, d) => {
         val o = Tables.orders(s, d)
-        val w = Window.orderBy(md5(col("o_orderkey").cast("string")), col("o_orderkey"))
-        o.withColumn("rn", row_number().over(w)).filter(col("rn") <= 100)
+        // top-100 by seeded hash order — orderBy+limit plans as
+        // TakeOrderedAndProject (per-partition top-100 + one 100-row
+        // merge), never a global single-partition window sort.
+        o.orderBy(md5(col("o_orderkey").cast("string")), col("o_orderkey"))
+          .limit(100)
           .select(col("o_orderkey"), col("o_orderpriority"))
       },
       Some("""SELECT o_orderkey, o_orderpriority FROM (
@@ -428,12 +433,12 @@ object ExtQ {
         val e = Tables.embeddings(s, d)
           .withColumn("pos", (col("label") >= 5).cast("int"))
           .withColumn("score", element_at(col("embedding"), 1).cast("double"))
-        val w = Window.orderBy(col("score").desc, col("vec_id").asc)
-        val ranked = e
-          .withColumn("rnk", row_number().over(w).cast("long"))
-          .withColumn("cum_pos",
-            sum("pos").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-              .cast("long"))
+        // RangeRank: rank + running positive count with per-bucket
+        // windows and broadcast prefix offsets — same values as the
+        // global window, no single-partition sort.
+        val ranked = graft.operators.RangeRank.withGlobalRank(
+          e, col("score"), col("vec_id"), descending = true, rnkName = "rnk",
+          cum = Some((col("pos"), "cum_pos")))
         // per-term 1e12 quantization -> order-independent integer sum
         ranked.filter(col("pos") === 1)
           .agg(count(lit(1)).cast("long").as("n_pos"),

@@ -294,10 +294,13 @@ object Rel {
     Q("q13_minmax_norm",
       (s, d) => {
         val o = Tables.orders(s, d)
-        val w = Window.partitionBy()
-        o.withColumn("lo", min("o_totalprice").over(w))
-          .withColumn("hi", max("o_totalprice").over(w))
-          .filter(col("o_orderkey") < 500)
+        // global min/max as a scalar aggregate broadcast back over the
+        // rows (q20 pattern) — a partition-less window would sort every
+        // row through ONE task; the agg is a map-side partial + 1-row
+        // exchange, and the cross join broadcasts that single row.
+        val mm = o.agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+        o.filter(col("o_orderkey") < 500)
+          .crossJoin(broadcast(mm))
           .select(col("o_orderkey"), col("o_orderpriority"),
             ((col("o_totalprice") - col("lo")) / (col("hi") - col("lo"))).as("price_norm"))
       },

@@ -77,6 +77,29 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("no single-partition exchange feeds a window in the former global-window queries") {
+    // a01/a02 use RangeRank (bucket windows + broadcast offsets), o01
+    // plans TakeOrderedAndProject, q13 broadcasts a scalar agg — none
+    // may regress to `Exchange SinglePartition` + Window, the shape
+    // that routes every row through one task at 100 TB.
+    // a scalar aggregate's final 1-row-per-partition SinglePartition
+    // exchange is fine; the killer is SinglePartition feeding a
+    // Sort+Window (all rows sorted in one task) — detect by checking
+    // the tree lines directly above each SinglePartition exchange.
+    for (q <- Seq("a01_auc", "a02_average_precision", "o01_seeded_sample",
+        "q13_minmax_norm")) {
+      val lines = plan(q).linesIterator.toVector
+      lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition")).foreach {
+        case (_, i) =>
+          val above = lines.slice(math.max(0, i - 3), i).mkString("\n")
+          assert(!above.contains("Window") && !above.contains("Sort "),
+            s"$q sorts/windows all rows in one partition:\n${lines.mkString("\n")}")
+      }
+    }
+    assert(plan("o01_seeded_sample").contains("TakeOrderedAndProject"),
+      "o01 lost the orderBy+limit pushdown")
+  }
+
   test("q01_pricing_summary: partial agg before one shuffle, scan pruned to 5 columns") {
     // formatted mode: the only variant that prints the scan's ReadSchema
     val p = SparkEntry.queries("q01_pricing_summary")(spark, dir)
