@@ -164,6 +164,132 @@ object KernelQ {
     |SELECT f.fseq AS seq, f.fframe AS frame, g.ids[f.k] AS id, g.ss[f.k] AS score
     |FROM final f JOIN g ON g.seq = f.fseq AND g.frame = f.fframe""".stripMargin
 
+  /** The similarity cascade of `Tracker.similarity` under
+    * `useKalman=false` (predicted == lastBbox, so the Kalman and
+    * Euclidean distance terms coincide), as SQL text over two struct
+    * refs carrying (x, y, w, h, e1, e2). Gates return NULL (the
+    * kernel's NaN); every arithmetic step mirrors the Scala
+    * double-precision order of operations exactly, so threshold
+    * comparisons and argmax decisions are bit-identical.
+    */
+  private def k08Sim(t: String, d: String): String = {
+    val sizeS = s"(CASE WHEN $t.w * $t.h = 0.0 OR $d.w * $d.h = 0.0 THEN 0.0 " +
+      s"ELSE least($t.w * $t.h, $d.w * $d.h) / greatest($t.w * $t.h, $d.w * $d.h) END)"
+    val appS = s"(CASE WHEN $t.e1 * $t.e1 + $t.e2 * $t.e2 = 0.0 " +
+      s"OR $d.e1 * $d.e1 + $d.e2 * $d.e2 = 0.0 THEN 0.5 " +
+      s"ELSE (($t.e1 * $d.e1 + $t.e2 * $d.e2) / " +
+      s"(sqrt($t.e1 * $t.e1 + $t.e2 * $t.e2) * sqrt($d.e1 * $d.e1 + $d.e2 * $d.e2)) + 1.0) / 2.0 END)"
+    val dist = s"sqrt((($t.x + $t.w / 2) - ($d.x + $d.w / 2)) * (($t.x + $t.w / 2) - ($d.x + $d.w / 2)) " +
+      s"+ (($t.y + $t.h / 2) - ($d.y + $d.h / 2)) * (($t.y + $t.h / 2) - ($d.y + $d.h / 2)))"
+    s"(CASE WHEN $sizeS < 0.3143 * (1 - 0.3) THEN NULL " +
+      s"WHEN $appS < 0.4764 * (1 - 0.3) THEN NULL " +
+      s"ELSE (($appS - 0.4764) / (1.0 - 0.4764) * 0.2 " +
+      s"+ (1 - $dist / 99.18) * 0.2 + (1 - $dist / 99.18) * 0.5 " +
+      s"+ ($sizeS - 0.3143) / (1.0 - 0.3143) * 0.1) / (0.2 + 0.2 + 0.5 + 0.1) END)"
+  }
+
+  /** T1/T4/T5/J3/F7/F8 oracle — a full recursive-CTE replay of the
+    * no-Kalman tracker (`useKalman=false, useSpatialIndex=false,
+    * bidirectional=true, minTrackLength=2`). Without Kalman the frame
+    * step has no matrix state, and MUTUAL-BEST matching (unlike global
+    * greedy) is declarative per frame: track-best = first det index
+    * attaining the max gated similarity (strict `>` from 0.0 ⇒ max,
+    * first-wins), det-best among track-best pairs = first track index
+    * (buffer order = ascending creation order) attaining the max. The
+    * recursion therefore only carries the evolving track list — struct
+    * arrays updated with indexed list lambdas — plus the next-track-id
+    * counter, and emits each frame's matched/created rows at its own
+    * iteration. Validated row-identical against an independent python
+    * port at sf0.001 and sf0.01. Reference semantics:
+    * src/tracking.py:764-854 (step), 983-1011 (mutual best).
+    */
+  private val trackOracle: String = {
+    val simTD = k08Sim("t", "d")
+    s"""WITH RECURSIVE ${Derived.gtCtes},
+      |din AS (
+      |  SELECT g.seq, g.frameIdx, g.id, g.x, g.y, g.w, g.h,
+      |         CAST(e.embedding[1] AS DOUBLE) AS e1,
+      |         CAST(e.embedding[2] AS DOUBLE) AS e2
+      |  FROM gt g JOIN embeddings e ON e.vec_id = (g.id * 7 + g.frameIdx) % 500
+      |),
+      |fr2 AS MATERIALIZED (
+      |  SELECT seq, frameIdx, ds,
+      |    CAST(row_number() OVER (PARTITION BY seq ORDER BY frameIdx) AS INT) AS fidx
+      |  FROM (
+      |    SELECT seq, frameIdx,
+      |      list({'id': id, 'x': x, 'y': y, 'w': w, 'h': h, 'e1': e1, 'e2': e2} ORDER BY id) AS ds
+      |    FROM din GROUP BY seq, frameIdx)
+      |),
+      |step(seq, fidx, frameIdx, tks, nid, emit) AS (
+      |  SELECT seq, 0, -1,
+      |    CAST([] AS STRUCT(tid INT, x DOUBLE, y DOUBLE, w DOUBLE, h DOUBLE,
+      |                      e1 DOUBLE, e2 DOUBLE, did INT, tsu INT)[]),
+      |    1,
+      |    CAST([] AS STRUCT(tid INT, did INT, x DOUBLE, y DOUBLE, w DOUBLE, h DOUBLE)[])
+      |  FROM (SELECT DISTINCT seq FROM din)
+      |  UNION ALL
+      |  SELECT seq, fidx, frameIdx,
+      |    list_concat(kept, created) AS tks,
+      |    nid + len(created) AS nid,
+      |    list_transform(
+      |      list_filter(list_concat(kept, created), t -> t.tsu = 0),
+      |      t -> {'tid': t.tid, 'did': t.did, 'x': t.x, 'y': t.y, 'w': t.w, 'h': t.h}) AS emit
+      |  FROM (
+      |    SELECT seq, fidx, frameIdx, nid, ds, mt,
+      |      list_transform(
+      |        list_filter(
+      |          list_transform(aged, (t, i) -> {'t': t,
+      |            'mdj': list_min(list_transform(list_filter(mt, m -> m.ti = i), m -> m.dj))}),
+      |          p -> p.mdj IS NOT NULL OR p.t.tsu <= 3),
+      |        p -> CASE WHEN p.mdj IS NOT NULL
+      |          THEN {'tid': p.t.tid, 'x': ds[p.mdj].x, 'y': ds[p.mdj].y,
+      |                'w': ds[p.mdj].w, 'h': ds[p.mdj].h,
+      |                'e1': ds[p.mdj].e1, 'e2': ds[p.mdj].e2,
+      |                'did': ds[p.mdj].id, 'tsu': 0}
+      |          ELSE p.t END) AS kept,
+      |      list_transform(
+      |        list_filter(
+      |          list_transform(ds, (d, i) -> {'d': d, 'i': i}),
+      |          p -> len(list_filter(mt, m -> m.dj = p.i)) = 0),
+      |        (p, j) -> {'tid': nid + j - 1, 'x': p.d.x, 'y': p.d.y,
+      |              'w': p.d.w, 'h': p.d.h, 'e1': p.d.e1,
+      |              'e2': p.d.e2, 'did': p.d.id, 'tsu': 0}) AS created
+      |    FROM (
+      |      SELECT seq, fidx, frameIdx, nid, ds, aged,
+      |        list_filter(tb, q ->
+      |          q.ti = list_min(list_transform(
+      |            list_filter(tb, r -> r.dj = q.dj AND r.s =
+      |              list_max(list_transform(list_filter(tb, u -> u.dj = q.dj), u -> u.s))),
+      |            r -> r.ti))) AS mt
+      |      FROM (
+      |        SELECT seq, fidx, frameIdx, nid, ds, aged,
+      |          list_filter(
+      |            list_transform(aged, (t, ti) ->
+      |              {'ti': ti,
+      |               'dj': list_position(
+      |                 list_transform(ds, d -> $simTD),
+      |                 list_max(list_filter(list_transform(ds, d -> $simTD),
+      |                                      v -> v IS NOT NULL AND v > 0.0))),
+      |               's': list_max(list_filter(list_transform(ds, d -> $simTD),
+      |                                         v -> v IS NOT NULL AND v > 0.0))}),
+      |            q -> q.dj IS NOT NULL) AS tb
+      |        FROM (
+      |          SELECT s.seq, f.fidx, f.frameIdx, s.nid, f.ds,
+      |            list_transform(s.tks, t ->
+      |              {'tid': t.tid, 'x': t.x, 'y': t.y, 'w': t.w, 'h': t.h,
+      |               'e1': t.e1, 'e2': t.e2, 'did': t.did, 'tsu': t.tsu + 1}) AS aged
+      |          FROM step s JOIN fr2 f ON f.seq = s.seq AND f.fidx = s.fidx + 1
+      |        )
+      |      )
+      |    )
+      |  )
+      |)
+      |SELECT seq, frameIdx AS frame, u.tid AS trackId, u.did AS detId,
+      |       u.x AS x, u.y AS y, u.w AS w, u.h AS h
+      |FROM (SELECT seq, frameIdx, unnest(emit) AS u FROM step WHERE fidx > 0)
+      |QUALIFY count(*) OVER (PARTITION BY seq, trackId) >= 2""".stripMargin
+  }
+
   /** BASELINE.md anchor derivation ("1000 frames × 50 objects" ≈ 50k gt
     * rows from lineitem). SHARED TEXT: Spark runs it via spark.sql
     * (nested subqueries — see Derived for why not WITH) and the oracle
@@ -226,6 +352,29 @@ object KernelQ {
         out.toDF().groupBy("seq").agg(count(lit(1)).as("n_rows"),
           countDistinct("trackId").as("n_tracks"))
       }, None),
+
+    // T1/T4/T5/J3/F7/F8 — no-Kalman tracker, FULLY oracle-checked: the
+    // recursive-CTE replay above reproduces every emitted row (frame
+    // step, mutual-best matching, lifecycle, matched-only emission,
+    // min-length filter). The embedding is sliced to 2 dims so the
+    // appearance cosine is exact shared-text arithmetic on both sides.
+    Q("k08_track_nokalman",
+      (s, d) => {
+        import s.implicits._
+        val in = Derived.table(s, d, "gt_emb")
+          .select(col("seq"),
+            format_string("%06d", col("frameIdx")).as("frame"),
+            col("id"), col("x"), col("y"), col("w"), col("h"),
+            lit(1.0).as("conf"),
+            slice(col("emb"), 1, 2).as("emb"))
+          .as[TrackerIn]
+        Tracker.track(in, TrackerConfig(useKalman = false,
+            useSpatialIndex = false, minTrackLength = 2))
+          .toDF()
+          .select(col("seq"), col("frame").cast("int").as("frame"),
+            col("trackId"), col("detId"),
+            col("x"), col("y"), col("w"), col("h"))
+      }, Some(trackOracle)),
 
     // M7 — streaming host (flatMapGroupsWithState) run over the batch
     // source: must emit rows (batch/streaming parity is asserted in
