@@ -231,15 +231,23 @@ object ExtQ {
         |FROM events GROUP BY 1""".stripMargin)),
 
     // M7 — streaming stateful dedup: two streams of the same source
-    // unioned (guaranteed duplicates) → dropDuplicates on the key →
-    // append sink. Oracle = the plain batch distinct counts.
+    // unioned (guaranteed duplicates) → WATERMARKED dedup on the key →
+    // append sink. `dropDuplicatesWithinWatermark` bounds the state
+    // store: a key's entry is evicted once the event-time watermark
+    // passes its timestamp + delay, where plain dropDuplicates would
+    // grow state forever on a continuous stream (the 100 TB posture).
+    // Under Trigger.AvailableNow the drain is exact — every event_id
+    // emits exactly once — so the batch-distinct oracle still matches.
     Q("st2_stream_dedup",
       (s, d) => {
         val schema = Tables.events(s, d).schema
         def src = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(d)
         val name = sinkName("st2_dedup_", d)
-        val q = src.union(src).dropDuplicates("event_id")
+        val q = src.union(src)
+          .withColumn("et", expr("timestamp_micros(ts div 1000)"))
+          .withWatermark("et", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
           .writeStream.format("memory").queryName(name)
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -18,7 +18,8 @@ import graft.operators.{SeqState, SeqTrackOut, Tracker, TrackerConfig, TrackerIn
   * processed for the sequence are DROPPED, mirroring a watermark of 0;
   * zero-detection frames age tracks implicitly only when a later frame
   * arrives (identical to the reference, which only iterates frames
-  * present in the input).
+  * present in the input). `trackTimed` adds the REAL event-time
+  * watermark on top (SURVEY's "watermark = max_age frames" design).
   */
 object StreamingTracker {
 
@@ -46,4 +47,61 @@ object StreamingTracker {
           out.iterator
       }
   }
+
+  /** Watermarked streaming entry (T7): detections carry an event time
+    * `et` (caller maps frame index → timestamp, e.g. 1 frame = 1 s) and
+    * `withWatermark(et, "maxAge seconds")` is applied before the
+    * stateful step. `flatMapGroupsWithState` does not auto-filter late
+    * rows the way aggregations do, so the kernel drops frames whose
+    * event time is behind `GroupState.getCurrentWatermarkMs` — cross-
+    * SEQUENCE lateness bounds (a brand-new sequence key replaying old
+    * frames) that the per-sequence lastFrame comparison alone cannot
+    * provide, and the contract Spark's state-store retention reasoning
+    * is built on. Streaming-only: the watermark (and the current-
+    * watermark getter) is undefined in batch execution — use `track`
+    * there.
+    */
+  def trackTimed(dets: Dataset[TimedTrackerIn],
+                 cfg: TrackerConfig = TrackerConfig(),
+                 framesPerSecond: Double = 1.0): Dataset[SeqTrackOut] = {
+    val spark = dets.sparkSession
+    import spark.implicits._
+    val delaySec = math.ceil(cfg.maxAge / framesPerSecond).toLong
+    dets.withWatermark("et", s"$delaySec seconds")
+      .as[TimedTrackerIn]
+      .groupByKey(_.seq)
+      .flatMapGroupsWithState[SeqState, SeqTrackOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (seq: String, rows: Iterator[TimedTrackerIn], state: GroupState[SeqState]) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          val prior = state.getOption.getOrElse(SeqState("", 1, Array.empty))
+          val core = Tracker.restoreCore(cfg, prior)
+          val byFrame = rows
+            .filter(_.et.getTime >= wmMs) // event-time late-frame drop
+            .toArray.groupBy(_.frame).toArray.sortBy(_._1)
+          val out = byFrame.iterator
+            .filter { case (frame, _) => prior.lastFrame.isEmpty || frame > prior.lastFrame }
+            .flatMap { case (frame, ds) =>
+              core.step(frame, ds.sortBy(_.id).map(_.toIn).toSeq).map(_.copy(seq = seq))
+            }.toArray
+          val newLast = byFrame.lastOption.map(_._1).getOrElse(prior.lastFrame)
+          state.update(Tracker.snapshotCore(core,
+            if (newLast > prior.lastFrame) newLast else prior.lastFrame))
+          out.iterator
+      }
+  }
+}
+
+/** A detection row with its event time (frame index mapped onto the
+  * stream clock by the caller).
+  */
+final case class TimedTrackerIn(
+    seq: String,
+    frame: String,
+    id: Int,
+    x: Double, y: Double, w: Double, h: Double,
+    conf: Double,
+    emb: Array[Float],
+    et: java.sql.Timestamp) {
+  def toIn: TrackerIn = TrackerIn(seq, frame, id, x, y, w, h, conf, emb)
 }
