@@ -9,7 +9,18 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = LocalSession.build(cpus)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional comma-separated allowlist for local bisection (driver
+    // never sets it — round verifies always cover the catalog). A typo
+    // must fail loudly, not dump an empty (and suspiciously green) out.
+    val only = sys.env.get("GRAFT_VERIFY_ONLY").map(_.split(',').toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"GRAFT_VERIFY_ONLY names match no catalog query: ${unknown.mkString(",")}")
+    }
+    SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

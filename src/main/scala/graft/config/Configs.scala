@@ -1,0 +1,168 @@
+package graft.config
+
+import graft.operators.TrackerConfig
+
+/** Typed config loading + CLI overrides (SURVEY §2.1 S12; reference
+  * `parse_cli_args`/`load_config`, src/utils/helpers.py:36-286).
+  *
+  * Pipeline: YAML text → Map → apply `key=value` overrides (type-
+  * inferred: int → float → bool → string) → typed case class picked by
+  * config-file name substring (embed/detect/track/eval/visualize — the
+  * reference's dispatch). Overrides replace YAML values wholesale;
+  * `dataset` is required after merging, `cfg=` names the file itself.
+  */
+object Configs {
+
+  /** Run-level tracking config: data selection + the kernel's
+    * TrackerConfig (cfgs/track.yaml keys; reference
+    * IcebergTrackingConfig, src/tracking.py:60-150).
+    */
+  final case class TrackRunConfig(
+      dataset: String,
+      seqStartIndex: Int = 0,
+      seqLengthLimit: Option[Int] = None,
+      getGtThresholds: Boolean = false,
+      gtThresholds: String = "",
+      tracker: TrackerConfig = TrackerConfig())
+
+  /** cfgs/eval.yaml (reference EvalConfig, src/utils/eval.py). */
+  final case class EvalRunConfig(dataset: String, iouThreshold: Double = 0.5)
+
+  /** cfgs/detect.yaml — the engine-side inference/postprocess knobs
+    * (model-training keys are carried verbatim in `extras` for a user
+    * porting reference workflows; the engine consumes the filter
+    * cascade + tiling parameters).
+    */
+  final case class DetectRunConfig(
+      dataset: String,
+      confidenceThreshold: Double = 0.1,
+      scales: Seq[Double] = Seq(0.5, 1.0),
+      windowSize: (Int, Int) = (1536, 1536),
+      overlap: Double = 0.35,
+      postprocess: Boolean = true,
+      edgeTolerance: Int = 0,
+      maskRatioThreshold: Double = 0.1,
+      filterMaskedRegions: Boolean = true,
+      minIcebergSize: Double = 100.0,
+      boxNmsThresh: Double = 0.5,
+      extras: Map[String, Any] = Map.empty)
+
+  /** Parse `key=value` override args (reference helpers.py:120-132):
+    * tokens without '=' are ignored, `cfg=` is extracted separately.
+    * Returns (cfgFile, overrides).
+    */
+  def parseOverrides(args: Seq[String]): (Option[String], Map[String, Any]) = {
+    val kvs = args.collect {
+      case a if a.contains('=') =>
+        val Array(k, v) = a.split("=", 2)
+        k -> Yaml.inferScalar(v)
+    }.toMap
+    (kvs.get("cfg").map(_.toString), kvs - "cfg")
+  }
+
+  /** YAML text + overrides → merged map; fails when `dataset` is
+    * missing/null after the merge (reference helpers.py:263-271).
+    */
+  def merged(yamlText: String, overrides: Map[String, Any]): Map[String, Any] = {
+    val m = Yaml.parse(yamlText) ++ overrides
+    val ds = m.get("dataset").orNull
+    require(ds != null && ds.toString.nonEmpty,
+      "Dataset path not specified: set `dataset:` in the config file or pass dataset=<path>")
+    m
+  }
+
+  /** Filename-substring dispatch (reference helpers.py:273-286). */
+  def load(cfgFile: String, yamlText: String,
+           overrides: Map[String, Any] = Map.empty): Any = {
+    val name = cfgFile.toLowerCase
+    if (name.contains("track")) trackConfig(merged(yamlText, overrides))
+    else if (name.contains("eval")) evalConfig(merged(yamlText, overrides))
+    else if (name.contains("detect")) detectConfig(merged(yamlText, overrides))
+    else throw new IllegalArgumentException(
+      s"Unknown config type: $cfgFile (engine-side types: track, eval, detect; " +
+        "embed/visualize configs drive model training / rendering, which are " +
+        "out of engine scope per SURVEY §2)")
+  }
+
+  def trackConfig(m: Map[String, Any]): TrackRunConfig = {
+    val thr = m.get("thresholds") match {
+      case Some(t: Map[_, _]) => t.asInstanceOf[Map[String, Any]]
+      case _ => Map.empty[String, Any]
+    }
+    val base = TrackerConfig()
+    TrackRunConfig(
+      dataset = str(m, "dataset"),
+      seqStartIndex = int(m, "seq_start_index", 0),
+      seqLengthLimit = m.get("seq_length_limit").flatMap(v =>
+        Option(v).map(x => num(x).toInt)),
+      getGtThresholds = bool(m, "get_gt_thresholds", false),
+      gtThresholds = m.get("gt_thresholds").flatMap(Option(_)).map(_.toString).getOrElse(""),
+      tracker = base.copy(
+        thresholdAppearance = dbl(thr, "appearance", base.thresholdAppearance),
+        thresholdDistance = dbl(thr, "distance", base.thresholdDistance),
+        thresholdSize = dbl(thr, "size", base.thresholdSize),
+        tolerance = dbl(m, "threshold_tolerance", base.tolerance),
+        wAppearance = dbl(m, "weight_appearance", base.wAppearance),
+        wEuclidean = dbl(m, "weight_euclidean_distance", base.wEuclidean),
+        wKalman = dbl(m, "weight_kalman_distance", base.wKalman),
+        wSize = dbl(m, "weight_size", base.wSize),
+        maxAge = int(m, "max_age", base.maxAge),
+        minTrackLength = int(m, "min_iceberg_id_count", base.minTrackLength),
+        minIcebergSize = dbl(m, "min_iceberg_size", base.minIcebergSize),
+        useKalman = bool(m, "use_kalman", base.useKalman),
+        bidirectional = bool(m, "bidirectional_matching", base.bidirectional),
+        useSpatialIndex = bool(m, "use_spatial_index", base.useSpatialIndex),
+        processNoise = dbl(m, "process_noise", base.processNoise),
+        measurementNoise = dbl(m, "measurement_noise", base.measurementNoise)))
+  }
+
+  def evalConfig(m: Map[String, Any]): EvalRunConfig =
+    EvalRunConfig(str(m, "dataset"), dbl(m, "iou_threshold", 0.5))
+
+  def detectConfig(m: Map[String, Any]): DetectRunConfig = {
+    val known = Set("dataset", "confidence_threshold", "scales", "window_size",
+      "overlap", "postprocess", "edge_tolerance", "mask_ratio_threshold",
+      "filter_masked_regions", "min_iceberg_size", "box_nms_thresh")
+    DetectRunConfig(
+      dataset = str(m, "dataset"),
+      confidenceThreshold = dbl(m, "confidence_threshold", 0.1),
+      scales = m.get("scales") match {
+        case Some(l: List[_]) => l.map(num)
+        case _ => Seq(0.5, 1.0)
+      },
+      windowSize = m.get("window_size") match {
+        case Some(List(w, h)) => (num(w).toInt, num(h).toInt)
+        case _ => (1536, 1536)
+      },
+      overlap = dbl(m, "overlap", 0.35),
+      postprocess = bool(m, "postprocess", true),
+      edgeTolerance = int(m, "edge_tolerance", 0),
+      maskRatioThreshold = dbl(m, "mask_ratio_threshold", 0.1),
+      filterMaskedRegions = bool(m, "filter_masked_regions", true),
+      minIcebergSize = dbl(m, "min_iceberg_size", 100.0),
+      boxNmsThresh = dbl(m, "box_nms_thresh", 0.5),
+      extras = m.view.filterKeys(k => !known.contains(k)).toMap)
+  }
+
+  // ---- field coercion: YAML scalars arrive as Long/Double/Boolean/String ----
+  private def num(v: Any): Double = v match {
+    case l: Long => l.toDouble
+    case d: Double => d
+    case i: Int => i.toDouble
+    case s: String => s.toDouble
+    case other => throw new IllegalArgumentException(s"expected number, got $other")
+  }
+  private def dbl(m: Map[String, Any], k: String, d: Double): Double =
+    m.get(k).flatMap(Option(_)).map(num).getOrElse(d)
+  private def int(m: Map[String, Any], k: String, d: Int): Int =
+    m.get(k).flatMap(Option(_)).map(num(_).toInt).getOrElse(d)
+  private def bool(m: Map[String, Any], k: String, d: Boolean): Boolean =
+    m.get(k).flatMap(Option(_)).map {
+      case b: Boolean => b
+      case s: String => s.toLowerCase == "true"
+      case other => throw new IllegalArgumentException(s"expected bool, got $other")
+    }.getOrElse(d)
+  private def str(m: Map[String, Any], k: String): String =
+    m.get(k).flatMap(Option(_)).map(_.toString).getOrElse(
+      throw new IllegalArgumentException(s"missing required key: $k"))
+}

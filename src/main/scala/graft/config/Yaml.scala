@@ -1,0 +1,176 @@
+package graft.config
+
+import scala.collection.mutable
+
+/** Minimal YAML-subset parser for pipeline config files (SURVEY §2.1
+  * S12; reference `load_config`, src/utils/helpers.py:149-286 loads
+  * OmegaConf YAML → dict). No external dependency ships in this
+  * environment, so this hand-rolled parser covers exactly the subset
+  * the reference's config files (cfgs directory) use:
+  *
+  *  - flat `key: value` scalar entries
+  *  - scalars: `null`/`~`, `true`/`false` (any case), int, float
+  *    (incl. scientific `1e-4`), quoted and bare strings
+  *  - flow sequences `[a, b, [c]]` (arbitrarily nested)
+  *  - flow mappings `{ "k": v, ... }`, possibly spanning multiple
+  *    lines (track.yaml's `thresholds:` block)
+  *  - `#` comments (full-line and trailing) and blank lines
+  *
+  * Block-style nesting (indented sub-maps / `- ` lists) is NOT
+  * supported — none of the reference configs use it, and a silent
+  * partial parse would be worse than a loud error.
+  *
+  * Parsed values are Scala types: `null`, `Boolean`, `Long`, `Double`,
+  * `String`, `List[Any]`, `Map[String, Any]` — the same shapes
+  * OmegaConf's `to_container` yields, so override merging and dataclass
+  * dispatch mirror the reference exactly.
+  */
+object Yaml {
+
+  def parse(text: String): Map[String, Any] = {
+    val out = mutable.LinkedHashMap.empty[String, Any]
+    val lines = text.linesIterator.toArray
+    var i = 0
+    while (i < lines.length) {
+      val line = stripComment(lines(i))
+      if (line.trim.nonEmpty) {
+        val colon = indexOfKeyColon(line)
+        require(colon > 0, s"unsupported YAML line (need 'key: value'): ${lines(i)}")
+        require(!line.startsWith(" ") && !line.startsWith("\t"),
+          s"block-style nesting is not supported: ${lines(i)}")
+        val key = unquote(line.substring(0, colon).trim)
+        var rest = line.substring(colon + 1).trim
+        // flow collection spanning multiple lines: accumulate until
+        // brackets balance (comments stripped per physical line)
+        while (bracketDepth(rest) > 0 && i + 1 < lines.length) {
+          i += 1
+          rest = rest + " " + stripComment(lines(i)).trim
+        }
+        require(bracketDepth(rest) == 0, s"unbalanced brackets in value for '$key'")
+        out(key) = parseValue(rest)
+      }
+      i += 1
+    }
+    out.toMap
+  }
+
+  /** Scalar coercion for a single CLI `key=value` override — the same
+    * inference chain as the reference (int → float → bool → str,
+    * src/utils/helpers.py:120-132). NOT used for YAML values, which
+    * have their own literal syntax (`parseValue`).
+    */
+  def inferScalar(v: String): Any = {
+    val t = v.trim
+    toLong(t).getOrElse(
+      toDouble(t).getOrElse(
+        t.toLowerCase match {
+          case "true" => true
+          case "false" => false
+          case _ => t
+        }))
+  }
+
+  // ---- internals ----
+
+  /** Index of the key/value `:` — the first colon outside quotes. */
+  private def indexOfKeyColon(line: String): Int = {
+    var i = 0
+    var quote: Char = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') quote = c
+      else if (c == ':') return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Strips a `#` comment, respecting quotes. */
+  private def stripComment(line: String): String = {
+    var i = 0
+    var quote: Char = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') quote = c
+      else if (c == '#') return line.substring(0, i)
+      i += 1
+    }
+    line
+  }
+
+  private def bracketDepth(s: String): Int = {
+    var depth = 0
+    var quote: Char = 0
+    for (c <- s) {
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') quote = c
+      else if (c == '[' || c == '{') depth += 1
+      else if (c == ']' || c == '}') depth -= 1
+    }
+    depth
+  }
+
+  private[config] def parseValue(raw: String): Any = {
+    val s = raw.trim
+    if (s.isEmpty || s == "null" || s == "~") null
+    else if (s.startsWith("[")) parseFlowSeq(s)
+    else if (s.startsWith("{")) parseFlowMap(s)
+    else if (s.startsWith("\"") || s.startsWith("'")) unquote(s)
+    else s.toLowerCase match {
+      case "true" => true
+      case "false" => false
+      case _ => toLong(s).getOrElse(toDouble(s).getOrElse(s))
+    }
+  }
+
+  private def parseFlowSeq(s: String): List[Any] = {
+    require(s.endsWith("]"), s"unterminated sequence: $s")
+    splitTop(s.substring(1, s.length - 1)).map(parseValue)
+  }
+
+  private def parseFlowMap(s: String): Map[String, Any] = {
+    require(s.endsWith("}"), s"unterminated mapping: $s")
+    val entries = splitTop(s.substring(1, s.length - 1)).map { e =>
+      val colon = indexOfKeyColon(e)
+      require(colon > 0, s"mapping entry needs 'key: value': $e")
+      unquote(e.substring(0, colon).trim) -> parseValue(e.substring(colon + 1))
+    }
+    // LinkedHashMap via foldLeft keeps insertion order deterministic
+    entries.foldLeft(mutable.LinkedHashMap.empty[String, Any])(_ += _).toMap
+  }
+
+  /** Splits on top-level commas (outside brackets and quotes). */
+  private def splitTop(s: String): List[String] = {
+    val parts = mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    for (c <- s) {
+      if (quote != 0) { if (c == quote) quote = 0; cur += c }
+      else if (c == '"' || c == '\'') { quote = c; cur += c }
+      else if (c == '[' || c == '{') { depth += 1; cur += c }
+      else if (c == ']' || c == '}') { depth -= 1; cur += c }
+      else if (c == ',' && depth == 0) { parts += cur.result(); cur.clear() }
+      else cur += c
+    }
+    if (cur.result().trim.nonEmpty) parts += cur.result()
+    parts.toList.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def unquote(s: String): String =
+    if (s.length >= 2 && ((s.head == '"' && s.last == '"') ||
+      (s.head == '\'' && s.last == '\''))) s.substring(1, s.length - 1)
+    else s
+
+  private def toLong(s: String): Option[Long] =
+    try Some(java.lang.Long.parseLong(s)) catch { case _: NumberFormatException => None }
+
+  private def toDouble(s: String): Option[Double] =
+    try {
+      // reject Infinity/NaN words and trailing-garbage forms Java allows
+      if (s.exists(c => c.isLetter && c != 'e' && c != 'E') && !s.matches("[-+0-9.eE]+")) None
+      else Some(java.lang.Double.parseDouble(s))
+    } catch { case _: NumberFormatException => None }
+}

@@ -4,37 +4,48 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 
 /** Native codegen intersection SIZE of two SORTED DISTINCT
-  * `array<string>` columns — a two-pointer merge, no per-call hash set.
+  * `array<string>` or `array<bigint>` columns — a two-pointer merge,
+  * no per-call hash set.
   *
   * `size(array_intersect(a, b))` builds a hash set of one side for
-  * every row; on a similarity-verify join evaluating hundreds of
-  * thousands of candidate pairs (Dedup.jaccardPairs), that allocation
-  * dominates the stage. The merge is allocation-free and each element
-  * is compared at most once.
+  * every row; on a similarity-verify join evaluating millions of
+  * candidate pairs (Dedup.jaccardPairs), that allocation dominates the
+  * stage. The merge is allocation-free and each element is compared at
+  * most once. The `array<bigint>` form is the hot path: jaccardPairs
+  * fingerprints grams to 64-bit hashes map-side, so the per-pair merge
+  * compares longs (one branch each) instead of UTF8 byte strings.
   *
   * PRECONDITION (caller-enforced, see jaccardPairs): both arrays are
-  * sorted ascending by UTF8String binary order (`sort_array`) and
-  * element-distinct (`array_distinct`). Unsorted input silently
-  * undercounts — the sortedness contract is the caller's. Null
-  * ELEMENTS are skipped (they can't match anything), so the function
-  * is safe from arbitrary SQL via its session registration.
+  * sorted ascending (UTF8String binary order for strings, numeric for
+  * longs — both are `sort_array`'s order) and element-distinct.
+  * Unsorted input silently undercounts — the sortedness contract is
+  * the caller's. Null ELEMENTS are skipped (they can't match
+  * anything), so the function is safe from arbitrary SQL via its
+  * session registration. Mixed element types are a type-check error.
   */
 case class SortedIntersectSize(left: Expression, right: Expression)
     extends BinaryExpression {
 
   private def elemOk(dt: DataType): Boolean = dt match {
-    case ArrayType(StringType, _) => true
+    case ArrayType(StringType, _) | ArrayType(LongType, _) => true
     case _ => false
   }
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (elemOk(left.dataType) && elemOk(right.dataType)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"graft_inter_size expects array<string> on both sides, " +
-        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  private def isLong: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(lt, _), ArrayType(rt, _))
+        if elemOk(left.dataType) && lt == rt => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"graft_inter_size expects array<string> or array<bigint> on both sides " +
+        s"(same element type), got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
 
   override def dataType: DataType = IntegerType
 
@@ -45,6 +56,7 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val nx = x.numElements()
     val ny = y.numElements()
+    val longs = isLong
     var i = 0
     var j = 0
     var cnt = 0
@@ -52,7 +64,9 @@ case class SortedIntersectSize(left: Expression, right: Expression)
       if (x.isNullAt(i)) i += 1
       else if (y.isNullAt(j)) j += 1
       else {
-        val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        val c =
+          if (longs) java.lang.Long.compare(x.getLong(i), y.getLong(j))
+          else x.getUTF8String(i).compareTo(y.getUTF8String(j))
         if (c == 0) { cnt += 1; i += 1; j += 1 }
         else if (c < 0) i += 1
         else j += 1
@@ -69,6 +83,9 @@ case class SortedIntersectSize(left: Expression, right: Expression)
       val j = ctx.freshName("j")
       val cnt = ctx.freshName("cnt")
       val c = ctx.freshName("c")
+      val cmp =
+        if (isLong) s"Long.compare($a.getLong($i), $b.getLong($j))"
+        else s"$a.getUTF8String($i).compareTo($b.getUTF8String($j))"
       s"""
          |int $nx = $a.numElements();
          |int $ny = $b.numElements();
@@ -77,7 +94,7 @@ case class SortedIntersectSize(left: Expression, right: Expression)
          |  if ($a.isNullAt($i)) { $i++; }
          |  else if ($b.isNullAt($j)) { $j++; }
          |  else {
-         |    int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |    int $c = $cmp;
          |    if ($c == 0) { $cnt++; $i++; $j++; }
          |    else if ($c < 0) { $i++; } else { $j++; }
          |  }

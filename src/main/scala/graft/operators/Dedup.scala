@@ -132,12 +132,23 @@ object Dedup {
     * prefilter is invisible to results (a pure shuffle-volume
     * optimization — the thing that matters when |candidates| is
     * millions and gram arrays are hundreds of bytes each).
+    *
+    * Grams are FINGERPRINTED to 64-bit hashes (codegen'd `xxhash64`)
+    * map-side before sorting: the per-pair merge then compares longs —
+    * one branch each — instead of UTF8 byte strings, and each element
+    * is a fixed 8 bytes in the array payload regardless of gram
+    * length. Set sizes and intersections are preserved as long as the
+    * fingerprint is injective on the corpus vocabulary (a 64-bit hash
+    * collides two of V distinct grams with probability ≈ V²/2⁶⁵ —
+    * negligible below billions of distinct grams; the standard
+    * shingle-fingerprint trade from the MinHash literature).
     */
   def jaccardPairs(docs: DataFrame, candidates: DataFrame, n: Int = 1,
                    textCol: String = "text", minJaccard: Double = 0.0): DataFrame = {
     val grams = if (n == 1) Text.distinctTokens(col(textCol))
       else array_distinct(Text.shingles(Text.tokens(col(textCol)), n))
-    val sets = docs.select(col("doc_id"), sort_array(grams).as("grams"))
+    val sets = docs.select(col("doc_id"),
+      sort_array(transform(grams, g => xxhash64(g))).as("grams"))
     val pruned = if (minJaccard > 0.0) {
       val sizes = sets.select(col("doc_id"), size(col("grams")).as("sz"))
       candidates

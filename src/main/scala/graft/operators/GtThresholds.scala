@@ -37,19 +37,24 @@ object GtThresholds {
 
   /** A5 — normalized distance `1 − minmax(d, 0, max(d))`: needs the
     * global max first (two-pass; reference
-    * src/utils/feature_extraction.py:109-111). Window `max() over ()`
-    * keeps it one plan.
+    * src/utils/feature_extraction.py:109-111). The max is a scalar
+    * aggregate broadcast back over the rows — a partition-less window
+    * (`max() OVER ()`) would route every row through ONE task at scale,
+    * while the agg is a map-side partial + 1-row exchange.
     */
   def withNormalizedDistance(features: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val maxD = max("distance").over(Window.partitionBy())
-    features.withColumn("distance_norm",
-      lit(1.0) - Geometry.minMaxNorm(col("distance"), lit(0.0), maxD))
+    val mx = broadcast(features.agg(max("distance").as("__max_d")))
+    features.crossJoin(mx)
+      .withColumn("distance_norm",
+        lit(1.0) - Geometry.minMaxNorm(col("distance"), lit(0.0), col("__max_d")))
+      .drop("__max_d")
   }
 
   /** A3 — per-feature statistics: Mean/Median/StdDev/Min/Max. `np.std`
-    * is POPULATION std dev and the median is exact (reference
-    * src/utils/feature_extraction.py:106-122).
+    * is POPULATION std dev and the median is EXACT (reference
+    * src/utils/feature_extraction.py:106-122) — `percentile` sorts each
+    * group's values exactly (q16 proves engine parity for this form),
+    * unlike `percentile_approx` whose result depends on sketch accuracy.
     */
   def featureStats(features: DataFrame): DataFrame = {
     val feats = Seq("size_similarity", "distance", "appearance_similarity")
@@ -57,7 +62,7 @@ object GtThresholds {
       features.select(
         lit(f).as("feature"),
         avg(col(f)).as("mean"),
-        percentile_approx(col(f), lit(0.5), lit(1000000)).as("median"),
+        expr(s"percentile($f, 0.5)").as("median"),
         stddev_pop(col(f)).as("stddev"),
         min(col(f)).as("min"),
         max(col(f)).as("max"))

@@ -60,8 +60,12 @@ object RangeRank {
     val sumExpr = cum.map(_._1).getOrElse(lit(0))
     val tagged = df.withColumn("__bkt", bkt)
     // ≤ nb rows: the only data that ever leaves the executors
+    // coalesce: a bucket whose cum values are ALL NULL aggregates to a
+    // NULL sum — it must contribute 0 to later buckets' offsets, not
+    // poison them (and not silently unbox to 0 only on the driver).
     val perBucket = tagged.groupBy("__bkt")
-      .agg(count(lit(1)).as("__cnt"), sum(sumExpr).cast("long").as("__sum"))
+      .agg(count(lit(1)).as("__cnt"),
+        coalesce(sum(sumExpr).cast("long"), lit(0L)).as("__sum"))
       .collect()
       .map(r => (r.getAs[Int]("__bkt"), r.getAs[Long]("__cnt"), r.getAs[Long]("__sum")))
       .sortBy(r => if (descending) -r._1 else r._1)
@@ -78,10 +82,15 @@ object RangeRank {
     val ranked = tagged.join(offDf, Seq("__bkt"))
       .withColumn(rnkName,
         (row_number().over(w).cast("long") + col("__cnt_off")).cast("long"))
+    // coalesce: with NULL cum values, `sum() OVER` is NULL until the
+    // first non-NULL row — the global-window form carries EARLIER
+    // BUCKETS' sums forward through those rows, so the per-bucket form
+    // must yield __sum_off there, not NULL.
     val withCum = cum.fold(ranked) { case (c, name) =>
       ranked.withColumn(name,
-        (sum(c).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast("long") + col("__sum_off")).cast("long"))
+        (coalesce(
+          sum(c).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"), lit(0L)) + col("__sum_off")).cast("long"))
     }
     withCum.drop("__bkt", "__cnt_off", "__sum_off")
   }

@@ -342,21 +342,31 @@ object Tracker {
 
   /** Batch driver: per-sequence ordered kernel + F8 min-length filter.
     * Output is ready for `MotCsv.write` (S4).
+    *
+    * Frames are delivered in sorted order by `flatMapSortedGroups`
+    * (reference src/tracking.py:722; within a frame, dict order =
+    * insertion order = det-id order from the sorted CSV read, pinned
+    * here as the (frame, id) sort key). Spark's group sort rides the
+    * existing grouping shuffle — same exchange, extended sort key — and
+    * lets the kernel consume the stream ONE FRAME AT A TIME: task
+    * memory is the live track set + one frame's detections, not the
+    * whole sequence (`it.toArray` would OOM a task on a 10 M-frame
+    * sequence; the per-frame buffer is bounded by scene density).
     */
   def track(dets: Dataset[TrackerIn], cfg: TrackerConfig = TrackerConfig()): Dataset[SeqTrackOut] = {
     val spark = dets.sparkSession
     import spark.implicits._
-    val raw = dets.groupByKey(_.seq).flatMapGroups { (seq, it) =>
-      val rows = it.toArray
-      // Frames processed in sorted order (reference src/tracking.py:722);
-      // within a frame, dict order = insertion order = det-id order from
-      // the sorted CSV read, pinned here as (frame, id).
-      val byFrame = rows.groupBy(_.frame).toArray.sortBy(_._1)
-      val core = new Core(cfg)
-      byFrame.iterator.flatMap { case (frame, ds) =>
-        core.step(frame, ds.sortBy(_.id).toSeq).map(_.copy(seq = seq))
+    val raw = dets.groupByKey(_.seq)
+      .flatMapSortedGroups($"frame", $"id") { (seq: String, it: Iterator[TrackerIn]) =>
+        val core = new Core(cfg)
+        val buf = it.buffered
+        Iterator.continually(()).takeWhile(_ => buf.hasNext).flatMap { _ =>
+          val frame = buf.head.frame
+          val ds = mutable.ArrayBuffer.empty[TrackerIn]
+          while (buf.hasNext && buf.head.frame == frame) ds += buf.next()
+          core.step(frame, ds.toSeq).map(_.copy(seq = seq))
+        }
       }
-    }
     // F8 — min track length via window count (no second shuffle of a
     // groupBy+join: single hash partition by (seq, trackId)).
     import org.apache.spark.sql.expressions.Window

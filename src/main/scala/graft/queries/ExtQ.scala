@@ -238,6 +238,13 @@ object ExtQ {
     // grow state forever on a continuous stream (the 100 TB posture).
     // Under Trigger.AvailableNow the drain is exact — every event_id
     // emits exactly once — so the batch-distinct oracle still matches.
+    // That exactness leans on both union legs (one parquet file each)
+    // landing in ONE microbatch: a duplicate arriving in a later batch
+    // is only suppressed while its key is within the watermark delay.
+    // If source batching ever split the legs, the delay must cover the
+    // data's full event-time span (at sf0.1 the events table spans ~30
+    // days — a production config would size the delay from that span,
+    // trading state for dedup completeness; that trade IS the operator).
     Q("st2_stream_dedup",
       (s, d) => {
         val schema = Tables.events(s, d).schema

@@ -190,21 +190,94 @@ object KernelQ {
 
   /** T1/T4/T5/J3/F7/F8 oracle — a full recursive-CTE replay of the
     * no-Kalman tracker (`useKalman=false, useSpatialIndex=false,
-    * bidirectional=true, minTrackLength=2`). Without Kalman the frame
-    * step has no matrix state, and MUTUAL-BEST matching (unlike global
-    * greedy) is declarative per frame: track-best = first det index
-    * attaining the max gated similarity (strict `>` from 0.0 ⇒ max,
-    * first-wins), det-best among track-best pairs = first track index
-    * (buffer order = ascending creation order) attaining the max. The
-    * recursion therefore only carries the evolving track list — struct
-    * arrays updated with indexed list lambdas — plus the next-track-id
-    * counter, and emits each frame's matched/created rows at its own
-    * iteration. Validated row-identical against an independent python
-    * port at sf0.001 and sf0.01. Reference semantics:
-    * src/tracking.py:764-854 (step), 983-1011 (mutual best).
+    * minTrackLength=2`), parameterized over the per-frame MATCHER so
+    * both matching policies are covered:
+    *
+    *  - MUTUAL-BEST (k08, `bidirectional=true`): declarative per frame —
+    *    track-best = first det index attaining the max gated similarity
+    *    (strict `>` from 0.0 ⇒ max, first-wins), det-best among
+    *    track-best pairs = first track index (buffer order = ascending
+    *    creation order) attaining the max.
+    *  - GLOBAL GREEDY (k09, `bidirectional=false`, reference
+    *    src/tracking.py:1037-1133): ALL non-gated pairs — including
+    *    non-positive similarities, the kernel's matchGreedy has no
+    *    `> 0` floor — sorted (sim desc, track idx, det idx) exactly as
+    *    the kernel's stable sort over (track, det) build order, then
+    *    folded one-to-one with `list_reduce` (each element arrives
+    *    pre-assigned as {mt:[ti], md:[dj], out:[pair]}; the fold keeps
+    *    an element only when neither side is taken — the greedy scan).
+    *
+    * The recursion only carries the evolving track list — struct arrays
+    * updated with indexed list lambdas — plus the next-track-id counter,
+    * and emits each frame's matched/created rows at its own iteration.
+    * Validated row-identical against an independent python port at
+    * sf0.001 and sf0.01. Reference semantics: src/tracking.py:764-854
+    * (step), 983-1011 (mutual best), 1037-1133 (greedy).
     */
-  private val trackOracle: String = {
+  private def trackOracle(greedy: Boolean): String = {
     val simTD = k08Sim("t", "d")
+    // the aged-tracks source both matchers read (already stripped of
+    // margins — embedded verbatim inside the template below)
+    val agedSrc =
+      """(
+        |          SELECT s.seq, f.fidx, f.frameIdx, s.nid, f.ds,
+        |            list_transform(s.tks, t ->
+        |              {'tid': t.tid, 'x': t.x, 'y': t.y, 'w': t.w, 'h': t.h,
+        |               'e1': t.e1, 'e2': t.e2, 'did': t.did, 'tsu': t.tsu + 1}) AS aged
+        |          FROM step s JOIN fr2 f ON f.seq = s.seq AND f.fidx = s.fidx + 1
+        |        )""".stripMargin
+    // layers between `aged` and the frame update: produce `mt`, a list
+    // of {ti, dj} matched index pairs (1-based track/det positions)
+    val matchLayers =
+      if (!greedy)
+        s"""      SELECT seq, fidx, frameIdx, nid, ds, aged,
+      |        list_filter(tb, q ->
+      |          q.ti = list_min(list_transform(
+      |            list_filter(tb, r -> r.dj = q.dj AND r.s =
+      |              list_max(list_transform(list_filter(tb, u -> u.dj = q.dj), u -> u.s))),
+      |            r -> r.ti))) AS mt
+      |      FROM (
+      |        SELECT seq, fidx, frameIdx, nid, ds, aged,
+      |          list_filter(
+      |            list_transform(aged, (t, ti) ->
+      |              {'ti': ti,
+      |               'dj': list_position(
+      |                 list_transform(ds, d -> $simTD),
+      |                 list_max(list_filter(list_transform(ds, d -> $simTD),
+      |                                      v -> v IS NOT NULL AND v > 0.0))),
+      |               's': list_max(list_filter(list_transform(ds, d -> $simTD),
+      |                                         v -> v IS NOT NULL AND v > 0.0))}),
+      |            q -> q.dj IS NOT NULL) AS tb
+      |        FROM AGED_SRC
+      |      )""".stripMargin
+      else
+        // the greedy fold accumulates STRINGS, not lists: DuckDB 1.0's
+        // list_reduce silently drops list-valued accumulator state
+        // after two iterations (verified minimal repro), so taken
+        // track/det sets ride as '|id|' tokens and matches as a
+        // 'ti:dj;' run, parsed back to index structs after the fold
+        s"""      SELECT seq, fidx, frameIdx, nid, ds, aged,
+      |        CASE WHEN len(allp) = 0 THEN CAST([] AS STRUCT(ti INT, dj INT)[])
+      |          ELSE list_transform(
+      |            list_filter(string_split(list_reduce(
+      |              list_transform(list_sort(allp), p ->
+      |                {'mt': '|' || CAST(p.ti AS VARCHAR) || '|',
+      |                 'md': '|' || CAST(p.dj AS VARCHAR) || '|',
+      |                 'out': CAST(p.ti AS VARCHAR) || ':' || CAST(p.dj AS VARCHAR) || ';'}),
+      |              (a, e) -> CASE WHEN contains(a.mt, e.mt) OR contains(a.md, e.md) THEN a
+      |                ELSE {'mt': a.mt || e.mt, 'md': a.md || e.md,
+      |                      'out': a.out || e.out} END).out, ';'), x -> len(x) > 0),
+      |            x -> {'ti': CAST(string_split(x, ':')[1] AS INT),
+      |                  'dj': CAST(string_split(x, ':')[2] AS INT)}) END AS mt
+      |      FROM (
+      |        SELECT seq, fidx, frameIdx, nid, ds, aged,
+      |          list_filter(
+      |            flatten(list_transform(aged, (t, ti) ->
+      |              list_transform(ds, (d, dj) ->
+      |                {'k': -($simTD), 'ti': CAST(ti AS INT), 'dj': CAST(dj AS INT)}))),
+      |            p -> p.k IS NOT NULL) AS allp
+      |        FROM AGED_SRC
+      |      )""".stripMargin
     s"""WITH RECURSIVE ${Derived.gtCtes},
       |din AS (
       |  SELECT g.seq, g.frameIdx, g.id, g.x, g.y, g.w, g.h,
@@ -255,32 +328,7 @@ object KernelQ {
       |              'w': p.d.w, 'h': p.d.h, 'e1': p.d.e1,
       |              'e2': p.d.e2, 'did': p.d.id, 'tsu': 0}) AS created
       |    FROM (
-      |      SELECT seq, fidx, frameIdx, nid, ds, aged,
-      |        list_filter(tb, q ->
-      |          q.ti = list_min(list_transform(
-      |            list_filter(tb, r -> r.dj = q.dj AND r.s =
-      |              list_max(list_transform(list_filter(tb, u -> u.dj = q.dj), u -> u.s))),
-      |            r -> r.ti))) AS mt
-      |      FROM (
-      |        SELECT seq, fidx, frameIdx, nid, ds, aged,
-      |          list_filter(
-      |            list_transform(aged, (t, ti) ->
-      |              {'ti': ti,
-      |               'dj': list_position(
-      |                 list_transform(ds, d -> $simTD),
-      |                 list_max(list_filter(list_transform(ds, d -> $simTD),
-      |                                      v -> v IS NOT NULL AND v > 0.0))),
-      |               's': list_max(list_filter(list_transform(ds, d -> $simTD),
-      |                                         v -> v IS NOT NULL AND v > 0.0))}),
-      |            q -> q.dj IS NOT NULL) AS tb
-      |        FROM (
-      |          SELECT s.seq, f.fidx, f.frameIdx, s.nid, f.ds,
-      |            list_transform(s.tks, t ->
-      |              {'tid': t.tid, 'x': t.x, 'y': t.y, 'w': t.w, 'h': t.h,
-      |               'e1': t.e1, 'e2': t.e2, 'did': t.did, 'tsu': t.tsu + 1}) AS aged
-      |          FROM step s JOIN fr2 f ON f.seq = s.seq AND f.fidx = s.fidx + 1
-      |        )
-      |      )
+${matchLayers.replace("AGED_SRC", agedSrc)}
       |    )
       |  )
       |)
@@ -374,7 +422,31 @@ object KernelQ {
           .select(col("seq"), col("frame").cast("int").as("frame"),
             col("trackId"), col("detId"),
             col("x"), col("y"), col("w"), col("h"))
-      }, Some(trackOracle)),
+      }, Some(trackOracle(greedy = false))),
+
+    // J4/T1/T4/T5/F7/F8 — the GLOBAL-GREEDY matcher (bidirectional=
+    // false), fully oracle-checked like k08: same recursive replay,
+    // with the per-frame matcher swapped for the sorted-pair greedy
+    // fold. Together k08+k09 oracle both matching policies; only the
+    // Kalman-state variants (k03/k04/k05) remain rows-only (covered by
+    // ScalaTest goldens + tools/tracker_oracle.py instead).
+    Q("k09_track_greedy_nokalman",
+      (s, d) => {
+        import s.implicits._
+        val in = Derived.table(s, d, "gt_emb")
+          .select(col("seq"),
+            format_string("%06d", col("frameIdx")).as("frame"),
+            col("id"), col("x"), col("y"), col("w"), col("h"),
+            lit(1.0).as("conf"),
+            slice(col("emb"), 1, 2).as("emb"))
+          .as[TrackerIn]
+        Tracker.track(in, TrackerConfig(useKalman = false,
+            useSpatialIndex = false, bidirectional = false, minTrackLength = 2))
+          .toDF()
+          .select(col("seq"), col("frame").cast("int").as("frame"),
+            col("trackId"), col("detId"),
+            col("x"), col("y"), col("w"), col("h"))
+      }, Some(trackOracle(greedy = true))),
 
     // M7 — streaming host (flatMapGroupsWithState) run over the batch
     // source: must emit rows (batch/streaming parity is asserted in

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.File
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -21,13 +21,22 @@ object Compaction {
 
   final case class FileMeta(path: String, bytes: Long)
 
-  /** File-level manifest of a parquet directory. */
+  /** File-level manifest of a parquet directory. Listed through the
+    * Hadoop `FileSystem` resolved from the path's own scheme, so the
+    * same code walks local dirs in tests and HDFS/S3A prefixes where a
+    * 100 TB table actually lives (a `java.io.File` walk would silently
+    * return empty on any non-local URI).
+    */
   def manifest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val files = Option(new File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map(f => FileMeta(f.getAbsolutePath, f.length()))
-    spark.createDataset(files.toSeq).toDF()
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files =
+      if (!fs.exists(path)) Seq.empty[FileMeta]
+      else fs.listStatus(path).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(st => FileMeta(st.getPath.toUri.getPath, st.getLen))
+    spark.createDataset(files).toDF()
   }
 
   /** Rewrite `inDir` into `outDir` targeting `targetFileBytes` per

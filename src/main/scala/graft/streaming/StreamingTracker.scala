@@ -56,10 +56,20 @@ object StreamingTracker {
     * event time is behind `GroupState.getCurrentWatermarkMs` — cross-
     * SEQUENCE lateness bounds (a brand-new sequence key replaying old
     * frames) that the per-sequence lastFrame comparison alone cannot
-    * provide, and the contract Spark's state-store retention reasoning
-    * is built on. Streaming-only: the watermark (and the current-
-    * watermark getter) is undefined in batch execution — use `track`
-    * there.
+    * provide.
+    *
+    * State retention is REAL here, not just framing:
+    * `EventTimeTimeout` arms each sequence with a timeout at
+    * (last event time + delay); when the watermark passes it with no
+    * new frames, the callback fires with `hasTimedOut` and the state is
+    * REMOVED. By then every track would have aged out anyway (the delay
+    * is maxAge frames), so eviction loses nothing — a recording that
+    * ended simply stops occupying the state store, which is what bounds
+    * state when thousands of sequences come and go over days. A later
+    * frame for an evicted sequence starts a fresh tracker (ids restart),
+    * same as a brand-new sequence key. Streaming-only: the watermark
+    * (and timeout machinery) is undefined in batch execution — use
+    * `track` there.
     */
   def trackTimed(dets: Dataset[TimedTrackerIn],
                  cfg: TrackerConfig = TrackerConfig(),
@@ -71,23 +81,35 @@ object StreamingTracker {
       .as[TimedTrackerIn]
       .groupByKey(_.seq)
       .flatMapGroupsWithState[SeqState, SeqTrackOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (seq: String, rows: Iterator[TimedTrackerIn], state: GroupState[SeqState]) =>
-          val wmMs = state.getCurrentWatermarkMs()
-          val prior = state.getOption.getOrElse(SeqState("", 1, Array.empty))
-          val core = Tracker.restoreCore(cfg, prior)
-          val byFrame = rows
-            .filter(_.et.getTime >= wmMs) // event-time late-frame drop
-            .toArray.groupBy(_.frame).toArray.sortBy(_._1)
-          val out = byFrame.iterator
-            .filter { case (frame, _) => prior.lastFrame.isEmpty || frame > prior.lastFrame }
-            .flatMap { case (frame, ds) =>
-              core.step(frame, ds.sortBy(_.id).map(_.toIn).toSeq).map(_.copy(seq = seq))
-            }.toArray
-          val newLast = byFrame.lastOption.map(_._1).getOrElse(prior.lastFrame)
-          state.update(Tracker.snapshotCore(core,
-            if (newLast > prior.lastFrame) newLast else prior.lastFrame))
-          out.iterator
+          if (state.hasTimedOut) {
+            // idle past the delay: every track is already dead (gap >
+            // maxAge frames) — drop the sequence's state entirely
+            state.remove()
+            Iterator.empty
+          } else {
+            val wmMs = state.getCurrentWatermarkMs()
+            val prior = state.getOption.getOrElse(SeqState("", 1, Array.empty))
+            val core = Tracker.restoreCore(cfg, prior)
+            val kept = rows.filter(_.et.getTime >= wmMs).toArray // late drop
+            val byFrame = kept.groupBy(_.frame).toArray.sortBy(_._1)
+            val out = byFrame.iterator
+              .filter { case (frame, _) => prior.lastFrame.isEmpty || frame > prior.lastFrame }
+              .flatMap { case (frame, ds) =>
+                core.step(frame, ds.sortBy(_.id).map(_.toIn).toSeq).map(_.copy(seq = seq))
+              }.toArray
+            val newLast = byFrame.lastOption.map(_._1).getOrElse(prior.lastFrame)
+            state.update(Tracker.snapshotCore(core,
+              if (newLast > prior.lastFrame) newLast else prior.lastFrame))
+            // arm eviction at (last seen event time + delay); must stay
+            // strictly ahead of the watermark or Spark rejects it, so a
+            // batch of entirely-late rows re-arms relative to the wm
+            val maxEtMs = kept.iterator.map(_.et.getTime).foldLeft(Long.MinValue)(_ max _)
+            val base = math.max(maxEtMs, wmMs)
+            state.setTimeoutTimestamp(base + delaySec * 1000L + 1L)
+            out.iterator
+          }
       }
   }
 }

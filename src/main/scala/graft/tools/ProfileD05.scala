@@ -1,0 +1,34 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.{LocalSession, Tables}
+import graft.operators.Dedup
+
+/** Stage-by-stage wall-time breakdown of the d05 MinHash+LSH pipeline —
+  * a diagnostic main for local bisection (not part of the driver
+  * contract). Run: sbt "runMain graft.tools.ProfileD05".
+  */
+object ProfileD05 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = LocalSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.range(1000000).selectExpr("sum(id % 7)").collect()
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+    val docs = Tables.documents(spark, sfDir)
+    // COLD first: exactly what the bench's first d05 execution pays
+    // (scoredPairs = cache + count, then the query's own count).
+    val cold = Dedup.jaccardPairs(docs,
+      Dedup.minhashCandidates(docs, 16, 2), n = 1, minJaccard = 0.5).cache()
+    t("cold cache+count")(cold.count())
+    t("re-count (cached)")(cold.count())
+    cold.unpersist()
+    val full = Dedup.jaccardPairs(docs, Dedup.minhashCandidates(docs, 16, 2),
+      n = 1, minJaccard = 0.5)
+    t("warm full-pipeline")(full.count())
+    spark.stop()
+  }
+}

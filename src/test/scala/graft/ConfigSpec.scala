@@ -1,0 +1,139 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.config.{Configs, Yaml}
+import graft.operators.TrackerConfig
+
+/** S12 — YAML config + CLI overrides (reference helpers.py:36-286):
+  * the YAML-subset parser, int→float→bool→str override inference,
+  * wholesale override precedence, filename dispatch, and the required-
+  * dataset guard. YAML fixtures replicate the SHAPES of the reference's
+  * cfgs (flat scalars, nested flow lists, a multi-line flow map).
+  */
+class ConfigSpec extends AnyFunSuite {
+
+  private val trackYaml =
+    """# Data configuration
+      |dataset: null   # Required field
+      |seq_start_index: 0
+      |seq_length_limit: null
+      |
+      |use_kalman: True
+      |use_spatial_index: True
+      |bidirectional_matching: True
+      |
+      |thresholds: {
+      |    "appearance": 0.4764,
+      |    "distance": 99.18,
+      |    "size": 0.3143,
+      |}
+      |threshold_tolerance: 0.3
+      |get_gt_thresholds: False
+      |gt_thresholds: "hill/train"
+      |
+      |weight_appearance: 0.2
+      |weight_euclidean_distance: 0.2
+      |weight_kalman_distance: 0.5
+      |weight_size: 0.1
+      |
+      |max_age: 3
+      |min_iceberg_id_count: 1
+      |min_iceberg_size: 0.0
+      |
+      |process_noise: 10.0
+      |measurement_noise: 18.0
+      |""".stripMargin
+
+  test("YAML subset: scalars, null, bools, strings, comments") {
+    val m = Yaml.parse(trackYaml)
+    assert(m("dataset") == null)
+    assert(m("seq_start_index") == 0L)
+    assert(m("use_kalman") == true)
+    assert(m("get_gt_thresholds") == false)
+    assert(m("gt_thresholds") == "hill/train")
+    assert(m("threshold_tolerance") == 0.3)
+    assert(m("max_age") == 3L)
+  }
+
+  test("YAML subset: multi-line flow map and nested flow lists") {
+    val m = Yaml.parse(trackYaml)
+    assert(m("thresholds") == Map(
+      "appearance" -> 0.4764, "distance" -> 99.18, "size" -> 0.3143))
+    val d = Yaml.parse(
+      """anchor_sizes: [[16], [32], [64]]
+        |scales: [0.5, 1]
+        |learning_rate: 1e-4
+        |window_size: [1536, 1536]
+        |""".stripMargin)
+    assert(d("anchor_sizes") == List(List(16L), List(32L), List(64L)))
+    assert(d("scales") == List(0.5, 1L))
+    assert(d("learning_rate") == 1e-4)
+  }
+
+  test("override inference: int beats float beats bool beats string") {
+    assert(Yaml.inferScalar("7") == 7L)
+    assert(Yaml.inferScalar("0.7") == 0.7)
+    assert(Yaml.inferScalar("1e-4") == 1e-4)
+    assert(Yaml.inferScalar("True") == true)
+    assert(Yaml.inferScalar("false") == false)
+    assert(Yaml.inferScalar("hill/test") == "hill/test")
+  }
+
+  test("parseOverrides: cfg extracted, non-kv tokens ignored") {
+    val (cfg, ov) = Configs.parseOverrides(
+      Seq("track", "cfg=cfgs/track.yaml", "dataset=hill/test", "max_age=7"))
+    assert(cfg.contains("cfgs/track.yaml"))
+    assert(ov == Map("dataset" -> "hill/test", "max_age" -> 7L))
+  }
+
+  test("track config: YAML defaults + overrides → TrackerConfig") {
+    val cfg = Configs.load("cfgs/track.yaml", trackYaml,
+      Map("dataset" -> "hill/test", "max_age" -> 7L, "use_kalman" -> false))
+      .asInstanceOf[Configs.TrackRunConfig]
+    assert(cfg.dataset == "hill/test")
+    assert(cfg.tracker.maxAge == 7)               // override wins
+    assert(!cfg.tracker.useKalman)                // override wins
+    assert(cfg.tracker.thresholdAppearance == 0.4764) // YAML flow map
+    assert(cfg.tracker.thresholdDistance == 99.18)
+    assert(cfg.tracker.wKalman == 0.5)
+    assert(cfg.tracker.measurementNoise == 18.0)
+    assert(cfg.seqLengthLimit.isEmpty)            // explicit null
+    // untouched defaults survive
+    assert(cfg.tracker.bidirectional == TrackerConfig().bidirectional)
+  }
+
+  test("eval + detect dispatch by filename substring") {
+    val e = Configs.load("cfgs/eval.yaml",
+      "dataset: null\niou_threshold: 0.5\n", Map("dataset" -> "x"))
+      .asInstanceOf[Configs.EvalRunConfig]
+    assert(e.iouThreshold == 0.5)
+    val d = Configs.load("my/detect_custom.yaml",
+      """dataset: "hill/test"
+        |confidence_threshold: 0.1
+        |scales: [0.5, 1]
+        |window_size: [1536, 1536]
+        |num_epochs: 4
+        |""".stripMargin)
+      .asInstanceOf[Configs.DetectRunConfig]
+    assert(d.confidenceThreshold == 0.1)
+    assert(d.scales == Seq(0.5, 1.0))
+    assert(d.windowSize == ((1536, 1536)))
+    assert(d.extras("num_epochs") == 4L) // training keys carried, not dropped
+  }
+
+  test("missing dataset fails loudly; unknown config type fails loudly") {
+    val ex = intercept[IllegalArgumentException] {
+      Configs.load("cfgs/track.yaml", trackYaml) // dataset: null, no override
+    }
+    assert(ex.getMessage.contains("Dataset"))
+    intercept[IllegalArgumentException] {
+      Configs.load("cfgs/embed.yaml", "dataset: x\n")
+    }
+  }
+
+  test("block-style nesting is rejected, not silently mis-parsed") {
+    intercept[IllegalArgumentException] {
+      Yaml.parse("outer:\n  inner: 1\n")
+    }
+  }
+}

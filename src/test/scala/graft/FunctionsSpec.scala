@@ -127,6 +127,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r == 1)
   }
 
+  test("graft_inter_size long-array fast path == size(array_intersect)") {
+    // the hot verify path: grams fingerprinted to 64-bit hashes
+    val rng = new scala.util.Random(13)
+    val vocab = (0 until 40).map(i => s"tok$i")
+    val rows = Seq.fill(100)((
+      rng.shuffle(vocab).take(rng.nextInt(vocab.size) + 1).toArray,
+      rng.shuffle(vocab).take(rng.nextInt(vocab.size) + 1).toArray))
+    val df = rows.toDF("a", "b")
+      .select(sort_array(transform(array_distinct(col("a")), g => xxhash64(g))).as("a"),
+        sort_array(transform(array_distinct(col("b")), g => xxhash64(g))).as("b"))
+    val out = df.select(
+      call_function("graft_inter_size", col("a"), col("b")).as("merge"),
+      size(array_intersect(col("a"), col("b"))).as("builtin")).collect()
+    out.foreach(r => assert(r.getInt(0) == r.getInt(1), s"$r"))
+    // mixed element types rejected at analysis, not silently miscounted
+    intercept[org.apache.spark.sql.AnalysisException] {
+      rows.toDF("a", "b")
+        .select(sort_array(transform(col("a"), g => xxhash64(g))).as("a"),
+          sort_array(col("b")).as("b"))
+        .select(call_function("graft_inter_size", col("a"), col("b"))).collect()
+    }
+  }
+
   test("graft_dotq rounds half AWAY FROM ZERO on negative ties (matches Spark round + DuckDB)") {
     // Find a double d where d * 1e12 lands EXACTLY on n + 0.5, so the
     // tie rule is actually exercised (Math.round would give -n here;

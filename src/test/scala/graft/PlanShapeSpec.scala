@@ -86,14 +86,41 @@ class PlanShapeSpec extends AnyFunSuite {
     // exchange is fine; the killer is SinglePartition feeding a
     // Sort+Window (all rows sorted in one task) — detect by checking
     // the tree lines directly above each SinglePartition exchange.
+    // indent where the operator name starts — tree glyphs, the codegen
+    // star, and AQE section headers are prefix noise
+    def indentOf(line: String): Int =
+      line.indexWhere(c => !" :+-".contains(c))
+    def opName(line: String): String =
+      line.drop(math.max(indentOf(line), 0)).replaceFirst("""^\*\(\d+\)\s*""", "")
+    // operators that pass a single partition through unchanged — a
+    // Sort/Window above them still sorts ALL rows in one task
+    val passThrough = Seq("Project", "Filter", "AQEShuffleRead", "InputAdapter",
+      "WholeStageCodegen", "ColumnarToRow", "ReusedExchange", "Exchange")
     for (q <- Seq("a01_auc", "a02_average_precision", "o01_seeded_sample",
         "q13_minmax_norm")) {
       val lines = plan(q).linesIterator.toVector
       lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition")).foreach {
-        case (_, i) =>
-          val above = lines.slice(math.max(0, i - 3), i).mkString("\n")
-          assert(!above.contains("Window") && !above.contains("Sort "),
-            s"$q sorts/windows all rows in one partition:\n${lines.mkString("\n")}")
+        case (line, i) =>
+          // true ancestor chain: walking up, an ancestor is each line
+          // with strictly less indentation than any seen so far (a
+          // fixed 3-line slice missed Sort/Window separated from the
+          // exchange by interposed Project/Filter under AQE)
+          var ind = indentOf(line)
+          var j = i - 1
+          var blocking = false
+          while (j >= 0 && ind > 0 && !blocking) {
+            val lj = indentOf(lines(j))
+            if (lj >= 0 && lj < ind) {
+              val op = opName(lines(j))
+              assert(!op.startsWith("Window") && !op.startsWith("Sort"),
+                s"$q sorts/windows all rows in one partition:\n${lines.mkString("\n")}")
+              // a non-pass-through ancestor (e.g. the scalar HashAggregate)
+              // reshapes the data — Sort/Window above IT is fine
+              blocking = !passThrough.exists(op.startsWith)
+              ind = lj
+            }
+            j -= 1
+          }
       }
     }
     assert(plan("o01_seeded_sample").contains("TakeOrderedAndProject"),

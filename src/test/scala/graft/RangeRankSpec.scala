@@ -73,6 +73,32 @@ class RangeRankSpec extends AnyFunSuite {
     check(mkDf(rows), descending = false)
   }
 
+  test("NULL cum values: later buckets still carry earlier sums forward") {
+    // v is NULL for the entire low-score range: those buckets' sums are
+    // NULL-aggregates and must contribute 0 to later buckets' offsets
+    // (not poison them to NULL). Reference = global window semantics,
+    // except the all-NULL PREFIX rows themselves, where SQL sum() is
+    // NULL and RangeRank deliberately yields 0 (documented coalesce).
+    val rows = (1L to 200L).map { i =>
+      val v: java.lang.Long = if (i <= 100) null else java.lang.Long.valueOf(i)
+      (i, java.lang.Double.valueOf(i.toDouble), v)
+    }
+    val df = rows.toDF("id", "score", "v").repartition(7)
+    val got = RangeRank.withGlobalRank(df, col("score"), col("id"),
+      descending = false, "rnk", cum = Some((col("v"), "cum")), nb = 8)
+    val w = Window.orderBy(col("score").asc, col("id").asc)
+    val ref = df.withColumn("cum_ref",
+      sum("v").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+    val joined = ref.join(got.select("id", "cum"), Seq("id"))
+    // non-prefix rows (id > 100): exact match with the global window
+    val bad = joined.filter(col("id") > 100 && col("cum") =!= col("cum_ref"))
+    assert(bad.isEmpty, s"mismatches: ${bad.collect().mkString(", ")}")
+    // all-NULL prefix: 0, never NULL (getAs would have unboxed garbage)
+    val prefix = got.filter(col("id") <= 100).select("cum").collect()
+    assert(prefix.forall(r => !r.isNullAt(0) && r.getLong(0) == 0L))
+  }
+
   test("empty input returns empty with the rank columns present") {
     val df = mkDf(Seq.empty)
     val got = RangeRank.withGlobalRank(df, col("score"), col("id"),

@@ -151,4 +151,63 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(got == Seq((0L, 1L), (61 * min / (10 * min) * 10 * min, 1L)),
       s"got=$got")
   }
+
+  test("trackTimed: event-time timeout evicts idle sequence state; late frames drop") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.streaming.TimedTrackerIn
+
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    def tdet(seq: String, frame: Int, id: Int, x: Double, y: Double, etSec: Long) =
+      TimedTrackerIn(seq, f"$frame%06d", id, x, y, 30, 30, 0.9, emb, ts(etSec))
+
+    // delay = maxAge (3) frames = 3 s. Batch plan (maxFilesPerTrigger=1):
+    //  0: seq a frames 1..3 (et 1..3 s)       → track 1 emitted
+    //  1: seq b frame 1 (et 1000 s)           → wm after batch: 997 s
+    //  2: seq b frame 2 (et 1001 s)           → a's timeout (≈7 s) fires
+    //     with wm 997 s: a's state REMOVED
+    //  3: seq a frame 2 REPLAYED with two far-apart dets (et 1002 s) —
+    //     accepted only because a's state (lastFrame 000003) was
+    //     evicted; a fresh tracker emits track ids 1 AND 2.
+    //     seq d frame 1 at et 5 s — behind the watermark: DROPPED
+    //     (new key, so only the wm filter can drop it).
+    val batches = Seq(
+      (1 to 3).map(f => tdet("a", f, 0, 5.0 * f, 10, f.toLong)),
+      Seq(tdet("b", 1, 0, 50, 50, 1000)),
+      Seq(tdet("b", 2, 0, 55, 50, 1001)),
+      Seq(tdet("a", 2, 0, 10, 10, 1002), tdet("a", 2, 1, 600, 600, 1002),
+        tdet("d", 1, 0, 100, 100, 5)))
+
+    val dir = Files.createTempDirectory("timed_dets").toString
+    batches.zipWithIndex.foreach { case (ds, i) =>
+      spark.createDataset(ds).coalesce(1).write.parquet(s"$dir/batch=$i")
+    }
+
+    val schema = spark.createDataset(batches.head).schema
+    val name = "timed_evict_out"
+    val q = StreamingTracker.trackTimed(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .as[TimedTrackerIn],
+        TrackerConfig())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val out = spark.table(name).as[graft.operators.SeqTrackOut].collect().toSeq
+
+    // watermark drop: seq d's only frame was behind the watermark
+    assert(!out.exists(_.seq == "d"), s"late seq-d frame not dropped: $out")
+    // eviction: frame 000002 for seq a appears from BOTH lives — once
+    // from batch 0 (track 1) and twice from the fresh post-eviction
+    // tracker (ids restart at 1, two dets → ids 1 and 2). Retained
+    // state would have dropped the replay (lastFrame 000003) entirely.
+    val aAtF2 = out.filter(r => r.seq == "a" && r.frame == "000002")
+    assert(aAtF2.size == 3, s"expected replay after eviction, got: $aAtF2")
+    assert(aAtF2.map(_.trackId).sorted == Seq(1, 1, 2),
+      s"fresh tracker should restart ids: $aAtF2")
+    // the original life emitted frames 1..3 on one track
+    assert(out.count(r => r.seq == "a" && r.frame <= "000003" &&
+      r.trackId == 1) >= 3)
+  }
 }
