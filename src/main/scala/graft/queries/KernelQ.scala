@@ -6,15 +6,19 @@ import graft.operators.{DetBox, Nms, Tracker, TrackerConfig, TrackerIn}
 import graft.sources.Multimodal
 import graft.streaming.StreamingTracker
 
-/** Sequential-kernel queries (SURVEY §7.1 layer 2). The greedy
-  * suppression kernels (k01/k02) ARE oracle-checked despite being
-  * order-dependent: the DuckDB oracle replays the exact greedy scan as
-  * a recursive CTE — pairwise suppress/block/evict relations are
-  * precomputed vectorized, then the recursion carries the kept-list
-  * through the scan order (see the SQL below; validated row-identical
-  * against both the Scala kernels and the independent python port in
-  * tools/nms_oracle.py). The tracker kernels (Kalman state) stay
-  * rows-only — covered by ScalaTest goldens + tools/tracker_oracle.py.
+/** Sequential-kernel queries (SURVEY §7.1 layer 2). EVERY kernel here
+  * is oracle-checked despite being order- and state-dependent: the
+  * DuckDB oracles replay the exact sequential scans as recursive CTEs —
+  * pairwise suppress/block/evict relations precomputed vectorized for
+  * the NMS kernels (k01/k02), and the full per-frame tracker step
+  * (predict → match → update → delete → create → emit) replayed
+  * state-recursively for ALL FOUR tracker configs: no-Kalman
+  * mutual-best (k08), no-Kalman greedy (k09), and the Kalman + spatial
+  * index pair (k03 bidirectional, k04 greedy) via the block-diagonal
+  * Kalman transcription in `kalmanTrackOracle`; the streaming host
+  * (k05) checks against the same oracle as k03. Independent python
+  * ports in tools/nms_oracle.py + tools/tracker_oracle.py cross-check
+  * the same kernels.
   */
 object KernelQ {
 
@@ -26,17 +30,28 @@ object KernelQ {
       .as[DetBox]
   }
 
+  /** gt boxes + per-(id,frame) embeddings as the tracker's detection
+    * stream; frame zero-padded so lexicographic order == numeric order.
+    * The embedding is sliced to 2 dims so the oracle's appearance cosine
+    * is exact shared-text arithmetic on both sides (the full-dim cosine
+    * path is covered by TrackerSpec).
+    */
   private def trackerInput(s: org.apache.spark.sql.SparkSession, d: String) = {
     import s.implicits._
-    // gt boxes + per-(id,frame) embeddings as the tracker's detection
-    // stream; frame zero-padded so lexicographic order == numeric order.
     Derived.table(s, d, "gt_emb")
       .select(col("seq"),
         format_string("%06d", col("frameIdx")).as("frame"),
         col("id"), col("x"), col("y"), col("w"), col("h"),
-        lit(1.0).as("conf"), col("emb"))
+        lit(1.0).as("conf"), slice(col("emb"), 1, 2).as("emb"))
       .as[TrackerIn]
   }
+
+  /** Shared output projection for the oracle-checked tracker queries. */
+  private def trackRows(out: org.apache.spark.sql.Dataset[graft.operators.SeqTrackOut]) =
+    out.toDF()
+      .select(col("seq"), col("frame").cast("int").as("frame"),
+        col("trackId"), col("detId"),
+        col("x"), col("y"), col("w"), col("h"))
 
   /** Per-frame greedy-NMS oracle: boxes ordered (score desc, id asc)
     * per (seq, frame); `sup_pairs` holds every ordered pair whose IoU
@@ -338,6 +353,233 @@ ${matchLayers.replace("AGED_SRC", agedSrc)}
       |QUALIFY count(*) OVER (PARTITION BY seq, trackId) >= 2""".stripMargin
   }
 
+  /** Gated similarity of the FULL default tracker config (`useKalman=
+    * true, useSpatialIndex=true`) over an aged-track struct `t` and a
+    * detection struct `d`, as SQL text. Three gates precede the fusion:
+    *
+    *  1. SPATIAL-INDEX RADIUS (J1/E12): the grid index + exact post-
+    *     filter is semantically `centerDist(predicted, det) <= max(
+    *     2·sqrt(Pxx+Pyy), thresholdDistance·(1+tolerance))` (reference
+    *     src/tracking.py:442-554 — the grid only prunes, the post-filter
+    *     decides). `dk` is bit-identical to the in-kernel distance:
+    *     (a-b)² == (b-a)² exactly in IEEE.
+    *  2. size gate, 3. appearance gate — as the no-Kalman oracle.
+    *
+    * Fusion differs from k08Sim only in the third term: the Kalman
+    * distance uses the PREDICTED bbox (post-predict state x₀,x₁,x₄,x₅)
+    * while the Euclidean term keeps the last matched bbox.
+    */
+  private def kalmanGsim(t: String, d: String): String = {
+    val sizeS = s"(CASE WHEN $t.lw * $t.lh = 0.0 OR $d.w * $d.h = 0.0 THEN 0.0 " +
+      s"ELSE least($t.lw * $t.lh, $d.w * $d.h) / greatest($t.lw * $t.lh, $d.w * $d.h) END)"
+    val appS = s"(CASE WHEN $t.e1 * $t.e1 + $t.e2 * $t.e2 = 0.0 " +
+      s"OR $d.e1 * $d.e1 + $d.e2 * $d.e2 = 0.0 THEN 0.5 " +
+      s"ELSE (($t.e1 * $d.e1 + $t.e2 * $d.e2) / " +
+      s"(sqrt($t.e1 * $t.e1 + $t.e2 * $t.e2) * sqrt($d.e1 * $d.e1 + $d.e2 * $d.e2)) + 1.0) / 2.0 END)"
+    val de = s"sqrt((($t.lx + $t.lw / 2) - ($d.x + $d.w / 2)) * (($t.lx + $t.lw / 2) - ($d.x + $d.w / 2)) " +
+      s"+ (($t.ly + $t.lh / 2) - ($d.y + $d.h / 2)) * (($t.ly + $t.lh / 2) - ($d.y + $d.h / 2)))"
+    val dk = s"sqrt((($t.px + $t.kw / 2) - ($d.x + $d.w / 2)) * (($t.px + $t.kw / 2) - ($d.x + $d.w / 2)) " +
+      s"+ (($t.py + $t.kh / 2) - ($d.y + $d.h / 2)) * (($t.py + $t.kh / 2) - ($d.y + $d.h / 2)))"
+    s"(CASE WHEN $dk > greatest(2.0 * sqrt($t.xa + $t.ya), 99.18 * (1 + 0.3)) THEN NULL " +
+      s"WHEN $sizeS < 0.3143 * (1 - 0.3) THEN NULL " +
+      s"WHEN $appS < 0.4764 * (1 - 0.3) THEN NULL " +
+      s"ELSE (($appS - 0.4764) / (1.0 - 0.4764) * 0.2 " +
+      s"+ (1 - $de / 99.18) * 0.2 + (1 - $dk / 99.18) * 0.5 " +
+      s"+ ($sizeS - 0.3143) / (1.0 - 0.3143) * 0.1) / (0.2 + 0.2 + 0.5 + 0.1) END)"
+  }
+
+  /** T1–T6 oracle for the KALMAN-bearing tracker configs — the same
+    * recursive replay as `trackOracle`, with the per-track state widened
+    * to carry the Kalman filter.
+    *
+    * WHY THIS IS EXACT (and small): with P₀ = 100·I, Q = q·I, R = r·I
+    * and the constant-velocity F coupling only (x,vx) and (y,vy) while H
+    * observes (x,y,w,h), the 6×6 covariance of `graft.mot.Kalman` stays
+    * EXACTLY block-diagonal forever — two 2×2 blocks for (x,vx),(y,vy)
+    * and two scalars for w,h. Cross-block entries start at 0.0 and every
+    * predict/update arithmetic path feeds them only products with 0.0,
+    * which IEEE-754 keeps at ±0.0; ±0.0 contributions to sums leave all
+    * other doubles bit-identical. Each 6×6/4×4 matrix op therefore
+    * degenerates to a short scalar sequence whose association order is
+    * transcribed below EXACTLY as Kalman.scala executes it (e.g. the
+    * gain is `xa * (1.0/s)` — two roundings, matching Gauss-Jordan's
+    * row-divide then K = PHᵀS⁻¹ — NOT `xa/s`; the Joseph form's
+    * `((1-k1)·xa)·(1-k1) + r·(k1·k1)` keeps mulT's association). Per
+    * 2×2 block the carried state is (pos, vel, a=P₀₀, b=P₀₂, c=P₂₀,
+    * d=P₂₂) — b and c are tracked separately because Joseph's APAᵀ
+    * computes them with different association (bit-level asymmetry the
+    * next predict reads on both sides).
+    *
+    * The decisions (gates, argmax, greedy order) are what must match —
+    * emitted bboxes are raw detection coords — and bit-exact state gives
+    * bit-exact decisions. Matcher layers are shared with the no-Kalman
+    * oracle, with the spatial-index radius gate added inside the
+    * similarity (reference fallback without the index has no gate).
+    * Validated row-identical vs the Scala kernel at sf0.001/sf0.01.
+    * Reference: src/tracking.py:234-369 (filterpy config), 764-854
+    * (step), 407-435 (2σ search radius).
+    */
+  private def kalmanTrackOracle(greedy: Boolean): String = {
+    val gsim = kalmanGsim("t", "d")
+    val agedSrc =
+      """(
+        |          SELECT s.seq, f.fidx, f.frameIdx, s.nid, f.ds,
+        |            list_transform(s.tks, t ->
+        |              {'tid': t.tid, 'did': t.did, 'tsu': t.tsu + 1,
+        |               'lx': t.lx, 'ly': t.ly, 'lw': t.lw, 'lh': t.lh,
+        |               'e1': t.e1, 'e2': t.e2,
+        |               'px': t.px + t.vx, 'vx': t.vx,
+        |               'xa': ((t.xa + t.xc) + (t.xb + t.xd)) + 10.0,
+        |               'xb': t.xb + t.xd, 'xc': t.xc + t.xd, 'xd': t.xd + 10.0,
+        |               'py': t.py + t.vy, 'vy': t.vy,
+        |               'ya': ((t.ya + t.yc) + (t.yb + t.yd)) + 10.0,
+        |               'yb': t.yb + t.yd, 'yc': t.yc + t.yd, 'yd': t.yd + 10.0,
+        |               'kw': t.kw, 'wp': t.wp + 10.0,
+        |               'kh': t.kh, 'hp': t.hp + 10.0}) AS aged
+        |          FROM step s JOIN fr2 f ON f.seq = s.seq AND f.fidx = s.fidx + 1
+        |        )""".stripMargin
+    val matchLayers =
+      if (!greedy)
+        s"""      SELECT seq, fidx, frameIdx, nid, ds, aged,
+      |        list_filter(tb, q ->
+      |          q.ti = list_min(list_transform(
+      |            list_filter(tb, r -> r.dj = q.dj AND r.s =
+      |              list_max(list_transform(list_filter(tb, u -> u.dj = q.dj), u -> u.s))),
+      |            r -> r.ti))) AS mt
+      |      FROM (
+      |        SELECT seq, fidx, frameIdx, nid, ds, aged,
+      |          list_filter(
+      |            list_transform(aged, (t, ti) ->
+      |              {'ti': ti,
+      |               'dj': list_position(
+      |                 list_transform(ds, d -> $gsim),
+      |                 list_max(list_filter(list_transform(ds, d -> $gsim),
+      |                                      v -> v IS NOT NULL AND v > 0.0))),
+      |               's': list_max(list_filter(list_transform(ds, d -> $gsim),
+      |                                         v -> v IS NOT NULL AND v > 0.0))}),
+      |            q -> q.dj IS NOT NULL) AS tb
+      |        FROM AGED_SRC
+      |      )""".stripMargin
+      else
+        s"""      SELECT seq, fidx, frameIdx, nid, ds, aged,
+      |        CASE WHEN len(allp) = 0 THEN CAST([] AS STRUCT(ti INT, dj INT)[])
+      |          ELSE list_transform(
+      |            list_filter(string_split(list_reduce(
+      |              list_transform(list_sort(allp), p ->
+      |                {'mt': '|' || CAST(p.ti AS VARCHAR) || '|',
+      |                 'md': '|' || CAST(p.dj AS VARCHAR) || '|',
+      |                 'out': CAST(p.ti AS VARCHAR) || ':' || CAST(p.dj AS VARCHAR) || ';'}),
+      |              (a, e) -> CASE WHEN contains(a.mt, e.mt) OR contains(a.md, e.md) THEN a
+      |                ELSE {'mt': a.mt || e.mt, 'md': a.md || e.md,
+      |                      'out': a.out || e.out} END).out, ';'), x -> len(x) > 0),
+      |            x -> {'ti': CAST(string_split(x, ':')[1] AS INT),
+      |                  'dj': CAST(string_split(x, ':')[2] AS INT)}) END AS mt
+      |      FROM (
+      |        SELECT seq, fidx, frameIdx, nid, ds, aged,
+      |          list_filter(
+      |            flatten(list_transform(aged, (t, ti) ->
+      |              list_transform(ds, (d, dj) ->
+      |                {'k': -($gsim), 'ti': CAST(ti AS INT), 'dj': CAST(dj AS INT)}))),
+      |            p -> p.k IS NOT NULL) AS allp
+      |        FROM AGED_SRC
+      |      )""".stripMargin
+    s"""WITH RECURSIVE ${Derived.gtCtes},
+      |din AS (
+      |  SELECT g.seq, g.frameIdx, g.id, g.x, g.y, g.w, g.h,
+      |         CAST(e.embedding[1] AS DOUBLE) AS e1,
+      |         CAST(e.embedding[2] AS DOUBLE) AS e2
+      |  FROM gt g JOIN embeddings e ON e.vec_id = (g.id * 7 + g.frameIdx) % 500
+      |),
+      |fr2 AS MATERIALIZED (
+      |  SELECT seq, frameIdx, ds,
+      |    CAST(row_number() OVER (PARTITION BY seq ORDER BY frameIdx) AS INT) AS fidx
+      |  FROM (
+      |    SELECT seq, frameIdx,
+      |      list({'id': id, 'x': x, 'y': y, 'w': w, 'h': h, 'e1': e1, 'e2': e2} ORDER BY id) AS ds
+      |    FROM din GROUP BY seq, frameIdx)
+      |),
+      |step(seq, fidx, frameIdx, tks, nid, emit) AS (
+      |  SELECT seq, 0, -1,
+      |    CAST([] AS STRUCT(tid INT, did INT, tsu INT,
+      |                      lx DOUBLE, ly DOUBLE, lw DOUBLE, lh DOUBLE,
+      |                      e1 DOUBLE, e2 DOUBLE,
+      |                      px DOUBLE, vx DOUBLE,
+      |                      xa DOUBLE, xb DOUBLE, xc DOUBLE, xd DOUBLE,
+      |                      py DOUBLE, vy DOUBLE,
+      |                      ya DOUBLE, yb DOUBLE, yc DOUBLE, yd DOUBLE,
+      |                      kw DOUBLE, wp DOUBLE, kh DOUBLE, hp DOUBLE)[]),
+      |    1,
+      |    CAST([] AS STRUCT(tid INT, did INT, x DOUBLE, y DOUBLE, w DOUBLE, h DOUBLE)[])
+      |  FROM (SELECT DISTINCT seq FROM din)
+      |  UNION ALL
+      |  SELECT seq, fidx, frameIdx,
+      |    list_concat(kept, created) AS tks,
+      |    nid + len(created) AS nid,
+      |    list_transform(
+      |      list_filter(list_concat(kept, created), t -> t.tsu = 0),
+      |      t -> {'tid': t.tid, 'did': t.did, 'x': t.lx, 'y': t.ly, 'w': t.lw, 'h': t.lh}) AS emit
+      |  FROM (
+      |    SELECT seq, fidx, frameIdx, nid, ds, mt,
+      |      list_transform(
+      |        list_transform(
+      |          list_filter(
+      |            list_transform(aged, (t, i) -> {'t': t,
+      |              'mdj': list_min(list_transform(list_filter(mt, m -> m.ti = i), m -> m.dj))}),
+      |            p -> p.mdj IS NOT NULL OR p.t.tsu <= 3),
+      |          p -> {'t': p.t, 'mdj': p.mdj,
+      |            'k1x': p.t.xa * (1.0 / (p.t.xa + 18.0)),
+      |            'k2x': p.t.xc * (1.0 / (p.t.xa + 18.0)),
+      |            'rx': ds[p.mdj].x - p.t.px,
+      |            'k1y': p.t.ya * (1.0 / (p.t.ya + 18.0)),
+      |            'k2y': p.t.yc * (1.0 / (p.t.ya + 18.0)),
+      |            'ry': ds[p.mdj].y - p.t.py,
+      |            'kkw': p.t.wp * (1.0 / (p.t.wp + 18.0)),
+      |            'rw': ds[p.mdj].w - p.t.kw,
+      |            'kkh': p.t.hp * (1.0 / (p.t.hp + 18.0)),
+      |            'rh': ds[p.mdj].h - p.t.kh}),
+      |        p -> CASE WHEN p.mdj IS NOT NULL
+      |          THEN {'tid': p.t.tid, 'did': ds[p.mdj].id, 'tsu': 0,
+      |                'lx': ds[p.mdj].x, 'ly': ds[p.mdj].y,
+      |                'lw': ds[p.mdj].w, 'lh': ds[p.mdj].h,
+      |                'e1': ds[p.mdj].e1, 'e2': ds[p.mdj].e2,
+      |                'px': p.t.px + p.k1x * p.rx, 'vx': p.t.vx + p.k2x * p.rx,
+      |                'xa': ((1 - p.k1x) * p.t.xa) * (1 - p.k1x) + 18.0 * (p.k1x * p.k1x),
+      |                'xb': (((1 - p.k1x) * p.t.xa) * (0.0 - p.k2x) + (1 - p.k1x) * p.t.xb) + 18.0 * (p.k1x * p.k2x),
+      |                'xc': (((0.0 - p.k2x) * p.t.xa + p.t.xc) * (1 - p.k1x)) + 18.0 * (p.k2x * p.k1x),
+      |                'xd': ((((0.0 - p.k2x) * p.t.xa + p.t.xc) * (0.0 - p.k2x)) + ((0.0 - p.k2x) * p.t.xb + p.t.xd)) + 18.0 * (p.k2x * p.k2x),
+      |                'py': p.t.py + p.k1y * p.ry, 'vy': p.t.vy + p.k2y * p.ry,
+      |                'ya': ((1 - p.k1y) * p.t.ya) * (1 - p.k1y) + 18.0 * (p.k1y * p.k1y),
+      |                'yb': (((1 - p.k1y) * p.t.ya) * (0.0 - p.k2y) + (1 - p.k1y) * p.t.yb) + 18.0 * (p.k1y * p.k2y),
+      |                'yc': (((0.0 - p.k2y) * p.t.ya + p.t.yc) * (1 - p.k1y)) + 18.0 * (p.k2y * p.k1y),
+      |                'yd': ((((0.0 - p.k2y) * p.t.ya + p.t.yc) * (0.0 - p.k2y)) + ((0.0 - p.k2y) * p.t.yb + p.t.yd)) + 18.0 * (p.k2y * p.k2y),
+      |                'kw': p.t.kw + p.kkw * p.rw,
+      |                'wp': ((1 - p.kkw) * p.t.wp) * (1 - p.kkw) + 18.0 * (p.kkw * p.kkw),
+      |                'kh': p.t.kh + p.kkh * p.rh,
+      |                'hp': ((1 - p.kkh) * p.t.hp) * (1 - p.kkh) + 18.0 * (p.kkh * p.kkh)}
+      |          ELSE p.t END) AS kept,
+      |      list_transform(
+      |        list_filter(
+      |          list_transform(ds, (d, i) -> {'d': d, 'i': i}),
+      |          p -> len(list_filter(mt, m -> m.dj = p.i)) = 0),
+      |        (p, j) -> {'tid': nid + j - 1, 'did': p.d.id, 'tsu': 0,
+      |              'lx': p.d.x, 'ly': p.d.y, 'lw': p.d.w, 'lh': p.d.h,
+      |              'e1': p.d.e1, 'e2': p.d.e2,
+      |              'px': p.d.x, 'vx': 0.0,
+      |              'xa': 100.0, 'xb': 0.0, 'xc': 0.0, 'xd': 100.0,
+      |              'py': p.d.y, 'vy': 0.0,
+      |              'ya': 100.0, 'yb': 0.0, 'yc': 0.0, 'yd': 100.0,
+      |              'kw': p.d.w, 'wp': 100.0,
+      |              'kh': p.d.h, 'hp': 100.0}) AS created
+      |    FROM (
+${matchLayers.replace("AGED_SRC", agedSrc)}
+      |    )
+      |  )
+      |)
+      |SELECT seq, frameIdx AS frame, u.tid AS trackId, u.did AS detId,
+      |       u.x AS x, u.y AS y, u.w AS w, u.h AS h
+      |FROM (SELECT seq, frameIdx, unnest(emit) AS u FROM step WHERE fidx > 0)""".stripMargin
+  }
+
   /** BASELINE.md anchor derivation ("1000 frames × 50 objects" ≈ 50k gt
     * rows from lineitem). SHARED TEXT: Spark runs it via spark.sql
     * (nested subqueries — see Derived for why not WITH) and the oracle
@@ -381,25 +623,19 @@ ${matchLayers.replace("AGED_SRC", agedSrc)}
             col("id"), col("score"))
       }, Some(nestedOracle)),
 
-    // T1–T6 — the full batch tracker: Kalman + spatial index +
-    // bidirectional matching + lifecycle + min-length filter.
+    // T1–T6 — the FULL default tracker (Kalman + spatial index +
+    // bidirectional matching + lifecycle), fully oracle-checked: the
+    // Kalman recursive-CTE replay above reproduces every emitted row.
     Q("k03_track",
-      (s, d) => {
-        val out = Tracker.track(trackerInput(s, d), TrackerConfig())
-        out.toDF().groupBy("seq").agg(
-          count(lit(1)).as("n_rows"),
-          countDistinct("trackId").as("n_tracks"),
-          max("trackId").cast("long").as("max_track_id"))
-      }, None),
+      (s, d) => trackRows(Tracker.track(trackerInput(s, d), TrackerConfig())),
+      Some(kalmanTrackOracle(greedy = false))),
 
-    // J4 — same tracker under pure-greedy global matching.
+    // J4 — same full tracker under pure-greedy global matching, also
+    // fully oracle-checked (Kalman replay + sorted-pair greedy fold).
     Q("k04_track_greedy",
-      (s, d) => {
-        val out = Tracker.track(trackerInput(s, d),
-          TrackerConfig(bidirectional = false))
-        out.toDF().groupBy("seq").agg(count(lit(1)).as("n_rows"),
-          countDistinct("trackId").as("n_tracks"))
-      }, None),
+      (s, d) => trackRows(Tracker.track(trackerInput(s, d),
+        TrackerConfig(bidirectional = false))),
+      Some(kalmanTrackOracle(greedy = true))),
 
     // T1/T4/T5/J3/F7/F8 — no-Kalman tracker, FULLY oracle-checked: the
     // recursive-CTE replay above reproduces every emitted row (frame
@@ -407,22 +643,9 @@ ${matchLayers.replace("AGED_SRC", agedSrc)}
     // min-length filter). The embedding is sliced to 2 dims so the
     // appearance cosine is exact shared-text arithmetic on both sides.
     Q("k08_track_nokalman",
-      (s, d) => {
-        import s.implicits._
-        val in = Derived.table(s, d, "gt_emb")
-          .select(col("seq"),
-            format_string("%06d", col("frameIdx")).as("frame"),
-            col("id"), col("x"), col("y"), col("w"), col("h"),
-            lit(1.0).as("conf"),
-            slice(col("emb"), 1, 2).as("emb"))
-          .as[TrackerIn]
-        Tracker.track(in, TrackerConfig(useKalman = false,
-            useSpatialIndex = false, minTrackLength = 2))
-          .toDF()
-          .select(col("seq"), col("frame").cast("int").as("frame"),
-            col("trackId"), col("detId"),
-            col("x"), col("y"), col("w"), col("h"))
-      }, Some(trackOracle(greedy = false))),
+      (s, d) => trackRows(Tracker.track(trackerInput(s, d),
+        TrackerConfig(useKalman = false, useSpatialIndex = false, minTrackLength = 2))),
+      Some(trackOracle(greedy = false))),
 
     // J4/T1/T4/T5/F7/F8 — the GLOBAL-GREEDY matcher (bidirectional=
     // false), fully oracle-checked like k08: same recursive replay,
@@ -431,31 +654,21 @@ ${matchLayers.replace("AGED_SRC", agedSrc)}
     // Kalman-state variants (k03/k04/k05) remain rows-only (covered by
     // ScalaTest goldens + tools/tracker_oracle.py instead).
     Q("k09_track_greedy_nokalman",
-      (s, d) => {
-        import s.implicits._
-        val in = Derived.table(s, d, "gt_emb")
-          .select(col("seq"),
-            format_string("%06d", col("frameIdx")).as("frame"),
-            col("id"), col("x"), col("y"), col("w"), col("h"),
-            lit(1.0).as("conf"),
-            slice(col("emb"), 1, 2).as("emb"))
-          .as[TrackerIn]
-        Tracker.track(in, TrackerConfig(useKalman = false,
-            useSpatialIndex = false, bidirectional = false, minTrackLength = 2))
-          .toDF()
-          .select(col("seq"), col("frame").cast("int").as("frame"),
-            col("trackId"), col("detId"),
-            col("x"), col("y"), col("w"), col("h"))
-      }, Some(trackOracle(greedy = true))),
+      (s, d) => trackRows(Tracker.track(trackerInput(s, d),
+        TrackerConfig(useKalman = false, useSpatialIndex = false,
+          bidirectional = false, minTrackLength = 2))),
+      Some(trackOracle(greedy = true))),
 
-    // M7 — streaming host (flatMapGroupsWithState) run over the batch
-    // source: must emit rows (batch/streaming parity is asserted in
-    // ScalaTest).
+    // M7/T7 — streaming host (flatMapGroupsWithState) over the batch
+    // source, checked against the SAME Kalman oracle as k03: in batch
+    // execution the host sees each sequence once with empty prior state
+    // and replays the identical per-frame step in the identical
+    // (frame, id) order, so row-for-row equality with the batch tracker
+    // is a REAL end-to-end check of the streaming code path (not just
+    // the ScalaTest parity suite).
     Q("k05_track_streaming",
-      (s, d) => {
-        val out = StreamingTracker.track(trackerInput(s, d), TrackerConfig())
-        out.toDF().groupBy("seq").agg(count(lit(1)).as("n_rows"))
-      }, None),
+      (s, d) => trackRows(StreamingTracker.track(trackerInput(s, d), TrackerConfig())),
+      Some(kalmanTrackOracle(greedy = false))),
 
     // BASELINE.md domain anchor: CLEAR/Identity metrics over the
     // reference's "typical dataset" shape — 1000 frames × ~50 objects

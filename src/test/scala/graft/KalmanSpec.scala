@@ -47,4 +47,29 @@ class KalmanSpec extends AnyFunSuite {
     assert(math.abs(s3.x(1) - 22.719298245614) < 1e-9)
     assert(math.abs(Kalman.stateBbox(s3).w - 30.859375) < 1e-9)
   }
+
+  /** The invariant `KernelQ.kalmanTrackOracle` is built on: with
+    * diagonal P₀/Q/R and the (x,vx),(y,vy)-coupled F, cross-block
+    * covariance entries are EXACTLY ±0.0 after any predict/update
+    * sequence — so the 6×6 filter decomposes into two 2×2 blocks + two
+    * scalars, which is what the DuckDB replay carries. Checked bitwise
+    * (== 0.0), not within eps, over a long pseudo-random measurement
+    * sequence with irregular coast gaps.
+    */
+  test("covariance stays exactly block-diagonal across {0,2},{1,3},{4},{5}") {
+    val blocks = Seq(Set(0, 2), Set(1, 3), Set(4), Set(5))
+    def blockOf(i: Int): Set[Int] = blocks.find(_.contains(i)).get
+    var s = Kalman.init(Bbox(3.7, -2.9, 17.3, 23.1))
+    var seed = 0x9e3779b97f4a7c15L
+    def rnd(): Double = { seed = seed * 6364136223846793005L + 1442695040888963407L; (seed >>> 11).toDouble / (1L << 53).toDouble }
+    (0 until 200).foreach { k =>
+      s = Kalman.predict(s, 10.0)
+      if (k % 7 != 3) // irregular coasting: some frames never update
+        s = Kalman.update(s, Array(3.7 + k * rnd(), -2.9 - k * rnd(), 17.3 + rnd(), 23.1 - rnd()), 18.0)
+      for (i <- 0 until 6; j <- 0 until 6 if blockOf(i) != blockOf(j))
+        assert(s.p(i * 6 + j) == 0.0, s"P($i,$j) left the block structure at step $k: ${s.p(i * 6 + j)}")
+    }
+    // and the blocks themselves are live (nonzero), so the test bites
+    assert(s.p(0) > 0.0 && s.p(2) != 0.0 && s.p(7) > 0.0 && s.p(35) > 0.0)
+  }
 }
