@@ -177,6 +177,13 @@ object Tracker {
       }
       dx += 1
     }
+    // Candidates in det-id order, not grid-cell order: the reference's
+    // own candidate order is python-dict incidental, so on EXACT
+    // similarity ties (measure-zero but possible with duplicated
+    // boxes) id order is the deterministic choice — and it makes the
+    // kernel's first-wins/stable-sort tie behavior line up with the
+    // ds-ordered recursive-CTE oracles under every config.
+    out.sortInPlaceBy(_.id)
     out.iterator
   }
 
@@ -368,14 +375,21 @@ object Tracker {
         }
       }
     // F8 — min track length via window count (no second shuffle of a
-    // groupBy+join: single hash partition by (seq, trackId)).
+    // groupBy+join: single hash partition by (seq, trackId)). With the
+    // default minTrackLength=1 the filter admits every row, so the
+    // window — and its whole (seq, trackId) exchange + sort — is
+    // elided: the plan then has exactly ONE shuffle (the kernel's
+    // sequence grouping).
     import org.apache.spark.sql.expressions.Window
-    val withLen = raw.withColumn("trkLen",
-      count(lit(1)).over(Window.partitionBy($"seq", $"trackId")))
+    val filtered =
+      if (cfg.minTrackLength <= 1) raw.toDF()
+      else raw.withColumn("trkLen",
+          count(lit(1)).over(Window.partitionBy($"seq", $"trackId")))
+        .filter($"trkLen" >= cfg.minTrackLength).drop("trkLen")
     // A15 — run statistics as observable metrics (the reference's live
     // per-frame postfix, src/tracking.py:757-760): collected by the
     // driver via QueryExecutionListener, zero plan overhead.
-    withLen.filter($"trkLen" >= cfg.minTrackLength).drop("trkLen")
+    filtered
       .observe("tracker_stats",
         count(lit(1)).as("rows_emitted"),
         approx_count_distinct($"trackId").as("approx_tracks"))

@@ -127,6 +127,23 @@ class PlanShapeSpec extends AnyFunSuite {
       "o01 lost the orderBy+limit pushdown")
   }
 
+  test("k03_track: default-config tracker plans exactly one shuffle (the sequence grouping)") {
+    // minTrackLength=1 must elide the (seq, trackId) length-filter
+    // window — the kernel's groupByKey exchange is the ONLY shuffle,
+    // so at scale the tracker costs one pass over the detections.
+    // The cached gt_emb input prints its own build plan inline under
+    // InMemoryRelation; count only the exchanges ABOVE the cache
+    // boundary (the build plan runs once, not per tracker run).
+    def outer(p: String): String = p.split("InMemoryRelation").head
+    val p = outer(plan("k03_track"))
+    assert(shuffles(p) == 1, s"expected exactly 1 shuffle:\n$p")
+    assert(!p.contains("Window"), s"minTrackLength=1 must not plan a window:\n$p")
+    // and the min-length path (k08, minTrackLength=2) keeps its single
+    // extra (seq, trackId) window exchange — two total, no more
+    val p8 = outer(plan("k08_track_nokalman"))
+    assert(shuffles(p8) == 2, s"expected exactly 2 shuffles:\n$p8")
+  }
+
   test("q01_pricing_summary: partial agg before one shuffle, scan pruned to 5 columns") {
     // formatted mode: the only variant that prints the scan's ReadSchema
     val p = SparkEntry.queries("q01_pricing_summary")(spark, dir)
