@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Sliding-window inference tiling (SURVEY §2.8 note + §4 P10;
@@ -51,5 +51,33 @@ object Tiling {
       .withColumn("tile_x", explode(col("__xs")))
       .withColumn("direct", !useWindows)
       .drop("__ys", "__xs")
+  }
+
+  /** M1 merge stage (reference src/detection.py:1385-1423): per-tile
+    * detections in TILE-LOCAL scaled coordinates → original-image
+    * coordinates (`box += tile origin; box /= scale`) → cross-tile/
+    * cross-scale greedy NMS → nested-detection removal, per image.
+    *
+    * Input columns: `img`, `id` (unique per img), `score`, `scale`,
+    * `tile_x`, `tile_y`, `lx1..ly2`. The translation is a pure codegen
+    * projection; the merge reuses the oracle-checked NMS kernels with
+    * the image as the group key — on a cluster every image merges
+    * independently (parallelism = #images), which is the reference's
+    * own merge boundary (one `_detect_multiscale` call per image).
+    * The model inference producing the per-tile boxes stays external
+    * by design (SURVEY §2.8 M1); validity filtering (F1–F5) composes
+    * upstream via `Detect.cascade`.
+    */
+  def mergeTileDetections(tileDets: DataFrame, nmsThreshold: Double): Dataset[DetBox] = {
+    val s = tileDets.sparkSession
+    import s.implicits._
+    val global = tileDets.selectExpr(
+      "img AS seq", "'0' AS frame", "CAST(id AS INT) AS id",
+      "(lx1 + tile_x) / scale AS x1",
+      "(ly1 + tile_y) / scale AS y1",
+      "(lx2 + tile_x) / scale AS x2",
+      "(ly2 + tile_y) / scale AS y2",
+      "CAST(score AS DOUBLE) AS score").as[DetBox]
+    Nms.removeNested(Nms.nms(global, nmsThreshold), nmsThreshold)
   }
 }

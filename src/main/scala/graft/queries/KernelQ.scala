@@ -60,15 +60,20 @@ object KernelQ {
     * kept list with box i's precomputed suppressor list). MATERIALIZED
     * stops DuckDB re-inlining the group table into every iteration.
     */
-  private val nmsOracle: String = s"""WITH RECURSIVE ${Derived.detCte},
-    |ordd AS (
+  /** CTE chain replaying greedy NMS over `input` (columns seq, frame,
+    * id, x1..y2, score), every relation suffixed with `sfx` so chains
+    * can stack stages in one WITH RECURSIVE (f04 runs NMS then nested
+    * removal, exactly the reference's merge). Ends with
+    * `nkept$sfx(seq, frame, id, score)` — the kept rows.
+    */
+  private def nmsCtes(input: String, sfx: String): String = s"""ordd$sfx AS (
     |  SELECT seq, frame, id, x1, y1, x2, y2, score,
     |    CAST(row_number() OVER (PARTITION BY seq, frame ORDER BY score DESC, id) AS INT) AS ord
-    |  FROM dets
+    |  FROM $input
     |),
-    |sup_pairs AS (
+    |sup_pairs$sfx AS (
     |  SELECT a.seq, a.frame, b.ord AS i, a.ord AS j
-    |  FROM ordd a JOIN ordd b ON a.seq = b.seq AND a.frame = b.frame AND a.ord < b.ord
+    |  FROM ordd$sfx a JOIN ordd$sfx b ON a.seq = b.seq AND a.frame = b.frame AND a.ord < b.ord
     |  WHERE CASE WHEN (a.x2 - a.x1) * (a.y2 - a.y1) + (b.x2 - b.x1) * (b.y2 - b.y1)
     |             - greatest(least(a.x2, b.x2) - greatest(a.x1, b.x1), 0)
     |               * greatest(least(a.y2, b.y2) - greatest(a.y1, b.y1), 0) <= 0 THEN 0.0
@@ -78,32 +83,38 @@ object KernelQ {
     |             - greatest(least(a.x2, b.x2) - greatest(a.x1, b.x1), 0)
     |               * greatest(least(a.y2, b.y2) - greatest(a.y1, b.y1), 0)) END >= 0.5
     |),
-    |g AS MATERIALIZED (
+    |g$sfx AS MATERIALIZED (
     |  SELECT o.seq, o.frame, count(*) AS n,
     |    list(o.id ORDER BY o.ord) AS ids,
     |    list(o.score ORDER BY o.ord) AS ss,
     |    list(coalesce(p.js, []) ORDER BY o.ord) AS sups
-    |  FROM ordd o LEFT JOIN (
-    |    SELECT seq, frame, i, list(j) AS js FROM sup_pairs GROUP BY seq, frame, i
+    |  FROM ordd$sfx o LEFT JOIN (
+    |    SELECT seq, frame, i, list(j) AS js FROM sup_pairs$sfx GROUP BY seq, frame, i
     |  ) p ON p.seq = o.seq AND p.frame = o.frame AND p.i = o.ord
     |  GROUP BY o.seq, o.frame
     |),
-    |step(seq, frame, i, kept) AS (
-    |  SELECT seq, frame, 1, [CAST(1 AS INT)] FROM g
+    |step$sfx(seq, frame, i, kept) AS (
+    |  SELECT seq, frame, 1, [CAST(1 AS INT)] FROM g$sfx
     |  UNION ALL
     |  SELECT s.seq, s.frame, s.i + 1,
-    |    CASE WHEN len(list_intersect(s.kept, g.sups[s.i + 1])) = 0
+    |    CASE WHEN len(list_intersect(s.kept, g$sfx.sups[s.i + 1])) = 0
     |      THEN list_append(s.kept, CAST(s.i + 1 AS INT)) ELSE s.kept END
-    |  FROM step s JOIN g ON g.seq = s.seq AND g.frame = s.frame
-    |  WHERE s.i < g.n
+    |  FROM step$sfx s JOIN g$sfx ON g$sfx.seq = s.seq AND g$sfx.frame = s.frame
+    |  WHERE s.i < g$sfx.n
     |),
-    |final AS (
+    |final$sfx AS (
     |  SELECT s.seq AS fseq, s.frame AS fframe, unnest(s.kept) AS k
-    |  FROM step s JOIN g ON g.seq = s.seq AND g.frame = s.frame
-    |  WHERE s.i = g.n
-    |)
-    |SELECT f.fseq AS seq, f.fframe AS frame, g.ids[f.k] AS id, g.ss[f.k] AS score
-    |FROM final f JOIN g ON g.seq = f.fseq AND g.frame = f.fframe""".stripMargin
+    |  FROM step$sfx s JOIN g$sfx ON g$sfx.seq = s.seq AND g$sfx.frame = s.frame
+    |  WHERE s.i = g$sfx.n
+    |),
+    |nkept$sfx AS (
+    |  SELECT f.fseq AS seq, f.fframe AS frame, g$sfx.ids[f.k] AS id, g$sfx.ss[f.k] AS score
+    |  FROM final$sfx f JOIN g$sfx ON g$sfx.seq = f.fseq AND g$sfx.frame = f.fframe
+    |)""".stripMargin
+
+  private val nmsOracle: String = s"""WITH RECURSIVE ${Derived.detCte},
+    |${nmsCtes("dets", "")}
+    |SELECT seq, frame, id, score FROM nkept""".stripMargin
 
   /** Nested-removal oracle: same recursive-scan machinery with the
     * high/low-confidence precedence matrix. Per ordered pair (kept j,
@@ -114,13 +125,16 @@ object KernelQ {
     * ordinal, and appends i only when no blocker was hit
     * (reference src/detection.py:1120-1198 exactly).
     */
-  private val nestedOracle: String = s"""WITH RECURSIVE ${Derived.detCte},
-    |ordd AS (
+  /** CTE chain replaying nested-detection removal over `input` —
+    * suffixed like `nmsCtes`; ends with `nkept$sfx(seq, frame, id,
+    * score)`.
+    */
+  private def nestedCtes(input: String, sfx: String): String = s"""ordd$sfx AS (
     |  SELECT seq, frame, id, x1, y1, x2, y2, score,
     |    CAST(row_number() OVER (PARTITION BY seq, frame ORDER BY score DESC, id) AS INT) AS ord
-    |  FROM dets
+    |  FROM $input
     |),
-    |pairc AS (
+    |pairc$sfx AS (
     |  SELECT a.seq, a.frame, b.ord AS i, a.ord AS j,
     |    a.score > 0.5 AS kept_high, b.score > 0.5 AS cur_high,
     |    CASE WHEN (b.x2 - b.x1) * (b.y2 - b.y1) <= 0 THEN 0.0
@@ -131,53 +145,103 @@ object KernelQ {
     |      ELSE greatest(least(a.x2, b.x2) - greatest(a.x1, b.x1), 0)
     |         * greatest(least(a.y2, b.y2) - greatest(a.y1, b.y1), 0)
     |         / ((a.x2 - a.x1) * (a.y2 - a.y1)) END AS kinc
-    |  FROM ordd a JOIN ordd b ON a.seq = b.seq AND a.frame = b.frame AND a.ord < b.ord
+    |  FROM ordd$sfx a JOIN ordd$sfx b ON a.seq = b.seq AND a.frame = b.frame AND a.ord < b.ord
     |),
-    |flags AS (
+    |flags$sfx AS (
     |  SELECT seq, frame, i, j,
     |    ((cink >= 0.5 AND (kept_high OR NOT cur_high))
     |      OR (cink < 0.5 AND kinc >= 0.5 AND NOT cur_high)) AS blk,
     |    ((cink >= 0.5 AND cur_high AND NOT kept_high)
     |      OR (cink < 0.5 AND kinc >= 0.5 AND cur_high)) AS rmv
-    |  FROM pairc WHERE cink >= 0.5 OR kinc >= 0.5
+    |  FROM pairc$sfx WHERE cink >= 0.5 OR kinc >= 0.5
     |),
-    |g AS MATERIALIZED (
+    |g$sfx AS MATERIALIZED (
     |  SELECT o.seq, o.frame, count(*) AS n,
     |    list(o.id ORDER BY o.ord) AS ids,
     |    list(o.score ORDER BY o.ord) AS ss,
     |    list(coalesce(f.bs, []) ORDER BY o.ord) AS bss,
     |    list(coalesce(f.rs, []) ORDER BY o.ord) AS rss
-    |  FROM ordd o LEFT JOIN (
+    |  FROM ordd$sfx o LEFT JOIN (
     |    SELECT seq, frame, i,
     |      list(j) FILTER (blk) AS bs,
     |      list(j) FILTER (rmv) AS rs
-    |    FROM flags GROUP BY seq, frame, i
+    |    FROM flags$sfx GROUP BY seq, frame, i
     |  ) f ON f.seq = o.seq AND f.frame = o.frame AND f.i = o.ord
     |  GROUP BY o.seq, o.frame
     |),
-    |step(seq, frame, i, kept) AS (
-    |  SELECT seq, frame, 1, [CAST(1 AS INT)] FROM g
+    |step$sfx(seq, frame, i, kept) AS (
+    |  SELECT seq, frame, 1, [CAST(1 AS INT)] FROM g$sfx
     |  UNION ALL
     |  SELECT t.seq, t.frame, t.i + 1,
     |    CASE WHEN len(t.bi) = 0
     |      THEN list_append(list_filter(t.kept, k -> NOT (list_contains(t.ri, k))), CAST(t.i + 1 AS INT))
     |      ELSE list_filter(t.kept, k -> NOT (list_contains(t.ri, k) AND k < t.p)) END
     |  FROM (
-    |    SELECT s.seq, s.frame, s.i, s.kept, g.n,
-    |      list_intersect(s.kept, g.bss[s.i + 1]) AS bi,
-    |      list_intersect(s.kept, g.rss[s.i + 1]) AS ri,
-    |      coalesce(list_min(list_intersect(s.kept, g.bss[s.i + 1])), 2147483647) AS p
-    |    FROM step s JOIN g ON g.seq = s.seq AND g.frame = s.frame
-    |    WHERE s.i < g.n
+    |    SELECT s.seq, s.frame, s.i, s.kept, g$sfx.n,
+    |      list_intersect(s.kept, g$sfx.bss[s.i + 1]) AS bi,
+    |      list_intersect(s.kept, g$sfx.rss[s.i + 1]) AS ri,
+    |      coalesce(list_min(list_intersect(s.kept, g$sfx.bss[s.i + 1])), 2147483647) AS p
+    |    FROM step$sfx s JOIN g$sfx ON g$sfx.seq = s.seq AND g$sfx.frame = s.frame
+    |    WHERE s.i < g$sfx.n
     |  ) t
     |),
-    |final AS (
+    |final$sfx AS (
     |  SELECT s.seq AS fseq, s.frame AS fframe, unnest(s.kept) AS k
-    |  FROM step s JOIN g ON g.seq = s.seq AND g.frame = s.frame
-    |  WHERE s.i = g.n
-    |)
-    |SELECT f.fseq AS seq, f.fframe AS frame, g.ids[f.k] AS id, g.ss[f.k] AS score
-    |FROM final f JOIN g ON g.seq = f.fseq AND g.frame = f.fframe""".stripMargin
+    |  FROM step$sfx s JOIN g$sfx ON g$sfx.seq = s.seq AND g$sfx.frame = s.frame
+    |  WHERE s.i = g$sfx.n
+    |),
+    |nkept$sfx AS (
+    |  SELECT f.fseq AS seq, f.fframe AS frame, g$sfx.ids[f.k] AS id, g$sfx.ss[f.k] AS score
+    |  FROM final$sfx f JOIN g$sfx ON g$sfx.seq = f.fseq AND g$sfx.frame = f.fframe
+    |)""".stripMargin
+
+  private val nestedOracle: String = s"""WITH RECURSIVE ${Derived.detCte},
+    |${nestedCtes("dets", "")}
+    |SELECT seq, frame, id, score FROM nkept""".stripMargin
+
+  /** M1 merge oracle: the tile/scale derivation is SHARED TEXT with the
+    * Spark query (same arithmetic, same duplicate leg from a shifted
+    * neighboring tile), then the two kernel replays chain inside one
+    * WITH RECURSIVE — NMS over the translated detections, nested
+    * removal over the NMS survivors — exactly `_nms` then
+    * `_remove_nested_detections` (reference src/detection.py:1420-1422).
+    */
+  private val tileMergeOracle: String = s"""WITH RECURSIVE ${Derived.detCte},
+    |base AS (
+    |  SELECT seq || ':' || CAST(frame AS VARCHAR) AS img, id, score,
+    |    CASE WHEN id % 2 = 0 THEN 0.5 ELSE 1.0 END AS scale,
+    |    CAST((id % 3) * 200 AS DOUBLE) AS tile_x,
+    |    CAST((id % 4) * 150 AS DOUBLE) AS tile_y,
+    |    x1, y1, x2, y2
+    |  FROM dets
+    |),
+    |tloc AS (
+    |  SELECT img, id, score, scale, tile_x, tile_y,
+    |    x1 * scale - tile_x AS lx1, y1 * scale - tile_y AS ly1,
+    |    x2 * scale - tile_x AS lx2, y2 * scale - tile_y AS ly2
+    |  FROM base
+    |  UNION ALL
+    |  SELECT img, id + 100000 AS id, score * 0.9 AS score, scale,
+    |    tile_x + 37.0 AS tile_x, tile_y + 23.0 AS tile_y,
+    |    x1 * scale - (tile_x + 37.0) AS lx1, y1 * scale - (tile_y + 23.0) AS ly1,
+    |    x2 * scale - (tile_x + 37.0) AS lx2, y2 * scale - (tile_y + 23.0) AS ly2
+    |  FROM base WHERE id % 5 = 0
+    |),
+    |tdets AS (
+    |  SELECT img AS seq, 0 AS frame, id,
+    |    (lx1 + tile_x) / scale AS x1, (ly1 + tile_y) / scale AS y1,
+    |    (lx2 + tile_x) / scale AS x2, (ly2 + tile_y) / scale AS y2,
+    |    score
+    |  FROM tloc
+    |),
+    |${nmsCtes("tdets", "1")},
+    |j1 AS (
+    |  SELECT k.seq, k.frame, k.id, k.score, t.x1, t.y1, t.x2, t.y2
+    |  FROM nkept1 k JOIN tdets t ON t.seq = k.seq AND t.id = k.id
+    |),
+    |${nestedCtes("j1", "2")}
+    |SELECT k.seq AS img, k.id, k.score, t.x1, t.y1, t.x2, t.y2
+    |FROM nkept2 k JOIN tdets t ON t.seq = k.seq AND t.id = k.id""".stripMargin
 
   /** The similarity cascade of `Tracker.similarity` under
     * `useKalman=false` (predicted == lastBbox, so the Kalman and
@@ -658,6 +722,37 @@ ${matchLayers.replace("AGED_SRC", agedSrc)}
         TrackerConfig(useKalman = false, useSpatialIndex = false,
           bidirectional = false, minTrackLength = 2))),
       Some(trackOracle(greedy = true))),
+
+    // M1 — multi-scale tile merge: per-tile detections in tile-local
+    // scaled coords (derived from the dets table: each det assigned a
+    // scale + tile origin, with a duplicate copy from a shifted
+    // neighboring tile for every 5th det — the overlapping-tile
+    // duplicates a real sliding-window detector produces) →
+    // mergeTileDetections translates to image coords and runs the
+    // cross-tile NMS + nested-removal chain. Oracle = shared-text
+    // derivation + both kernel replays chained in one recursive query.
+    Q("f04_tile_merge",
+      (s, d) => {
+        val base = Derived.table(s, d, "dets").selectExpr(
+          "concat(seq, ':', CAST(frame AS STRING)) AS img",
+          "id", "score",
+          "CASE WHEN id % 2 = 0 THEN 0.5 ELSE 1.0 END AS scale",
+          "CAST((id % 3) * 200 AS DOUBLE) AS tile_x",
+          "CAST((id % 4) * 150 AS DOUBLE) AS tile_y",
+          "x1", "y1", "x2", "y2")
+        val leg1 = base.selectExpr("img", "id", "score", "scale", "tile_x", "tile_y",
+          "x1 * scale - tile_x AS lx1", "y1 * scale - tile_y AS ly1",
+          "x2 * scale - tile_x AS lx2", "y2 * scale - tile_y AS ly2")
+        val leg2 = base.filter("id % 5 = 0").selectExpr("img",
+          "id + 100000 AS id", "score * 0.9 AS score", "scale",
+          "tile_x + 37.0 AS tile_x", "tile_y + 23.0 AS tile_y",
+          "x1 * scale - (tile_x + 37.0) AS lx1", "y1 * scale - (tile_y + 23.0) AS ly1",
+          "x2 * scale - (tile_x + 37.0) AS lx2", "y2 * scale - (tile_y + 23.0) AS ly2")
+        graft.operators.Tiling.mergeTileDetections(leg1.unionAll(leg2), nmsThreshold = 0.5)
+          .toDF()
+          .select(col("seq").as("img"), col("id"), col("score"),
+            col("x1"), col("y1"), col("x2"), col("y2"))
+      }, Some(tileMergeOracle)),
 
     // M7/T7 — streaming host (flatMapGroupsWithState) over the batch
     // source, checked against the SAME Kalman oracle as k03: in batch
