@@ -78,6 +78,14 @@ object Tiling {
       "(lx2 + tile_x) / scale AS x2",
       "(ly2 + tile_y) / scale AS y2",
       "CAST(score AS DOUBLE) AS score").as[DetBox]
-    Nms.removeNested(Nms.nms(global, nmsThreshold), nmsThreshold)
+    // Both kernel passes share the image group key, so they FUSE into
+    // one flatMapGroups — the whole merge is a single shuffle (chaining
+    // Nms.nms andThen Nms.removeNested would shuffle twice: object-
+    // mapped groups don't carry their partitioning to the next
+    // groupByKey).
+    global.groupByKey(d => d.seq)
+      .flatMapGroups((_, it) =>
+        Nms.removeNestedFrame(
+          Nms.nmsFrame(it.toSeq, nmsThreshold), nmsThreshold).iterator)
   }
 }
