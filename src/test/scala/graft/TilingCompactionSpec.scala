@@ -35,6 +35,31 @@ class TilingCompactionSpec extends AnyFunSuite {
       == Seq((0, 0, true)))
   }
 
+  test("mergeTileDetections: overlap duplicates suppressed, coords de-scaled, nested removed") {
+    import spark.implicits._
+    // One object at global (100,100)-(150,160), seen by two overlapping
+    // tiles at scale 0.5 (local coords differ per tile origin), plus a
+    // second object far away, plus a low-confidence box nested inside
+    // the first object (must be removed by the nested pass).
+    def local(gx1: Double, gy1: Double, gx2: Double, gy2: Double,
+              s: Double, tx: Double, ty: Double, id: Int, score: Double) =
+      ("img1", id, score, s, tx, ty,
+        gx1 * s - tx, gy1 * s - ty, gx2 * s - tx, gy2 * s - ty)
+    val rows = Seq(
+      local(100, 100, 150, 160, 0.5, 0.0, 0.0, 1, 0.9),   // tile A sees obj 1
+      local(100, 100, 150, 160, 0.5, 25.0, 25.0, 2, 0.8), // tile B sees obj 1 (dup)
+      local(400, 400, 460, 470, 0.5, 175.0, 175.0, 3, 0.7), // obj 2
+      local(110, 110, 140, 150, 0.5, 0.0, 0.0, 4, 0.3)    // nested low-conf
+    ).toDF("img", "id", "score", "scale", "tile_x", "tile_y",
+      "lx1", "ly1", "lx2", "ly2")
+    val out = Tiling.mergeTileDetections(rows, nmsThreshold = 0.5)
+      .collect().sortBy(_.id)
+    assert(out.map(_.id).toSeq == Seq(1, 3), s"got ${out.toSeq}")
+    // coords reconstructed to original image space
+    val o1 = out.head
+    assert(math.abs(o1.x1 - 100.0) < 1e-9 && math.abs(o1.y2 - 160.0) < 1e-9)
+  }
+
   test("compaction: many small files -> few size-targeted files, data preserved") {
     import spark.implicits._
     val in = Files.createTempDirectory("compact_in").toString
