@@ -251,7 +251,11 @@ object KernelQ {
     * double-precision order of operations exactly, so threshold
     * comparisons and argmax decisions are bit-identical.
     */
-  private def k08Sim(t: String, d: String): String = {
+  private def k08Sim(t: String, d: String, c: TrackerConfig): String = {
+    // Config constants are interpolated from the SAME TrackerConfig the
+    // Spark query runs (Double.toString of the defaults renders the
+    // exact literals this text was validated with), so a config change
+    // in a query can never silently diverge from its oracle.
     val sizeS = s"(CASE WHEN $t.w * $t.h = 0.0 OR $d.w * $d.h = 0.0 THEN 0.0 " +
       s"ELSE least($t.w * $t.h, $d.w * $d.h) / greatest($t.w * $t.h, $d.w * $d.h) END)"
     val appS = s"(CASE WHEN $t.e1 * $t.e1 + $t.e2 * $t.e2 = 0.0 " +
@@ -260,11 +264,11 @@ object KernelQ {
       s"(sqrt($t.e1 * $t.e1 + $t.e2 * $t.e2) * sqrt($d.e1 * $d.e1 + $d.e2 * $d.e2)) + 1.0) / 2.0 END)"
     val dist = s"sqrt((($t.x + $t.w / 2) - ($d.x + $d.w / 2)) * (($t.x + $t.w / 2) - ($d.x + $d.w / 2)) " +
       s"+ (($t.y + $t.h / 2) - ($d.y + $d.h / 2)) * (($t.y + $t.h / 2) - ($d.y + $d.h / 2)))"
-    s"(CASE WHEN $sizeS < 0.3143 * (1 - 0.3) THEN NULL " +
-      s"WHEN $appS < 0.4764 * (1 - 0.3) THEN NULL " +
-      s"ELSE (($appS - 0.4764) / (1.0 - 0.4764) * 0.2 " +
-      s"+ (1 - $dist / 99.18) * 0.2 + (1 - $dist / 99.18) * 0.5 " +
-      s"+ ($sizeS - 0.3143) / (1.0 - 0.3143) * 0.1) / (0.2 + 0.2 + 0.5 + 0.1) END)"
+    s"(CASE WHEN $sizeS < ${c.thresholdSize} * (1 - ${c.tolerance}) THEN NULL " +
+      s"WHEN $appS < ${c.thresholdAppearance} * (1 - ${c.tolerance}) THEN NULL " +
+      s"ELSE (($appS - ${c.thresholdAppearance}) / (1.0 - ${c.thresholdAppearance}) * ${c.wAppearance} " +
+      s"+ (1 - $dist / ${c.thresholdDistance}) * ${c.wEuclidean} + (1 - $dist / ${c.thresholdDistance}) * ${c.wKalman} " +
+      s"+ ($sizeS - ${c.thresholdSize}) / (1.0 - ${c.thresholdSize}) * ${c.wSize}) / (${c.wAppearance} + ${c.wEuclidean} + ${c.wKalman} + ${c.wSize}) END)"
   }
 
   /** T1/T4/T5/J3/F7/F8 oracle — a full recursive-CTE replay of the
@@ -293,8 +297,8 @@ object KernelQ {
     * sf0.001 and sf0.01. Reference semantics: src/tracking.py:764-854
     * (step), 983-1011 (mutual best), 1037-1133 (greedy).
     */
-  private def trackOracle(greedy: Boolean): String = {
-    val simTD = k08Sim("t", "d")
+  private def trackOracle(greedy: Boolean, cfg: TrackerConfig): String = {
+    val simTD = k08Sim("t", "d", cfg)
     // the aged-tracks source both matchers read (already stripped of
     // margins — embedded verbatim inside the template below)
     val agedSrc =
@@ -392,7 +396,7 @@ object KernelQ {
       |        list_filter(
       |          list_transform(aged, (t, i) -> {'t': t,
       |            'mdj': list_min(list_transform(list_filter(mt, m -> m.ti = i), m -> m.dj))}),
-      |          p -> p.mdj IS NOT NULL OR p.t.tsu <= 3),
+      |          p -> p.mdj IS NOT NULL OR p.t.tsu <= ${cfg.maxAge}),
       |        p -> CASE WHEN p.mdj IS NOT NULL
       |          THEN {'tid': p.t.tid, 'x': ds[p.mdj].x, 'y': ds[p.mdj].y,
       |                'w': ds[p.mdj].w, 'h': ds[p.mdj].h,
@@ -413,8 +417,10 @@ ${matchLayers.replace("AGED_SRC", agedSrc)}
       |)
       |SELECT seq, frameIdx AS frame, u.tid AS trackId, u.did AS detId,
       |       u.x AS x, u.y AS y, u.w AS w, u.h AS h
-      |FROM (SELECT seq, frameIdx, unnest(emit) AS u FROM step WHERE fidx > 0)
-      |QUALIFY count(*) OVER (PARTITION BY seq, trackId) >= 2""".stripMargin
+      |FROM (SELECT seq, frameIdx, unnest(emit) AS u FROM step WHERE fidx > 0)${
+        if (cfg.minTrackLength > 1)
+          s"\n      |QUALIFY count(*) OVER (PARTITION BY seq, trackId) >= ${cfg.minTrackLength}"
+        else ""}""".stripMargin
   }
 
   /** Gated similarity of the FULL default tracker config (`useKalman=
@@ -433,7 +439,7 @@ ${matchLayers.replace("AGED_SRC", agedSrc)}
     * distance uses the PREDICTED bbox (post-predict state x₀,x₁,x₄,x₅)
     * while the Euclidean term keeps the last matched bbox.
     */
-  private def kalmanGsim(t: String, d: String): String = {
+  private def kalmanGsim(t: String, d: String, c: TrackerConfig): String = {
     val sizeS = s"(CASE WHEN $t.lw * $t.lh = 0.0 OR $d.w * $d.h = 0.0 THEN 0.0 " +
       s"ELSE least($t.lw * $t.lh, $d.w * $d.h) / greatest($t.lw * $t.lh, $d.w * $d.h) END)"
     val appS = s"(CASE WHEN $t.e1 * $t.e1 + $t.e2 * $t.e2 = 0.0 " +
@@ -444,12 +450,12 @@ ${matchLayers.replace("AGED_SRC", agedSrc)}
       s"+ (($t.ly + $t.lh / 2) - ($d.y + $d.h / 2)) * (($t.ly + $t.lh / 2) - ($d.y + $d.h / 2)))"
     val dk = s"sqrt((($t.px + $t.kw / 2) - ($d.x + $d.w / 2)) * (($t.px + $t.kw / 2) - ($d.x + $d.w / 2)) " +
       s"+ (($t.py + $t.kh / 2) - ($d.y + $d.h / 2)) * (($t.py + $t.kh / 2) - ($d.y + $d.h / 2)))"
-    s"(CASE WHEN $dk > greatest(2.0 * sqrt($t.xa + $t.ya), 99.18 * (1 + 0.3)) THEN NULL " +
-      s"WHEN $sizeS < 0.3143 * (1 - 0.3) THEN NULL " +
-      s"WHEN $appS < 0.4764 * (1 - 0.3) THEN NULL " +
-      s"ELSE (($appS - 0.4764) / (1.0 - 0.4764) * 0.2 " +
-      s"+ (1 - $de / 99.18) * 0.2 + (1 - $dk / 99.18) * 0.5 " +
-      s"+ ($sizeS - 0.3143) / (1.0 - 0.3143) * 0.1) / (0.2 + 0.2 + 0.5 + 0.1) END)"
+    s"(CASE WHEN $dk > greatest(2.0 * sqrt($t.xa + $t.ya), ${c.thresholdDistance} * (1 + ${c.tolerance})) THEN NULL " +
+      s"WHEN $sizeS < ${c.thresholdSize} * (1 - ${c.tolerance}) THEN NULL " +
+      s"WHEN $appS < ${c.thresholdAppearance} * (1 - ${c.tolerance}) THEN NULL " +
+      s"ELSE (($appS - ${c.thresholdAppearance}) / (1.0 - ${c.thresholdAppearance}) * ${c.wAppearance} " +
+      s"+ (1 - $de / ${c.thresholdDistance}) * ${c.wEuclidean} + (1 - $dk / ${c.thresholdDistance}) * ${c.wKalman} " +
+      s"+ ($sizeS - ${c.thresholdSize}) / (1.0 - ${c.thresholdSize}) * ${c.wSize}) / (${c.wAppearance} + ${c.wEuclidean} + ${c.wKalman} + ${c.wSize}) END)"
   }
 
   /** T1–T6 oracle for the KALMAN-bearing tracker configs — the same
@@ -483,23 +489,25 @@ ${matchLayers.replace("AGED_SRC", agedSrc)}
     * Reference: src/tracking.py:234-369 (filterpy config), 764-854
     * (step), 407-435 (2σ search radius).
     */
-  private def kalmanTrackOracle(greedy: Boolean): String = {
-    val gsim = kalmanGsim("t", "d")
+  private def kalmanTrackOracle(greedy: Boolean, cfg: TrackerConfig): String = {
+    val gsim = kalmanGsim("t", "d", cfg)
+    val q = cfg.processNoise
+    val r = cfg.measurementNoise
     val agedSrc =
-      """(
+      s"""(
         |          SELECT s.seq, f.fidx, f.frameIdx, s.nid, f.ds,
         |            list_transform(s.tks, t ->
         |              {'tid': t.tid, 'did': t.did, 'tsu': t.tsu + 1,
         |               'lx': t.lx, 'ly': t.ly, 'lw': t.lw, 'lh': t.lh,
         |               'e1': t.e1, 'e2': t.e2,
         |               'px': t.px + t.vx, 'vx': t.vx,
-        |               'xa': ((t.xa + t.xc) + (t.xb + t.xd)) + 10.0,
-        |               'xb': t.xb + t.xd, 'xc': t.xc + t.xd, 'xd': t.xd + 10.0,
+        |               'xa': ((t.xa + t.xc) + (t.xb + t.xd)) + $q,
+        |               'xb': t.xb + t.xd, 'xc': t.xc + t.xd, 'xd': t.xd + $q,
         |               'py': t.py + t.vy, 'vy': t.vy,
-        |               'ya': ((t.ya + t.yc) + (t.yb + t.yd)) + 10.0,
-        |               'yb': t.yb + t.yd, 'yc': t.yc + t.yd, 'yd': t.yd + 10.0,
-        |               'kw': t.kw, 'wp': t.wp + 10.0,
-        |               'kh': t.kh, 'hp': t.hp + 10.0}) AS aged
+        |               'ya': ((t.ya + t.yc) + (t.yb + t.yd)) + $q,
+        |               'yb': t.yb + t.yd, 'yc': t.yc + t.yd, 'yd': t.yd + $q,
+        |               'kw': t.kw, 'wp': t.wp + $q,
+        |               'kh': t.kh, 'hp': t.hp + $q}) AS aged
         |          FROM step s JOIN fr2 f ON f.seq = s.seq AND f.fidx = s.fidx + 1
         |        )""".stripMargin
     val matchLayers =
@@ -589,17 +597,17 @@ ${matchLayers.replace("AGED_SRC", agedSrc)}
       |          list_filter(
       |            list_transform(aged, (t, i) -> {'t': t,
       |              'mdj': list_min(list_transform(list_filter(mt, m -> m.ti = i), m -> m.dj))}),
-      |            p -> p.mdj IS NOT NULL OR p.t.tsu <= 3),
+      |            p -> p.mdj IS NOT NULL OR p.t.tsu <= ${cfg.maxAge}),
       |          p -> {'t': p.t, 'mdj': p.mdj,
-      |            'k1x': p.t.xa * (1.0 / (p.t.xa + 18.0)),
-      |            'k2x': p.t.xc * (1.0 / (p.t.xa + 18.0)),
+      |            'k1x': p.t.xa * (1.0 / (p.t.xa + $r)),
+      |            'k2x': p.t.xc * (1.0 / (p.t.xa + $r)),
       |            'rx': ds[p.mdj].x - p.t.px,
-      |            'k1y': p.t.ya * (1.0 / (p.t.ya + 18.0)),
-      |            'k2y': p.t.yc * (1.0 / (p.t.ya + 18.0)),
+      |            'k1y': p.t.ya * (1.0 / (p.t.ya + $r)),
+      |            'k2y': p.t.yc * (1.0 / (p.t.ya + $r)),
       |            'ry': ds[p.mdj].y - p.t.py,
-      |            'kkw': p.t.wp * (1.0 / (p.t.wp + 18.0)),
+      |            'kkw': p.t.wp * (1.0 / (p.t.wp + $r)),
       |            'rw': ds[p.mdj].w - p.t.kw,
-      |            'kkh': p.t.hp * (1.0 / (p.t.hp + 18.0)),
+      |            'kkh': p.t.hp * (1.0 / (p.t.hp + $r)),
       |            'rh': ds[p.mdj].h - p.t.kh}),
       |        p -> CASE WHEN p.mdj IS NOT NULL
       |          THEN {'tid': p.t.tid, 'did': ds[p.mdj].id, 'tsu': 0,
@@ -607,19 +615,19 @@ ${matchLayers.replace("AGED_SRC", agedSrc)}
       |                'lw': ds[p.mdj].w, 'lh': ds[p.mdj].h,
       |                'e1': ds[p.mdj].e1, 'e2': ds[p.mdj].e2,
       |                'px': p.t.px + p.k1x * p.rx, 'vx': p.t.vx + p.k2x * p.rx,
-      |                'xa': ((1 - p.k1x) * p.t.xa) * (1 - p.k1x) + 18.0 * (p.k1x * p.k1x),
-      |                'xb': (((1 - p.k1x) * p.t.xa) * (0.0 - p.k2x) + (1 - p.k1x) * p.t.xb) + 18.0 * (p.k1x * p.k2x),
-      |                'xc': (((0.0 - p.k2x) * p.t.xa + p.t.xc) * (1 - p.k1x)) + 18.0 * (p.k2x * p.k1x),
-      |                'xd': ((((0.0 - p.k2x) * p.t.xa + p.t.xc) * (0.0 - p.k2x)) + ((0.0 - p.k2x) * p.t.xb + p.t.xd)) + 18.0 * (p.k2x * p.k2x),
+      |                'xa': ((1 - p.k1x) * p.t.xa) * (1 - p.k1x) + $r * (p.k1x * p.k1x),
+      |                'xb': (((1 - p.k1x) * p.t.xa) * (0.0 - p.k2x) + (1 - p.k1x) * p.t.xb) + $r * (p.k1x * p.k2x),
+      |                'xc': (((0.0 - p.k2x) * p.t.xa + p.t.xc) * (1 - p.k1x)) + $r * (p.k2x * p.k1x),
+      |                'xd': ((((0.0 - p.k2x) * p.t.xa + p.t.xc) * (0.0 - p.k2x)) + ((0.0 - p.k2x) * p.t.xb + p.t.xd)) + $r * (p.k2x * p.k2x),
       |                'py': p.t.py + p.k1y * p.ry, 'vy': p.t.vy + p.k2y * p.ry,
-      |                'ya': ((1 - p.k1y) * p.t.ya) * (1 - p.k1y) + 18.0 * (p.k1y * p.k1y),
-      |                'yb': (((1 - p.k1y) * p.t.ya) * (0.0 - p.k2y) + (1 - p.k1y) * p.t.yb) + 18.0 * (p.k1y * p.k2y),
-      |                'yc': (((0.0 - p.k2y) * p.t.ya + p.t.yc) * (1 - p.k1y)) + 18.0 * (p.k2y * p.k1y),
-      |                'yd': ((((0.0 - p.k2y) * p.t.ya + p.t.yc) * (0.0 - p.k2y)) + ((0.0 - p.k2y) * p.t.yb + p.t.yd)) + 18.0 * (p.k2y * p.k2y),
+      |                'ya': ((1 - p.k1y) * p.t.ya) * (1 - p.k1y) + $r * (p.k1y * p.k1y),
+      |                'yb': (((1 - p.k1y) * p.t.ya) * (0.0 - p.k2y) + (1 - p.k1y) * p.t.yb) + $r * (p.k1y * p.k2y),
+      |                'yc': (((0.0 - p.k2y) * p.t.ya + p.t.yc) * (1 - p.k1y)) + $r * (p.k2y * p.k1y),
+      |                'yd': ((((0.0 - p.k2y) * p.t.ya + p.t.yc) * (0.0 - p.k2y)) + ((0.0 - p.k2y) * p.t.yb + p.t.yd)) + $r * (p.k2y * p.k2y),
       |                'kw': p.t.kw + p.kkw * p.rw,
-      |                'wp': ((1 - p.kkw) * p.t.wp) * (1 - p.kkw) + 18.0 * (p.kkw * p.kkw),
+      |                'wp': ((1 - p.kkw) * p.t.wp) * (1 - p.kkw) + $r * (p.kkw * p.kkw),
       |                'kh': p.t.kh + p.kkh * p.rh,
-      |                'hp': ((1 - p.kkh) * p.t.hp) * (1 - p.kkh) + 18.0 * (p.kkh * p.kkh)}
+      |                'hp': ((1 - p.kkh) * p.t.hp) * (1 - p.kkh) + $r * (p.kkh * p.kkh)}
       |          ELSE p.t END) AS kept,
       |      list_transform(
       |        list_filter(
@@ -667,6 +675,15 @@ ${matchLayers.replace("AGED_SRC", agedSrc)}
        |    FROM lineitem) raw) t
        |WHERE rn = 1${if (jitter) " AND (l_orderkey + l_suppkey) % 9 <> 0" else ""}""".stripMargin
 
+  // ONE config instance per tracker query, shared between the Spark
+  // run and its oracle text so constants can never drift apart.
+  private val k03Cfg = TrackerConfig()
+  private val k04Cfg = TrackerConfig(bidirectional = false)
+  private val k08Cfg = TrackerConfig(useKalman = false, useSpatialIndex = false,
+    minTrackLength = 2)
+  private val k09Cfg = TrackerConfig(useKalman = false, useSpatialIndex = false,
+    bidirectional = false, minTrackLength = 2)
+
   val defs: Seq[Q] = Seq(
 
     // O5 — greedy NMS kernel per (seq, frame), kept rows oracle-checked
@@ -691,15 +708,14 @@ ${matchLayers.replace("AGED_SRC", agedSrc)}
     // bidirectional matching + lifecycle), fully oracle-checked: the
     // Kalman recursive-CTE replay above reproduces every emitted row.
     Q("k03_track",
-      (s, d) => trackRows(Tracker.track(trackerInput(s, d), TrackerConfig())),
-      Some(kalmanTrackOracle(greedy = false))),
+      (s, d) => trackRows(Tracker.track(trackerInput(s, d), k03Cfg)),
+      Some(kalmanTrackOracle(greedy = false, k03Cfg))),
 
     // J4 — same full tracker under pure-greedy global matching, also
     // fully oracle-checked (Kalman replay + sorted-pair greedy fold).
     Q("k04_track_greedy",
-      (s, d) => trackRows(Tracker.track(trackerInput(s, d),
-        TrackerConfig(bidirectional = false))),
-      Some(kalmanTrackOracle(greedy = true))),
+      (s, d) => trackRows(Tracker.track(trackerInput(s, d), k04Cfg)),
+      Some(kalmanTrackOracle(greedy = true, k04Cfg))),
 
     // T1/T4/T5/J3/F7/F8 — no-Kalman tracker, FULLY oracle-checked: the
     // recursive-CTE replay above reproduces every emitted row (frame
@@ -707,9 +723,8 @@ ${matchLayers.replace("AGED_SRC", agedSrc)}
     // min-length filter). The embedding is sliced to 2 dims so the
     // appearance cosine is exact shared-text arithmetic on both sides.
     Q("k08_track_nokalman",
-      (s, d) => trackRows(Tracker.track(trackerInput(s, d),
-        TrackerConfig(useKalman = false, useSpatialIndex = false, minTrackLength = 2))),
-      Some(trackOracle(greedy = false))),
+      (s, d) => trackRows(Tracker.track(trackerInput(s, d), k08Cfg)),
+      Some(trackOracle(greedy = false, k08Cfg))),
 
     // J4/T1/T4/T5/F7/F8 — the GLOBAL-GREEDY matcher (bidirectional=
     // false), fully oracle-checked like k08: same recursive replay,
@@ -718,10 +733,8 @@ ${matchLayers.replace("AGED_SRC", agedSrc)}
     // Kalman-state variants (k03/k04/k05) remain rows-only (covered by
     // ScalaTest goldens + tools/tracker_oracle.py instead).
     Q("k09_track_greedy_nokalman",
-      (s, d) => trackRows(Tracker.track(trackerInput(s, d),
-        TrackerConfig(useKalman = false, useSpatialIndex = false,
-          bidirectional = false, minTrackLength = 2))),
-      Some(trackOracle(greedy = true))),
+      (s, d) => trackRows(Tracker.track(trackerInput(s, d), k09Cfg)),
+      Some(trackOracle(greedy = true, k09Cfg))),
 
     // M1 — multi-scale tile merge: per-tile detections in tile-local
     // scaled coords (derived from the dets table: each det assigned a
@@ -762,8 +775,8 @@ ${matchLayers.replace("AGED_SRC", agedSrc)}
     // is a REAL end-to-end check of the streaming code path (not just
     // the ScalaTest parity suite).
     Q("k05_track_streaming",
-      (s, d) => trackRows(StreamingTracker.track(trackerInput(s, d), TrackerConfig())),
-      Some(kalmanTrackOracle(greedy = false))),
+      (s, d) => trackRows(StreamingTracker.track(trackerInput(s, d), k03Cfg)),
+      Some(kalmanTrackOracle(greedy = false, k03Cfg))),
 
     // BASELINE.md domain anchor: CLEAR/Identity metrics over the
     // reference's "typical dataset" shape — 1000 frames × ~50 objects
