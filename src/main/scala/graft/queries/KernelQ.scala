@@ -298,6 +298,9 @@ object KernelQ {
     * (step), 983-1011 (mutual best), 1037-1133 (greedy).
     */
   private def trackOracle(greedy: Boolean, cfg: TrackerConfig): String = {
+    // this replay models predicted == lastBbox and NO radius gate
+    require(!cfg.useKalman && !cfg.useSpatialIndex,
+      "trackOracle replays the no-Kalman, no-spatial-index kernel only")
     val simTD = k08Sim("t", "d", cfg)
     // the aged-tracks source both matchers read (already stripped of
     // margins — embedded verbatim inside the template below)
@@ -490,6 +493,11 @@ ${matchLayers.replace("AGED_SRC", agedSrc)}
     * (step), 407-435 (2σ search radius).
     */
   private def kalmanTrackOracle(greedy: Boolean, cfg: TrackerConfig): String = {
+    // this replay models the Kalman predict/update AND the radius gate
+    require(cfg.useKalman && cfg.useSpatialIndex,
+      "kalmanTrackOracle replays the Kalman + spatial-index kernel only")
+    require(cfg.minTrackLength <= 1,
+      "add the QUALIFY min-length clause before using a min-length config here")
     val gsim = kalmanGsim("t", "d", cfg)
     val q = cfg.processNoise
     val r = cfg.measurementNoise
