@@ -251,6 +251,19 @@ object KernelQ {
     * double-precision order of operations exactly, so threshold
     * comparisons and argmax decisions are bit-identical.
     */
+  /** Render a config constant so DuckDB computes with it in DOUBLE.
+    * Bare decimal literals parse as DECIMAL and stay exact through
+    * arithmetic (e.g. 0.2+0.2+0.5+0.1 = 1.0 exactly), while the kernel
+    * sums the same weights in doubles (= 0.9999999999999999): every
+    * oracle similarity then sits ~1 ulp off the kernel's. Mutual-best
+    * argmax survives that (per-track comparisons, ulp ties are
+    * measure-zero) but the GLOBAL greedy sort ranks near-tied pairs
+    * across tracks, where a 1-ulp flip cascades — k04 diverged at
+    * sf0.1 exactly this way. CASTing each constant forces the whole
+    * expression into IEEE double, bit-identical to the Scala kernel.
+    */
+  private def D(v: Double): String = s"CAST($v AS DOUBLE)"
+
   private def k08Sim(t: String, d: String, c: TrackerConfig): String = {
     // Config constants are interpolated from the SAME TrackerConfig the
     // Spark query runs (Double.toString of the defaults renders the
@@ -264,11 +277,11 @@ object KernelQ {
       s"(sqrt($t.e1 * $t.e1 + $t.e2 * $t.e2) * sqrt($d.e1 * $d.e1 + $d.e2 * $d.e2)) + 1.0) / 2.0 END)"
     val dist = s"sqrt((($t.x + $t.w / 2) - ($d.x + $d.w / 2)) * (($t.x + $t.w / 2) - ($d.x + $d.w / 2)) " +
       s"+ (($t.y + $t.h / 2) - ($d.y + $d.h / 2)) * (($t.y + $t.h / 2) - ($d.y + $d.h / 2)))"
-    s"(CASE WHEN $sizeS < ${c.thresholdSize} * (1 - ${c.tolerance}) THEN NULL " +
-      s"WHEN $appS < ${c.thresholdAppearance} * (1 - ${c.tolerance}) THEN NULL " +
-      s"ELSE (($appS - ${c.thresholdAppearance}) / (1.0 - ${c.thresholdAppearance}) * ${c.wAppearance} " +
-      s"+ (1 - $dist / ${c.thresholdDistance}) * ${c.wEuclidean} + (1 - $dist / ${c.thresholdDistance}) * ${c.wKalman} " +
-      s"+ ($sizeS - ${c.thresholdSize}) / (1.0 - ${c.thresholdSize}) * ${c.wSize}) / (${c.wAppearance} + ${c.wEuclidean} + ${c.wKalman} + ${c.wSize}) END)"
+    s"(CASE WHEN $sizeS < ${D(c.thresholdSize)} * (1 - ${D(c.tolerance)}) THEN NULL " +
+      s"WHEN $appS < ${D(c.thresholdAppearance)} * (1 - ${D(c.tolerance)}) THEN NULL " +
+      s"ELSE (($appS - ${D(c.thresholdAppearance)}) / (1.0 - ${D(c.thresholdAppearance)}) * ${D(c.wAppearance)} " +
+      s"+ (1 - $dist / ${D(c.thresholdDistance)}) * ${D(c.wEuclidean)} + (1 - $dist / ${D(c.thresholdDistance)}) * ${D(c.wKalman)} " +
+      s"+ ($sizeS - ${D(c.thresholdSize)}) / (1.0 - ${D(c.thresholdSize)}) * ${D(c.wSize)}) / (${D(c.wAppearance)} + ${D(c.wEuclidean)} + ${D(c.wKalman)} + ${D(c.wSize)}) END)"
   }
 
   /** T1/T4/T5/J3/F7/F8 oracle — a full recursive-CTE replay of the
@@ -453,12 +466,12 @@ ${matchLayers.replace("AGED_SRC", agedSrc)}
       s"+ (($t.ly + $t.lh / 2) - ($d.y + $d.h / 2)) * (($t.ly + $t.lh / 2) - ($d.y + $d.h / 2)))"
     val dk = s"sqrt((($t.px + $t.kw / 2) - ($d.x + $d.w / 2)) * (($t.px + $t.kw / 2) - ($d.x + $d.w / 2)) " +
       s"+ (($t.py + $t.kh / 2) - ($d.y + $d.h / 2)) * (($t.py + $t.kh / 2) - ($d.y + $d.h / 2)))"
-    s"(CASE WHEN $dk > greatest(2.0 * sqrt($t.xa + $t.ya), ${c.thresholdDistance} * (1 + ${c.tolerance})) THEN NULL " +
-      s"WHEN $sizeS < ${c.thresholdSize} * (1 - ${c.tolerance}) THEN NULL " +
-      s"WHEN $appS < ${c.thresholdAppearance} * (1 - ${c.tolerance}) THEN NULL " +
-      s"ELSE (($appS - ${c.thresholdAppearance}) / (1.0 - ${c.thresholdAppearance}) * ${c.wAppearance} " +
-      s"+ (1 - $de / ${c.thresholdDistance}) * ${c.wEuclidean} + (1 - $dk / ${c.thresholdDistance}) * ${c.wKalman} " +
-      s"+ ($sizeS - ${c.thresholdSize}) / (1.0 - ${c.thresholdSize}) * ${c.wSize}) / (${c.wAppearance} + ${c.wEuclidean} + ${c.wKalman} + ${c.wSize}) END)"
+    s"(CASE WHEN $dk > greatest(2.0 * sqrt($t.xa + $t.ya), ${D(c.thresholdDistance)} * (1 + ${D(c.tolerance)})) THEN NULL " +
+      s"WHEN $sizeS < ${D(c.thresholdSize)} * (1 - ${D(c.tolerance)}) THEN NULL " +
+      s"WHEN $appS < ${D(c.thresholdAppearance)} * (1 - ${D(c.tolerance)}) THEN NULL " +
+      s"ELSE (($appS - ${D(c.thresholdAppearance)}) / (1.0 - ${D(c.thresholdAppearance)}) * ${D(c.wAppearance)} " +
+      s"+ (1 - $de / ${D(c.thresholdDistance)}) * ${D(c.wEuclidean)} + (1 - $dk / ${D(c.thresholdDistance)}) * ${D(c.wKalman)} " +
+      s"+ ($sizeS - ${D(c.thresholdSize)}) / (1.0 - ${D(c.thresholdSize)}) * ${D(c.wSize)}) / (${D(c.wAppearance)} + ${D(c.wEuclidean)} + ${D(c.wKalman)} + ${D(c.wSize)}) END)"
   }
 
   /** T1–T6 oracle for the KALMAN-bearing tracker configs — the same
@@ -499,8 +512,8 @@ ${matchLayers.replace("AGED_SRC", agedSrc)}
     require(cfg.minTrackLength <= 1,
       "add the QUALIFY min-length clause before using a min-length config here")
     val gsim = kalmanGsim("t", "d", cfg)
-    val q = cfg.processNoise
-    val r = cfg.measurementNoise
+    val q = D(cfg.processNoise)
+    val r = D(cfg.measurementNoise)
     val agedSrc =
       s"""(
         |          SELECT s.seq, f.fidx, f.frameIdx, s.nid, f.ds,
