@@ -60,23 +60,70 @@ object Configs {
     (kvs.get("cfg").map(_.toString), kvs - "cfg")
   }
 
+  /** Dotted override paths merge into nested maps (OmegaConf dotlist
+    * semantics, reference helpers.py:120-132): `thresholds.distance=50`
+    * reaches the nested thresholds map instead of creating a useless
+    * top-level "thresholds.distance" key.
+    */
+  private def applyOverride(m: Map[String, Any], key: String, v: Any): Map[String, Any] =
+    key.split("\\.", 2) match {
+      case Array(k) => m + (k -> v)
+      case Array(k, rest) =>
+        val child = m.get(k) match {
+          case Some(c: Map[_, _]) => c.asInstanceOf[Map[String, Any]]
+          case _ => Map.empty[String, Any]
+        }
+        m + (k -> applyOverride(child, rest, v))
+    }
+
   /** YAML text + overrides → merged map; fails when `dataset` is
     * missing/null after the merge (reference helpers.py:263-271).
     */
   def merged(yamlText: String, overrides: Map[String, Any]): Map[String, Any] = {
-    val m = Yaml.parse(yamlText) ++ overrides
+    val m = overrides.foldLeft(Yaml.parse(yamlText)) {
+      case (acc, (k, v)) => applyOverride(acc, k, v)
+    }
     val ds = m.get("dataset").orNull
     require(ds != null && ds.toString.nonEmpty,
       "Dataset path not specified: set `dataset:` in the config file or pass dataset=<path>")
     m
   }
 
+  private val trackKeys = Set("dataset", "seq_start_index", "seq_length_limit",
+    "get_gt_thresholds", "gt_thresholds", "thresholds", "threshold_tolerance",
+    "weight_appearance", "weight_euclidean_distance", "weight_kalman_distance",
+    "weight_size", "max_age", "min_iceberg_id_count", "min_iceberg_size",
+    "use_kalman", "bidirectional_matching", "use_spatial_index",
+    "process_noise", "measurement_noise")
+  private val evalKeys = Set("dataset", "iou_threshold")
+
+  /** A typo'd override (maxage=7 for max_age) would otherwise merge,
+    * never be read, and the run would proceed mis-configured while
+    * looking configured — fail loudly instead. YAML files themselves
+    * may carry extra keys (users port reference configs verbatim);
+    * only the CLI override keys are validated. detect configs accept
+    * any key by design (`extras` carries model-training knobs).
+    */
+  private def checkOverrideKeys(known: Set[String], typ: String,
+                                overrides: Map[String, Any]): Unit = {
+    val unknown = overrides.keys.map(_.split("\\.", 2)(0)).filterNot(known.contains)
+    require(unknown.isEmpty,
+      s"unknown override key(s) for $typ config: ${unknown.mkString(", ")} " +
+        s"(known: ${known.toSeq.sorted.mkString(", ")})")
+  }
+
   /** Filename-substring dispatch (reference helpers.py:273-286). */
   def load(cfgFile: String, yamlText: String,
            overrides: Map[String, Any] = Map.empty): Any = {
     val name = cfgFile.toLowerCase
-    if (name.contains("track")) trackConfig(merged(yamlText, overrides))
-    else if (name.contains("eval")) evalConfig(merged(yamlText, overrides))
+    if (name.contains("track")) {
+      checkOverrideKeys(trackKeys, "track", overrides)
+      trackConfig(merged(yamlText, overrides))
+    }
+    else if (name.contains("eval")) {
+      checkOverrideKeys(evalKeys, "eval", overrides)
+      evalConfig(merged(yamlText, overrides))
+    }
     else if (name.contains("detect")) detectConfig(merged(yamlText, overrides))
     else throw new IllegalArgumentException(
       s"Unknown config type: $cfgFile (engine-side types: track, eval, detect; " +
@@ -126,13 +173,23 @@ object Configs {
     DetectRunConfig(
       dataset = str(m, "dataset"),
       confidenceThreshold = dbl(m, "confidence_threshold", 0.1),
-      scales = m.get("scales") match {
+      // list from YAML, "a,b" string or single number from a CLI
+      // override; any other shape fails loudly — silently falling back
+      // to the defaults would drop BOTH the YAML value and the override
+      scales = m.get("scales").flatMap(Option(_)) match {
+        case None => Seq(0.5, 1.0)
         case Some(l: List[_]) => l.map(num)
-        case _ => Seq(0.5, 1.0)
+        case Some(v: String) => v.split(",").toSeq.map(x => num(x.trim))
+        case Some(v) => Seq(num(v))
       },
-      windowSize = m.get("window_size") match {
+      windowSize = m.get("window_size").flatMap(Option(_)) match {
+        case None => (1536, 1536)
         case Some(List(w, h)) => (num(w).toInt, num(h).toInt)
-        case _ => (1536, 1536)
+        case Some(v: String) if v.contains(',') =>
+          val Array(w, h) = v.split(",", 2)
+          (num(w.trim).toInt, num(h.trim).toInt)
+        case Some(v) => throw new IllegalArgumentException(
+          s"window_size must be [w, h] or a 'w,h' override, got: $v")
       },
       overlap = dbl(m, "overlap", 0.35),
       postprocess = bool(m, "postprocess", true),

