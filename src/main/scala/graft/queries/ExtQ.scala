@@ -26,7 +26,7 @@ object ExtQ {
     * a dash breaks identifier parsing) and collision-free in practice,
     * so two dirs queried in one session never share a sink table.
     */
-  private def sinkName(prefix: String, d: String): String =
+  private[queries] def sinkName(prefix: String, d: String): String =
     prefix + java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.Derived
 import graft.operators.{DetBox, Nms, Tracker, TrackerConfig, TrackerIn}
 import graft.sources.Multimodal
-import graft.streaming.StreamingTracker
+import graft.streaming.{StreamingTracker, TimedTrackerIn}
 
 /** Sequential-kernel queries (SURVEY §7.1 layer 2). EVERY kernel here
   * is oracle-checked despite being order- and state-dependent: the
@@ -314,6 +314,8 @@ object KernelQ {
     // this replay models predicted == lastBbox and NO radius gate
     require(!cfg.useKalman && !cfg.useSpatialIndex,
       "trackOracle replays the no-Kalman, no-spatial-index kernel only")
+    require(greedy == !cfg.bidirectional,
+      "matcher replay must follow the config: greedy <=> !bidirectional")
     val simTD = k08Sim("t", "d", cfg)
     // the aged-tracks source both matchers read (already stripped of
     // margins — embedded verbatim inside the template below)
@@ -509,12 +511,15 @@ ${matchLayers.replace("AGED_SRC", agedSrc)}
     * Reference: src/tracking.py:234-369 (filterpy config), 764-854
     * (step), 407-435 (2σ search radius).
     */
-  private def kalmanTrackOracle(greedy: Boolean, cfg: TrackerConfig): String = {
+  private def kalmanTrackOracle(greedy: Boolean, cfg: TrackerConfig,
+                                dinWhere: String = ""): String = {
     // this replay models the Kalman predict/update; the radius gate is
     // emitted only for spatial-index configs (the reference fallback
     // without the index considers every detection, src/tracking.py:973)
     require(cfg.useKalman,
       "kalmanTrackOracle replays the Kalman-bearing kernel only")
+    require(greedy == !cfg.bidirectional,
+      "matcher replay must follow the config: greedy <=> !bidirectional")
     require(cfg.minTrackLength <= 1,
       "add the QUALIFY min-length clause before using a min-length config here")
     val gsim = kalmanGsim("t", "d", cfg)
@@ -604,7 +609,7 @@ ${matchLayers.replace("AGED_SRC", agedSrc)}
       |  SELECT g.seq, g.frameIdx, g.id, g.x, g.y, g.w, g.h,
       |         CAST(e.embedding[1] AS DOUBLE) AS e1,
       |         CAST(e.embedding[2] AS DOUBLE) AS e2
-      |  FROM gt g JOIN embeddings e ON e.vec_id = (g.id * 7 + g.frameIdx) % 500
+      |  FROM gt g JOIN embeddings e ON e.vec_id = (g.id * 7 + g.frameIdx) % 500$dinWhere
       |),
       |fr2 AS MATERIALIZED (
       |  SELECT seq, frameIdx, ds,
@@ -720,6 +725,73 @@ ${matchLayers.replace("AGED_SRC", agedSrc)}
        |    FROM lineitem) raw) t
        |WHERE rn = 1${if (jitter) " AND (l_orderkey + l_suppkey) % 9 <> 0" else ""}""".stripMargin
 
+  // k10's late-replay predicate — ONE string shared between the input
+  // builder (assigns the stale event time) and the oracle's din filter
+  // (excludes the rows the watermark must drop), so the two sides can
+  // never disagree about WHICH rows are late. Unqualified column names
+  // are unambiguous in both contexts (embeddings has no seq/frameIdx).
+  private val K10LatePred = "seq = 's0' AND frameIdx BETWEEN 60 AND 69"
+  private val K10BaseMs = 1767225600000L // 2026-01-01T00:00:00Z
+
+  /** Writes k10's input as three single-file parquet micro-batches under
+    * a fresh temp dir and returns that dir. The stream clock advances
+    * ~17 min per batch (et = base + batch·1e6 ms + frameIdx·1e3 ms) so
+    * event time is monotone with ARRIVAL — a frame-only clock would let
+    * one sequence's later batches drag the watermark past the other's
+    * still-queued on-time frames and turn the drop set timing-dependent.
+    * Layout:
+    *
+    *   batch 0: both seqs, frames 0–59 (on time)
+    *   batch 1: both seqs, frames 70–89 (on time) + s0 frames 60–69
+    *            replayed LATE (et = base − 100 s; the wm by then is
+    *            maxEt(batch 0) − delay = base + 56 s, a 156 s margin
+    *            clear of any >=/> boundary). lastFrame(s0) = 59 < 60,
+    *            so the watermark — not the per-sequence lastFrame
+    *            guard — is the only rule that can drop them.
+    *   batch 2: both seqs, frames 90–119 (on time)
+    *
+    * BOTH sequences carry on-time rows in EVERY batch: Spark pre-filters
+    * late rows before flatMapGroupsWithState, so a batch where a
+    * sequence has only late rows makes it dataless — and a dataless
+    * group whose EventTimeTimeout (armed at lastEt + delay + 1 ms) has
+    * fallen behind the watermark is EVICTED and restarts its track ids
+    * (observed, not hypothetical). With data in every batch each
+    * sequence re-arms before the watermark can reach it; eviction
+    * itself is covered by StreamingParitySpec. Files carry explicit
+    * 60 s-apart modTimes — FileStreamSource processes oldest-first, so
+    * batch order is deterministic.
+    */
+  private def timedBatchDir(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("k10_batches_").toString
+    val timed = Derived.table(s, d, "gt_emb").selectExpr(
+        "seq", "frameIdx", "id", "x", "y", "w", "h",
+        "slice(emb, 1, 2) AS emb",
+        """CASE WHEN frameIdx < 60 THEN 0
+          |  WHEN frameIdx < 90 THEN 1
+          |  ELSE 2 END AS batch""".stripMargin)
+      .selectExpr(
+        "seq",
+        "format_string('%06d', frameIdx) AS frame",
+        "id", "x", "y", "w", "h",
+        "CAST(1.0 AS DOUBLE) AS conf",
+        "emb",
+        s"""CASE WHEN $K10LatePred THEN timestamp_millis($K10BaseMs - 100000)
+           |  ELSE timestamp_millis($K10BaseMs + batch * 1000000 + frameIdx * 1000)
+           |  END AS et""".stripMargin,
+        "batch")
+    (0 to 2).foreach { b =>
+      timed.filter(col("batch") === b).drop("batch")
+        .coalesce(1).write.parquet(s"$dir/batch=$b")
+    }
+    val t0 = System.currentTimeMillis()
+    (0 to 2).foreach { b =>
+      new java.io.File(s"$dir/batch=$b").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(f => f.setLastModified(t0 + b * 60000L))
+    }
+    dir
+  }
+
   // ONE config instance per tracker query, shared between the Spark
   // run and its oracle text so constants can never drift apart.
   private val k03Cfg = TrackerConfig()
@@ -828,6 +900,38 @@ ${matchLayers.replace("AGED_SRC", agedSrc)}
     Q("k05_track_streaming",
       (s, d) => trackRows(StreamingTracker.track(trackerInput(s, d), k03Cfg)),
       Some(kalmanTrackOracle(greedy = false, k03Cfg))),
+
+    // T7 — the WATERMARKED streaming tracker (trackTimed: real event-time
+    // watermark + EventTimeTimeout eviction), driver-proven end-to-end:
+    // the input arrives as three single-file micro-batches with s0's
+    // frames 60–69 REPLAYED LATE (their event time sits ~156 s behind
+    // the watermark by the batch that carries them, far from any >=/>
+    // boundary), so the watermark — not the per-sequence lastFrame
+    // guard (59 < 60) — is the only rule that can drop them. Oracle =
+    // the SAME Kalman recursive-CTE replay as k03 over the input MINUS
+    // exactly that deterministic late set; a single surviving late row,
+    // a lost snapshot field across batches, or a mistimed state
+    // eviction all break the hash. This also makes the
+    // snapshotCore/restoreCore round-trip oracle-checked (k05's batch
+    // host sees each sequence once, so it never restores mid-stream).
+    Q("k10_track_timed",
+      (s, d) => {
+        import s.implicits._
+        val dir = timedBatchDir(s, d)
+        val name = ExtQ.sinkName("k10_timed_", d)
+        val q = StreamingTracker.trackTimed(
+            s.readStream.schema(org.apache.spark.sql.Encoders.product[TimedTrackerIn].schema)
+              .option("maxFilesPerTrigger", "1").parquet(dir)
+              .as[TimedTrackerIn],
+            k03Cfg)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        trackRows(s.table(name).as[graft.operators.SeqTrackOut])
+      },
+      Some(kalmanTrackOracle(greedy = false, k03Cfg,
+        dinWhere = s"\n      |  WHERE NOT ($K10LatePred)".stripMargin))),
 
     // BASELINE.md domain anchor: CLEAR/Identity metrics over the
     // reference's "typical dataset" shape — 1000 frames × ~50 objects
