@@ -89,24 +89,32 @@ object Configs {
     m
   }
 
+  // FULL leaf paths, dotted for nested maps: a nested-key typo
+  // (thresholds.distancee=50) must fail exactly like a top-level one —
+  // it would otherwise merge into the nested map, never be read, and
+  // the run would proceed mis-configured while looking configured.
   private val trackKeys = Set("dataset", "seq_start_index", "seq_length_limit",
-    "get_gt_thresholds", "gt_thresholds", "thresholds", "threshold_tolerance",
+    "get_gt_thresholds", "gt_thresholds", "threshold_tolerance",
+    "thresholds.appearance", "thresholds.distance", "thresholds.size",
     "weight_appearance", "weight_euclidean_distance", "weight_kalman_distance",
     "weight_size", "max_age", "min_iceberg_id_count", "min_iceberg_size",
     "use_kalman", "bidirectional_matching", "use_spatial_index",
     "process_noise", "measurement_noise")
   private val evalKeys = Set("dataset", "iou_threshold")
 
-  /** A typo'd override (maxage=7 for max_age) would otherwise merge,
-    * never be read, and the run would proceed mis-configured while
-    * looking configured — fail loudly instead. YAML files themselves
-    * may carry extra keys (users port reference configs verbatim);
-    * only the CLI override keys are validated. detect configs accept
-    * any key by design (`extras` carries model-training knobs).
+  /** A typo'd override (maxage=7 for max_age, thresholds.distancee=50)
+    * would otherwise merge, never be read, and the run would proceed
+    * mis-configured while looking configured — fail loudly instead.
+    * The WHOLE dotted path is matched against the known leaf paths
+    * (first-segment-only matching let nested typos through). YAML
+    * files themselves may carry extra keys (users port reference
+    * configs verbatim); only the CLI override keys are validated.
+    * detect configs accept any key by design (`extras` carries
+    * model-training knobs).
     */
   private def checkOverrideKeys(known: Set[String], typ: String,
                                 overrides: Map[String, Any]): Unit = {
-    val unknown = overrides.keys.map(_.split("\\.", 2)(0)).filterNot(known.contains)
+    val unknown = overrides.keys.filterNot(known.contains)
     require(unknown.isEmpty,
       s"unknown override key(s) for $typ config: ${unknown.mkString(", ")} " +
         s"(known: ${known.toSeq.sorted.mkString(", ")})")

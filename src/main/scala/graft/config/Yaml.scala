@@ -14,11 +14,13 @@ import scala.collection.mutable
   *  - flow sequences `[a, b, [c]]` (arbitrarily nested)
   *  - flow mappings `{ "k": v, ... }`, possibly spanning multiple
   *    lines (track.yaml's `thresholds:` block)
+  *  - ONE level of block-style nesting: a bare `key:` followed by
+  *    indented `k: v` lines (block map) or `- item` lines (block
+  *    list) — the shape a user hand-writing a config reaches for
+  *    first. Deeper nesting (an indented child opening its own
+  *    block) still fails loudly: none of the reference configs need
+  *    it, and a silent partial parse would be worse than an error.
   *  - `#` comments (full-line and trailing) and blank lines
-  *
-  * Block-style nesting (indented sub-maps / `- ` lists) is NOT
-  * supported — none of the reference configs use it, and a silent
-  * partial parse would be worse than a loud error.
   *
   * Parsed values are Scala types: `null`, `Boolean`, `Long`, `Double`,
   * `String`, `List[Any]`, `Map[String, Any]` — the same shapes
@@ -37,22 +39,76 @@ object Yaml {
         val colon = indexOfKeyColon(line)
         require(colon > 0, s"unsupported YAML line (need 'key: value'): ${lines(i)}")
         require(!line.startsWith(" ") && !line.startsWith("\t"),
-          s"block-style nesting is not supported: ${lines(i)}")
+          s"unexpected indentation (no open block): ${lines(i)}")
         val key = unquote(line.substring(0, colon).trim)
         var rest = line.substring(colon + 1).trim
-        // flow collection spanning multiple lines: accumulate until
-        // brackets balance (comments stripped per physical line)
-        while (bracketDepth(rest) > 0 && i + 1 < lines.length) {
-          i += 1
-          rest = rest + " " + stripComment(lines(i)).trim
+        if (rest.isEmpty) {
+          // bare `key:` — either an explicit null or ONE level of
+          // block map / block list in the indented lines that follow
+          val children = mutable.ListBuffer.empty[String]
+          var indent = -1
+          var j = i + 1
+          var open = true
+          while (j < lines.length && open) {
+            val l = stripComment(lines(j))
+            if (l.trim.isEmpty) j += 1
+            else if (l.startsWith(" ") || l.startsWith("\t")) {
+              val ind = l.indexWhere(c => c != ' ' && c != '\t')
+              if (indent < 0) indent = ind
+              require(ind == indent,
+                s"only one level of block nesting is supported (under '$key'): ${lines(j)}")
+              children += l.trim
+              j += 1
+            } else open = false
+          }
+          if (children.isEmpty) out(key) = null
+          else {
+            i = j - 1
+            out(key) = parseBlock(key, children.toList)
+          }
+        } else {
+          // flow collection spanning multiple lines: accumulate until
+          // brackets balance (comments stripped per physical line)
+          while (bracketDepth(rest) > 0 && i + 1 < lines.length) {
+            i += 1
+            rest = rest + " " + stripComment(lines(i)).trim
+          }
+          require(bracketDepth(rest) == 0, s"unbalanced brackets in value for '$key'")
+          out(key) = parseValue(rest)
         }
-        require(bracketDepth(rest) == 0, s"unbalanced brackets in value for '$key'")
-        out(key) = parseValue(rest)
       }
       i += 1
     }
     out.toMap
   }
+
+  /** One level of block children under `key`: all `- item` lines → a
+    * list, all `k: v` lines → a map; mixing or a child opening its own
+    * block (empty value) fails loudly.
+    */
+  private def parseBlock(key: String, children: List[String]): Any =
+    if (children.head == "-" || children.head.startsWith("- ")) {
+      children.map { c =>
+        require(c == "-" || c.startsWith("- "),
+          s"mixed block list/map entries under '$key': $c")
+        parseValue(c.drop(1).trim)
+      }
+    } else {
+      val m = mutable.LinkedHashMap.empty[String, Any]
+      children.foreach { c =>
+        require(!c.startsWith("-"),
+          s"mixed block list/map entries under '$key': $c")
+        val cc = indexOfKeyColon(c)
+        require(cc > 0, s"block entry needs 'key: value' (under '$key'): $c")
+        val v = c.substring(cc + 1).trim
+        require(v.nonEmpty,
+          s"only one level of block nesting is supported (under '$key'): $c")
+        require(bracketDepth(v) == 0,
+          s"multi-line flow values are not supported inside a block (under '$key'): $c")
+        m(unquote(c.substring(0, cc).trim)) = parseValue(v)
+      }
+      m.toMap
+    }
 
   /** Scalar coercion for a single CLI `key=value` override — the same
     * inference chain as the reference (int → float → bool → str,

@@ -235,22 +235,36 @@ object Dedup {
     * round (a 200-doc chain = 200 shuffles), doubling collapses it in
     * ~8. Both steps only move labels downward toward the component
     * min, so the fixpoint — and the emitted result — is unchanged and
-    * independent of partitioning. `localCheckpoint` truncates the
-    * growing lineage each round so the plan stays O(1) in round count.
+    * independent of partitioning. Checkpointing truncates the growing
+    * lineage each round so the plan stays O(1) in round count:
+    * `localCheckpoint` (the default) keeps the snapshot in executor
+    * block storage — fast, but NOT executor-loss-tolerant (a lost
+    * executor mid-job kills the query, since truncated lineage cannot
+    * recompute). Pass `checkpointDir` to use RELIABLE `checkpoint`
+    * into that fault-tolerant location (HDFS/S3A on a real cluster) —
+    * the right default for long CC jobs at 100 TB, at the cost of a
+    * write+read per round.
     */
   def connectedComponents(edges: DataFrame, srcCol: String = "doc_a",
-                          dstCol: String = "doc_b", maxIter: Int = 50): DataFrame = {
+                          dstCol: String = "doc_b", maxIter: Int = 50,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        edges.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint(true)
+    }
     // The loop body deliberately contains NO Union — a Union duplicated
     // through iteration plans trips Spark 4.1's constraint rewrite
     // (Derived.scala bug class). The one-time symmetric closure below is
     // over a checkpointed plan, which is safe.
-    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .filter(col("src") =!= col("dst")).localCheckpoint(true)
-    var e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(true)
+    val e0 = ckpt(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst")))
+    var e = ckpt(e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct())
     e0.unpersist() // only needed to build the symmetric closure
-    var labels = e.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint(true)
+    var labels = ckpt(e.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")))
     var iter = 0
     // one emptiness job per round, shared by the loop guard and the
     // post-loop convergence check (isEmpty is a Spark action; testing it
@@ -273,23 +287,21 @@ object Dedup {
       // diameter) rounds total. Both steps only move labels downward
       // toward the component min, so the fixpoint is unchanged and
       // independent of partitioning.
-      val doubled = hooked.as("a")
+      val doubled = ckpt(hooked.as("a")
         .join(hooked.select(col("node").as("dn"), col("label").as("dl")).as("b"),
           col("a.label") === col("b.dn"), "left")
         .select(col("a.node").as("node"),
-          coalesce(col("dl"), col("a.label")).as("label"))
-        .localCheckpoint(true)
+          coalesce(col("dl"), col("a.label")).as("label")))
       labels.unpersist()
       labels = doubled
       // contract: rewrite edges into new-representative space and drop
       // intra-cluster loops — the edge table shrinks geometrically, so
       // later rounds shuffle only the still-unmerged fringe
-      val relabeled = e
+      val relabeled = ckpt(e
         .join(labels.select(col("node").as("src"), col("label").as("ls")), Seq("src"))
         .join(labels.select(col("node").as("dst"), col("label").as("ld")), Seq("dst"))
         .select(col("ls").as("src"), col("ld").as("dst"))
-        .filter(col("src") =!= col("dst")).distinct()
-        .localCheckpoint(true)
+        .filter(col("src") =!= col("dst")).distinct())
       e.unpersist()
       e = relabeled
       iter += 1
@@ -307,12 +319,11 @@ object Dedup {
     // to the fixpoint with doubling — depth halves per pass
     var stable = false
     while (!stable) {
-      val nxt = labels.as("a")
+      val nxt = ckpt(labels.as("a")
         .join(labels.select(col("node").as("dn"), col("label").as("dl")).as("b"),
           col("a.label") === col("b.dn"), "left")
         .select(col("a.node").as("node"),
-          coalesce(col("dl"), col("a.label")).as("label"))
-        .localCheckpoint(true)
+          coalesce(col("dl"), col("a.label")).as("label")))
       stable = nxt.as("n")
         .join(labels.as("o"), col("n.node") === col("o.node"))
         .filter(col("n.label") < col("o.label")).isEmpty

@@ -25,7 +25,8 @@ import org.apache.spark.sql.functions._
   *
   * Degenerate skew (all scores equal) collapses to one bucket — i.e. the
   * global window this replaces — but any spread re-parallelizes; `nb`
-  * should track cluster parallelism.
+  * defaults to the context's parallelism (min 32) so the rank stage
+  * scales with the cluster instead of capping at a constant.
   */
 object RangeRank {
 
@@ -33,11 +34,21 @@ object RangeRank {
     * `scoreCol [asc|desc], tieCol asc`) and, when `cum` is given,
     * a global running sum of `cum._1` named `cum._2` (inclusive of the
     * current row, matching `ROWS UNBOUNDED PRECEDING AND CURRENT ROW`).
+    *
+    * `nb <= 0` (the default) resolves to max(32, defaultParallelism):
+    * a fixed 32 caps the rank stage at 32-way parallelism on a
+    * 1000-executor cluster, while tracking the context's parallelism
+    * keeps every core busy at any size. The bucket count only affects
+    * the PARTITIONING, never the values — ranks are bit-identical at
+    * any nb (RangeRankSpec asserts 1/32/256 agree).
     */
   def withGlobalRank(df: DataFrame, scoreCol: Column, tieCol: Column,
                      descending: Boolean, rnkName: String,
                      cum: Option[(Column, String)] = None,
-                     nb: Int = 32): DataFrame = {
+                     nb: Int = 0): DataFrame = {
+    val nBuckets =
+      if (nb > 0) nb
+      else math.max(32, df.sparkSession.sparkContext.defaultParallelism)
     val bounds = df.agg(min(scoreCol).cast("double"), max(scoreCol).cast("double")).head()
     // min==NULL means empty input OR every score NULL; either way all
     // rows (if any) land in the NULL bucket below and rank by tieCol.
@@ -49,7 +60,7 @@ object RangeRank {
     val nonNullBkt =
       if (lo == hi) lit(1)
       else least(greatest(call_function("width_bucket",
-        scoreCol.cast("double"), lit(lo), lit(hi), lit(nb)), lit(1)), lit(nb))
+        scoreCol.cast("double"), lit(lo), lit(hi), lit(nBuckets)), lit(1)), lit(nBuckets))
         .cast("int")
     // NULL scores go to bucket 0, which sorts FIRST under ascending
     // bucket order and LAST under descending — exactly where Spark's

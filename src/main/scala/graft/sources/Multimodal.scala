@@ -11,9 +11,11 @@ import org.apache.spark.sql.types._
   * The reference's model stages consume image crops
   * (reference src/embedding.py:1263-1387); in-engine the contract is
   * columnar: `binaryFile` scan → per-partition batched decode/featurize →
-  * feature columns. The DECODE STEP IS A DETERMINISTIC STUB (no image
-  * codecs in this container — clearly marked below); the Spark-side
-  * plumbing — schema, partition-batched iteration, batch shape — is real.
+  * feature columns. JPEG/PNG payloads are REALLY decoded (JDK
+  * `javax.imageio`, grid-luminance features — see `decodeOne`); other
+  * payloads fall back to a deterministic byte-fold stub standing in
+  * for their codecs/models. The Spark-side plumbing — schema,
+  * partition-batched iteration, batch shape — is real for all paths.
   *
   * Scale: `spark.read.format("binaryFile")` is a splittable listing scan;
   * per-partition batching (`grouped(batchSize)`) mirrors the reference's
@@ -45,12 +47,29 @@ object Multimodal {
         lit(null).cast(IntegerType).as("meta_height"),
         lit(null).cast(LongType).as("meta_duration_ms"))
 
-  /** STUB DECODE — deterministic fake: "decodes" a binary payload to a
-    * fixed-length feature vector derived from content bytes. A real
-    * deployment swaps ONLY the body of `decodeOne` for an image-codec /
-    * model call; the batching, schema, and partitioning stay as-is.
+  /** Decode a binary payload to a fixed-length feature vector.
+    *
+    * REAL path (JPEG/PNG magic bytes): `javax.imageio` (ships in the
+    * JDK — no codec deps) decodes the image and the feature is the
+    * per-cell mean luminance over a ⌈√dim⌉×⌈√dim⌉ grid, row-major, in
+    * [0,1] — the engine-side analogue of the reference's crop →
+    * resize/pad → normalize stage (src/embedding.py:1263-1387; the
+    * learned-model embedding itself stays out of engine scope).
+    *
+    * FALLBACK (anything else, or undecodable bytes): the deterministic
+    * byte-fold stub, kept so non-image payloads (and the k06/k07
+    * oracle fixtures, which feed text bytes) behave exactly as before.
+    * A model deployment swaps ONLY this function body; the batching,
+    * schema, and partitioning stay as-is.
     */
   def decodeOne(content: Array[Byte], dim: Int): Array[Float] = {
+    if (content != null && looksLikeImage(content)) {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+        catch { case _: Exception => null } // corrupt payload → stub
+      if (img != null && img.getWidth > 0 && img.getHeight > 0)
+        return gridLuminance(img, dim)
+    }
     val out = Array.ofDim[Float](dim)
     if (content != null && content.nonEmpty) {
       var i = 0
@@ -59,6 +78,47 @@ object Multimodal {
         out(i) = ((content(i % content.length) & 0xff) * 31 + i) % 256 / 255.0f
         i += 1
       }
+    }
+    out
+  }
+
+  /** JPEG (FF D8 FF) / PNG (89 'PNG') magic sniff — the cheap gate that
+    * keeps non-image payloads off the ImageIO attempt entirely.
+    */
+  private def looksLikeImage(c: Array[Byte]): Boolean =
+    c.length >= 4 &&
+      (((c(0) & 0xff) == 0xff && (c(1) & 0xff) == 0xd8 && (c(2) & 0xff) == 0xff) ||
+        ((c(0) & 0xff) == 0x89 && c(1) == 'P' && c(2) == 'N' && c(3) == 'G'))
+
+  /** Mean luminance (integer ITU-R 601 weights, exact) per cell of a
+    * g×g grid (g = ⌈√dim⌉), row-major, scaled to [0,1]. Deterministic:
+    * integer pixel sums, one double divide per cell.
+    */
+  private def gridLuminance(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+    val g = math.ceil(math.sqrt(dim.toDouble)).toInt
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = Array.ofDim[Float](dim)
+    var i = 0
+    while (i < dim) {
+      val (row, colIdx) = (i / g, i % g)
+      val x0 = colIdx * w / g
+      val x1 = math.max(x0 + 1, (colIdx + 1) * w / g)
+      val y0 = row * h / g
+      val y1 = math.max(y0 + 1, (row + 1) * h / g)
+      var sum = 0L
+      var y = y0
+      while (y < y1) {
+        var x = x0
+        while (x < x1) {
+          val rgb = img.getRGB(x, y)
+          sum += (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+            114 * (rgb & 0xff)) / 1000
+          x += 1
+        }
+        y += 1
+      }
+      out(i) = (sum.toDouble / ((x1 - x0).toLong * (y1 - y0)) / 255.0).toFloat
+      i += 1
     }
     out
   }

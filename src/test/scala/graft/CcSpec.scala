@@ -55,4 +55,19 @@ class CcSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a == Set((5L, 5L), (9L, 5L), (7L, 5L)))
   }
+
+  test("reliable-checkpoint path (checkpointDir) matches the local path") {
+    // the executor-loss-tolerant variant a real cluster should use:
+    // same fixpoint, and checkpoint files actually land in the dir
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt_").toString
+    val edges = (0L until 25L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 102L), (50L, 60L))
+    val df = edges.toDF("doc_a", "doc_b")
+    val reliable = Dedup.connectedComponents(df, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == unionFind(edges))
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0, s"no checkpoint files written under $dir")
+  }
 }

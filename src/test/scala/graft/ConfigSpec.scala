@@ -131,9 +131,56 @@ class ConfigSpec extends AnyFunSuite {
     }
   }
 
-  test("block-style nesting is rejected, not silently mis-parsed") {
+  test("one level of block nesting: maps, lists, bare-key null") {
+    val m = Yaml.parse(
+      """thresholds:
+        |  appearance: 0.4764
+        |  distance: 99.18
+        |scales:
+        |  - 0.5
+        |  - 1
+        |empty_key:
+        |next: 7
+        |""".stripMargin)
+    assert(m("thresholds") == Map("appearance" -> 0.4764, "distance" -> 99.18))
+    assert(m("scales") == List(0.5, 1L))
+    assert(m("empty_key") == null)
+    assert(m("next") == 7L)
+  }
+
+  test("an indented variant of track.yaml loads to the same TrackRunConfig") {
+    // the same config a user would hand-write with block nesting
+    // instead of the reference's flow map — values must round-trip
+    // identically through the typed loader
+    val blockYaml = trackYaml.replace(
+      """thresholds: {
+        |    "appearance": 0.4764,
+        |    "distance": 99.18,
+        |    "size": 0.3143,
+        |}""".stripMargin,
+      """thresholds:
+        |  appearance: 0.4764
+        |  distance: 99.18
+        |  size: 0.3143""".stripMargin)
+    assert(blockYaml != trackYaml, "replacement did not apply")
+    val flow = Configs.load("cfgs/track.yaml", trackYaml, Map("dataset" -> "x"))
+    val block = Configs.load("cfgs/track.yaml", blockYaml, Map("dataset" -> "x"))
+    assert(block == flow)
+  }
+
+  test("deeper block nesting is rejected, not silently mis-parsed") {
+    // a child opening its own block (empty value)
+    val e1 = intercept[IllegalArgumentException] {
+      Yaml.parse("outer:\n  mid:\n    inner: 1\n")
+    }
+    assert(e1.getMessage.contains("one level"))
+    // mixed list/map entries under one key
     intercept[IllegalArgumentException] {
-      Yaml.parse("outer:\n  inner: 1\n")
+      Yaml.parse("outer:\n  - 1\n  k: 2\n")
+    }
+    // indentation with no open block
+    intercept[IllegalArgumentException] {
+      Yaml.parse("a: 1\n  b: 2\n")
     }
   }
 
@@ -154,6 +201,13 @@ class ConfigSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Configs.load("cfgs/eval.yaml", "dataset: x\n", Map("iou" -> 0.4))
     }
+    // nested-path typo: first segment is valid, the leaf is not — must
+    // fail like any other unknown key, not merge silently
+    val ex2 = intercept[IllegalArgumentException] {
+      Configs.load("cfgs/track.yaml", trackYaml,
+        Map("dataset" -> "x", "thresholds.distancee" -> 50.0))
+    }
+    assert(ex2.getMessage.contains("thresholds.distancee"))
   }
 
   test("detect list keys accept CLI override shapes, reject garbage") {

@@ -104,4 +104,34 @@ class IoSpec extends AnyFunSuite {
     assert(f1.feature.toSeq == f2.feature.toSeq)
     assert(f1.feature.length == 8)
   }
+
+  test("real PNG decode: grid-luminance features, not the byte-fold stub") {
+    // 8×8 PNG, left half black, right half white → dim=4 (2×2 grid)
+    // means: row-major [black, white, black, white]
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val f = Multimodal.decodeOne(png, 4)
+    assert(f.length == 4)
+    assert(f(0) == 0.0f && f(2) == 0.0f, s"black cells: ${f.toSeq}")
+    assert(f(1) == 1.0f && f(3) == 1.0f, s"white cells: ${f.toSeq}")
+    // gradient: cell means must ORDER with brightness (real pixels read)
+    for (y <- 0 until 8; x <- 0 until 8)
+      img.setRGB(x, y, (x * 32) << 16 | (x * 32) << 8 | (x * 32))
+    val bos2 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos2)
+    val g = Multimodal.decodeOne(bos2.toByteArray, 4)
+    assert(g(0) < g(1) && g(2) < g(3), s"gradient order: ${g.toSeq}")
+    // non-image bytes keep the byte-fold path bit-for-bit (k06 fixture)
+    val txt = "hello world, not an image".getBytes("UTF-8")
+    val stub = Multimodal.decodeOne(txt, 4)
+    assert(stub(0) == (((txt(0) & 0xff) * 31 + 0) % 256) / 255.0f)
+    // truncated/corrupt PNG header falls back to the stub, no throw
+    val corrupt = png.take(10)
+    assert(Multimodal.decodeOne(corrupt, 4).length == 4)
+  }
 }

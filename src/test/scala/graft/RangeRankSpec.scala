@@ -99,6 +99,20 @@ class RangeRankSpec extends AnyFunSuite {
     assert(prefix.forall(r => !r.isNullAt(0) && r.getLong(0) == 0L))
   }
 
+  test("bucket count never changes values: nb=1, 32, 256 and auto agree") {
+    // nb only affects partitioning; ranks/sums must be identical at any
+    // bucket count — including nb=1 (the degenerate global window) and
+    // nb far above the row count (mostly-empty buckets).
+    val rows = (1L to 400L).map(i =>
+      (i, java.lang.Double.valueOf((i * 53 % 89).toDouble), (i % 5).toInt))
+    check(mkDf(rows), descending = false, nb = 1)
+    check(mkDf(rows), descending = false, nb = 32)
+    check(mkDf(rows), descending = false, nb = 256)
+    check(mkDf(rows), descending = true, nb = 256)
+    // default (nb <= 0) resolves to max(32, defaultParallelism)
+    check(mkDf(rows), descending = false, nb = 0)
+  }
+
   test("empty input returns empty with the rank columns present") {
     val df = mkDf(Seq.empty)
     val got = RangeRank.withGlobalRank(df, col("score"), col("id"),

@@ -65,6 +65,37 @@ class TrackerSpec extends AnyFunSuite {
     assert(aTracks.size == 1, s"expected same id within maxAge, got $aTracks")
   }
 
+  test("greedy matcher honors the spatial-index radius gate (J4 + E12)") {
+    // The one matcher×gate combination no DuckDB oracle covers (k04
+    // runs the reference's index-off fallback to dodge a DuckDB 1.0
+    // evaluation bug): greedy matching WITH useSpatialIndex=true.
+    // One track at (0,0); frame 2's only det jumps 200 px — beyond the
+    // search radius max(2σ, thresholdDistance·(1+tolerance)) ≈ 128.9.
+    //  - gated: the track sees NO candidates → det starts track 2
+    //  - ungated (reference fallback, no distance filter): the pair is
+    //    scored (negative sim, but greedy has no > 0 floor — mirroring
+    //    the reference) and the track CONTINUES as id 1
+    // The pair of outcomes pins both the gate and the fallback.
+    val dets = Seq(det("a", 1, 0, 0, 0), det("a", 2, 0, 200, 0))
+    for (kalman <- Seq(true, false)) {
+      val gated = run(dets, TrackerConfig(bidirectional = false,
+        useSpatialIndex = true, useKalman = kalman))
+      assert(gated.map(r => (r.frame, r.trackId)) ==
+        Seq(("000001", 1), ("000002", 2)),
+        s"gated greedy (kalman=$kalman): $gated")
+      val ungated = run(dets, TrackerConfig(bidirectional = false,
+        useSpatialIndex = false, useKalman = kalman))
+      assert(ungated.map(r => (r.frame, r.trackId)) ==
+        Seq(("000001", 1), ("000002", 1)),
+        s"ungated greedy (kalman=$kalman): $ungated")
+    }
+    // and a det INSIDE the radius still matches under the gate
+    val near = Seq(det("a", 1, 0, 0, 0), det("a", 2, 0, 50, 0))
+    val out = run(near, TrackerConfig(bidirectional = false,
+      useSpatialIndex = true))
+    assert(out.map(_.trackId).distinct == Seq(1), s"near det split: $out")
+  }
+
   test("emission only on matched frames (T5)") {
     val dets = (1 to 2).map(f => det("a", f, 0, 10, 10)) ++
       (3 to 4).map(f => det("a", f, 1, 600, 600))
