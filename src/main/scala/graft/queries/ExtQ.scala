@@ -30,6 +30,28 @@ object ExtQ {
     prefix + java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
 
+  /** Runs `body` (a streaming start+drain) with `spark.sql.shuffle.
+    * partitions` lowered to `parts`, restoring the previous value after.
+    *
+    * Stateful micro-batches pay a PER-PARTITION state-store setup/
+    * maintenance/commit cost every trigger; at the catalog's data
+    * scale 32 partitions of that overhead is pure constant cost and —
+    * measured round 7 — the dominant source of ±5× run-to-run noise in
+    * the streaming bench numbers late in a 70-query session. The
+    * partition count only shapes the state layout (values are
+    * partitioning-independent), and each query starts from a fresh
+    * temp checkpoint, so the setting is free to differ per query. On a
+    * real cluster a continuous job would size this to its executor
+    * count instead.
+    */
+  private[queries] def withStreamShuffle[T](s: org.apache.spark.sql.SparkSession,
+                                            parts: Int = 4)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, parts.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   val defs: Seq[Q] = Seq(
 
     // F1/F2/F4 — the cascade predicates on the derived corner-format
@@ -210,7 +232,7 @@ object ExtQ {
     // oracle is the batch equivalent — exact agreement because the
     // stream drains completely.
     Q("st1_stream_window",
-      (s, d) => {
+      (s, d) => withStreamShuffle(s) {
         val schema = Tables.events(s, d).schema
         val name = sinkName("st1_counts_", d)
         val stream = s.readStream.schema(schema)
@@ -246,7 +268,7 @@ object ExtQ {
     // days — a production config would size the delay from that span,
     // trading state for dedup completeness; that trade IS the operator).
     Q("st2_stream_dedup",
-      (s, d) => {
+      (s, d) => withStreamShuffle(s) {
         val schema = Tables.events(s, d).schema
         def src = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(d)
@@ -273,7 +295,7 @@ object ExtQ {
     // identical regardless of the engine's ≤/< boundary choice. Oracle =
     // batch gaps-and-islands with the same ≥10-min break rule.
     Q("st3_stream_session",
-      (s, d) => {
+      (s, d) => withStreamShuffle(s) {
         val schema = Tables.events(s, d).schema
         val name = sinkName("st3_sess_", d)
         val stream = s.readStream.schema(schema)

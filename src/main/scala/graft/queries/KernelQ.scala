@@ -707,7 +707,7 @@ ${matchLayers.replace("AGED_SRC", agedSrc)}
     * (nested subqueries — see Derived for why not WITH) and the oracle
     * embeds the same text as gt/tracks CTEs.
     */
-  def anchorSql(jitter: Boolean): String =
+  def anchorSql(jitter: Boolean, frames: Int = 1000): String =
     s"""SELECT seq, frameIdx, id,
        |  x${if (jitter) " + CAST(l_orderkey % 7 AS DOUBLE) - 3.0" else ""} AS x,
        |  y${if (jitter) " + CAST(l_suppkey % 7 AS DOUBLE) - 3.0" else ""} AS y, w, h
@@ -715,7 +715,7 @@ ${matchLayers.replace("AGED_SRC", agedSrc)}
        |  SELECT *, row_number() OVER (PARTITION BY frameIdx, id ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) AS rn
        |  FROM (
        |    SELECT 'anchor' AS seq,
-       |      CAST(l_orderkey % 1000 AS INT) AS frameIdx,
+       |      CAST(l_orderkey % $frames AS INT) AS frameIdx,
        |      CAST(l_partkey % 50 AS INT) AS id,
        |      CAST((l_partkey * 37) % 1600 AS DOUBLE) AS x,
        |      CAST((l_suppkey * 53) % 1600 AS DOUBLE) AS y,
@@ -724,6 +724,41 @@ ${matchLayers.replace("AGED_SRC", agedSrc)}
        |      l_orderkey, l_linenumber, l_partkey, l_suppkey
        |    FROM lineitem) raw) t
        |WHERE rn = 1${if (jitter) " AND (l_orderkey + l_suppkey) % 9 <> 0" else ""}""".stripMargin
+
+  /** The m11 anchor pipeline (shared with `graft.Anchor`'s scaling
+    * sweep): CLEAR/Identity metrics over the anchor derivation at any
+    * frame count — 1000 frames ≈ 50k gt rows (the BASELINE.md shape),
+    * 10000 frames ≈ 500k (the 10× scaling point). Caches both derived
+    * relations: metrics fans them into several aggregation branches,
+    * and each branch would otherwise repeat the lineitem scan + dedup
+    * window. CacheManager dedupes by canonicalized plan, so repeat
+    * calls at the same frame count reuse the same two entries.
+    */
+  def anchorMetrics(s: org.apache.spark.sql.SparkSession, d: String,
+                    frames: Int = 1000): org.apache.spark.sql.DataFrame = {
+    graft.Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    val m = graft.operators.MotEval.metrics(
+      s.sql(anchorSql(jitter = false, frames)).cache(),
+      s.sql(anchorSql(jitter = true, frames)).cache(), 0.3)
+    m.select(col("seq"),
+      col("Dets").cast("long").as("Dets"),
+      col("GT_Dets").cast("long").as("GT_Dets"),
+      col("IDs").cast("long").as("IDs"),
+      col("GT_IDs").cast("long").as("GT_IDs"),
+      col("CLR_TP").cast("long").as("CLR_TP"),
+      col("CLR_FN").cast("long").as("CLR_FN"),
+      round(col("CLR_Re"), 9).as("CLR_Re"),
+      round(col("LocA"), 9).as("LocA"),
+      col("IDSW").cast("long").as("IDSW"),
+      col("Frag").cast("long").as("Frag"),
+      col("MT").cast("long").as("MT"),
+      col("PT").cast("long").as("PT"),
+      col("ML").cast("long").as("ML"),
+      col("IDTP").cast("long").as("IDTP"),
+      col("IDFN").cast("long").as("IDFN"),
+      col("IDFP").cast("long").as("IDFP"),
+      round(col("IDF1"), 9).as("IDF1"))
+  }
 
   // k10's late-replay predicate — ONE string shared between the input
   // builder (assigns the stale event time) and the oracle's din filter
@@ -915,7 +950,7 @@ ${matchLayers.replace("AGED_SRC", agedSrc)}
     // snapshotCore/restoreCore round-trip oracle-checked (k05's batch
     // host sees each sequence once, so it never restores mid-stream).
     Q("k10_track_timed",
-      (s, d) => {
+      (s, d) => ExtQ.withStreamShuffle(s) {
         import s.implicits._
         val dir = timedBatchDir(s, d)
         val name = ExtQ.sinkName("k10_timed_", d)
@@ -939,35 +974,7 @@ ${matchLayers.replace("AGED_SRC", agedSrc)}
     // (src/utils/eval.py:685-689); bench records ours. Oracle = the full
     // m02 metric CTE chain over the SAME anchor derivation text.
     Q("m11_eval_anchor",
-      (s, d) => {
-        graft.Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
-        // Cache both derived relations: metrics fans them into several
-        // aggregation branches, and each branch would otherwise repeat
-        // the 600k-row lineitem scan + dedup window. CacheManager
-        // dedupes by canonicalized plan, so repeat calls reuse the
-        // same two entries (no per-call growth).
-        val m = graft.operators.MotEval.metrics(
-          s.sql(anchorSql(jitter = false)).cache(),
-          s.sql(anchorSql(jitter = true)).cache(), 0.3)
-        m.select(col("seq"),
-          col("Dets").cast("long").as("Dets"),
-          col("GT_Dets").cast("long").as("GT_Dets"),
-          col("IDs").cast("long").as("IDs"),
-          col("GT_IDs").cast("long").as("GT_IDs"),
-          col("CLR_TP").cast("long").as("CLR_TP"),
-          col("CLR_FN").cast("long").as("CLR_FN"),
-          round(col("CLR_Re"), 9).as("CLR_Re"),
-          round(col("LocA"), 9).as("LocA"),
-          col("IDSW").cast("long").as("IDSW"),
-          col("Frag").cast("long").as("Frag"),
-          col("MT").cast("long").as("MT"),
-          col("PT").cast("long").as("PT"),
-          col("ML").cast("long").as("ML"),
-          col("IDTP").cast("long").as("IDTP"),
-          col("IDFN").cast("long").as("IDFN"),
-          col("IDFP").cast("long").as("IDFP"),
-          round(col("IDF1"), 9).as("IDF1"))
-      },
+      (s, d) => anchorMetrics(s, d),
       Some(s"""WITH gt AS (
         |${anchorSql(jitter = false)}
         |),
