@@ -11,6 +11,30 @@ import graft.functions.Text
   */
 object TextAnalysis {
 
+  /** Deterministic stratified sampling for training-data mixing: keep a
+    * row iff `hash(id) mod M < threshold(stratum)`, where the per-
+    * stratum thresholds encode the mix fractions (`thr = frac · M`).
+    *
+    * This is the 100 TB sampling shape: a pure map-side filter — no
+    * shuffle, no per-stratum window (a `row_number per stratum` design
+    * funnels each stratum through one task; strata are few, so that is
+    * guaranteed skew), no RNG state. The same rows are kept on any
+    * partitioning, any cluster, any rerun — sampling decisions are a
+    * function of the data, which is what makes pipeline re-runs and
+    * incremental backfills consistent. The LCG below is shared oracle
+    * text (DuckDB has no xxhash64); swap `hash` for
+    * `pmod(xxhash64(id), M)` in production where ids exceed ~8e9 and
+    * the multiply could overflow.
+    */
+  def stratifiedSampleByHash(df: DataFrame, keyCol: Column, idCol: Column,
+                             thresholds: Seq[(String, Long)],
+                             defaultThreshold: Long): DataFrame = {
+    val thr = thresholds.foldRight(lit(defaultThreshold): Column) {
+      case ((k, t), acc) => when(keyCol === k, lit(t)).otherwise(acc)
+    }
+    df.filter((idCol * lit(1103515245L) + lit(12345L)) % lit(2147483648L) < thr)
+  }
+
   /** Token count (whitespace) and a BPE-ish subword proxy: count of
     * alpha-runs, digit-runs, and punctuation marks via regexp extraction
     * — the standard pre-tokenizer shape without a vocab dependency.

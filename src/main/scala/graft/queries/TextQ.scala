@@ -25,6 +25,59 @@ object TextQ {
 
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
 
+  // t05's language-mix fractions as exact integer hash-gate thresholds
+  // (frac · 2³¹, truncated): ONE value set shared between the Spark
+  // filter and the oracle CASE so the mix can never drift between
+  // engines. en is upsampled, de mid-weighted, the long tail default.
+  private val mixThresholds: Seq[(String, Long)] = Seq(
+    "en" -> (0.5 * 2147483648L).toLong,
+    "de" -> (0.3 * 2147483648L).toLong)
+  private val mixDefault: Long = (0.1 * 2147483648L).toLong
+
+  /** d06's oracle chain as reusable CTEs ending in
+    * `ndpairs(doc_a, doc_b, cosine)` — the verified embedding near-dup
+    * pairs (2-table × 6-bit sign-LSH candidates, exact quantized-cosine
+    * ≥ 0.40). d06 selects it directly; d08 chains the recursive closure
+    * + representative argmax on top.
+    */
+  private val d06PairCtes: String = {
+    val hd = (k: Int) => s"(CASE WHEN ascii(substr(h, $k, 1)) <= 57 THEN ascii(substr(h, $k, 1)) - 48 ELSE ascii(substr(h, $k, 1)) - 87 END)"
+    s"""coefs AS (
+      |  SELECT p, i,
+      |    CAST(${hd(1)} * 4096 + ${hd(2)} * 256 + ${hd(3)} * 16 + ${hd(4)} AS DOUBLE) / 65536.0 - 0.5 AS coef
+      |  FROM (SELECT p, i, md5('p' || CAST(p AS VARCHAR) || '_d' || CAST(i AS VARCHAR)) AS h
+      |        FROM range(12) a(p), range(64) b(i)) t
+      |), dots AS (
+      |  SELECT e.vec_id, c.p,
+      |    CAST(sum(CAST(ROUND(CAST(e.embedding[c.i + 1] AS DOUBLE) * c.coef * 1e12) AS BIGINT)) AS BIGINT) AS dq
+      |  FROM embeddings e, coefs c GROUP BY e.vec_id, c.p
+      |), sigs AS (
+      |  SELECT vec_id, p // 6 AS tbl,
+      |    CAST(sum(CASE WHEN dq > 0 THEN 1 << (p % 6) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM dots GROUP BY vec_id, p // 6
+      |), nd_cands AS (
+      |  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+      |  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.bucket = b.bucket
+      |  WHERE a.vec_id < b.vec_id
+      |), nd_dq AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |    CAST(sum(CAST(ROUND(CAST(a.embedding[i + 1] AS DOUBLE) * CAST(b.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq,
+      |    CAST(sum(CAST(ROUND(CAST(a.embedding[i + 1] AS DOUBLE) * CAST(a.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS na,
+      |    CAST(sum(CAST(ROUND(CAST(b.embedding[i + 1] AS DOUBLE) * CAST(b.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nb
+      |  FROM nd_cands c
+      |  JOIN embeddings a ON a.vec_id = c.doc_a
+      |  JOIN embeddings b ON b.vec_id = c.doc_b, range(64) r(i)
+      |  GROUP BY c.doc_a, c.doc_b
+      |), nd_cos AS (
+      |  SELECT doc_a, doc_b,
+      |    ROUND(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+      |      ELSE CAST(dq AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) END, 9) AS cosine
+      |  FROM nd_dq
+      |), ndpairs AS (
+      |  SELECT doc_a, doc_b, cosine FROM nd_cos WHERE cosine >= 0.40
+      |)""".stripMargin
+  }
+
   /** Jaccard-scored LSH near-dup pairs at J ≥ 0.5 — materialized ONCE
     * per dir (SURVEY §4 P6): the same pipeline stage feeds both the
     * near-dup report (d05) and the dedup clustering (d07, J ≥ 0.9 ⊂
@@ -133,6 +186,21 @@ object TextQ {
         | len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), x -> len(x) > 0))
         |   + len(list_filter(regexp_split_to_array(text, '[A-Za-z0-9\s]+'), x -> len(x) > 0)) AS n_subword_pieces
         |FROM documents""".stripMargin)),
+
+    // Deterministic stratified sampling (training-data mixing): per-
+    // language mix fractions as hash-gate thresholds — a pure map-side
+    // filter, no shuffle, no per-stratum window, rerun-stable on any
+    // partitioning (TextAnalysis.stratifiedSampleByHash).
+    Q("t05_stratified_sample",
+      (s, d) => TextAnalysis.stratifiedSampleByHash(Tables.documents(s, d),
+          col("lang"), col("doc_id"), mixThresholds, mixDefault)
+        .select("doc_id", "lang", "source"),
+      Some {
+        val cases = mixThresholds.map { case (k, t) => s"WHEN '$k' THEN $t" }.mkString(" ")
+        s"""SELECT doc_id, lang, source FROM documents
+           |WHERE (doc_id * 1103515245 + 12345) % 2147483648 <
+           |  CASE lang $cases ELSE $mixDefault END""".stripMargin
+      }),
 
     // Exact dedup on a truncated-content key (the corpus has no full
     // duplicates; prefix dedup exercises the operator).
@@ -273,42 +341,55 @@ object TextQ {
     Q("d06_embedding_neardup",
       (s, d) => Dedup.embeddingNearDupLsh(Tables.embeddings(s, d),
         numTables = 2, planesPerTable = 6, threshold = 0.40),
-      Some {
-        val hd = (k: Int) => s"(CASE WHEN ascii(substr(h, $k, 1)) <= 57 THEN ascii(substr(h, $k, 1)) - 48 ELSE ascii(substr(h, $k, 1)) - 87 END)"
-        s"""WITH coefs AS (
-          |  SELECT p, i,
-          |    CAST(${hd(1)} * 4096 + ${hd(2)} * 256 + ${hd(3)} * 16 + ${hd(4)} AS DOUBLE) / 65536.0 - 0.5 AS coef
-          |  FROM (SELECT p, i, md5('p' || CAST(p AS VARCHAR) || '_d' || CAST(i AS VARCHAR)) AS h
-          |        FROM range(12) a(p), range(64) b(i)) t
-          |), dots AS (
-          |  SELECT e.vec_id, c.p,
-          |    CAST(sum(CAST(ROUND(CAST(e.embedding[c.i + 1] AS DOUBLE) * c.coef * 1e12) AS BIGINT)) AS BIGINT) AS dq
-          |  FROM embeddings e, coefs c GROUP BY e.vec_id, c.p
-          |), sigs AS (
-          |  SELECT vec_id, p // 6 AS tbl,
-          |    CAST(sum(CASE WHEN dq > 0 THEN 1 << (p % 6) ELSE 0 END) AS BIGINT) AS bucket
-          |  FROM dots GROUP BY vec_id, p // 6
-          |), cands AS (
-          |  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
-          |  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.bucket = b.bucket
-          |  WHERE a.vec_id < b.vec_id
-          |), dq AS (
-          |  SELECT c.doc_a, c.doc_b,
-          |    CAST(sum(CAST(ROUND(CAST(a.embedding[i + 1] AS DOUBLE) * CAST(b.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq,
-          |    CAST(sum(CAST(ROUND(CAST(a.embedding[i + 1] AS DOUBLE) * CAST(a.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS na,
-          |    CAST(sum(CAST(ROUND(CAST(b.embedding[i + 1] AS DOUBLE) * CAST(b.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nb
-          |  FROM cands c
-          |  JOIN embeddings a ON a.vec_id = c.doc_a
-          |  JOIN embeddings b ON b.vec_id = c.doc_b, range(64) r(i)
-          |  GROUP BY c.doc_a, c.doc_b
-          |), cos AS (
-          |  SELECT doc_a, doc_b,
-          |    ROUND(CASE WHEN na = 0 OR nb = 0 THEN 0.0
-          |      ELSE CAST(dq AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) END, 9) AS cosine
-          |  FROM dq
-          |)
-          |SELECT doc_a, doc_b, cosine FROM cos WHERE cosine >= 0.40""".stripMargin
-      }),
+      Some(s"WITH $d06PairCtes\nSELECT doc_a, doc_b, cosine FROM ndpairs")),
+
+    // Dedup-aware corpus selection: the pipeline-composition step a real
+    // training-data run ends with — near-dup pairs (d06's sign-LSH +
+    // quantized-cosine verify) → connected components → keep ONE
+    // representative per duplicate cluster, chosen by quality (longest
+    // text, ties to the lowest doc id). Composes three oracle-checked
+    // operators end-to-end; the oracle replays the whole chain (pair
+    // CTEs + recursive closure + the same argmax).
+    Q("d08_neardup_keep_best",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val pairs = Dedup.embeddingNearDupLsh(Tables.embeddings(s, d),
+          numTables = 2, planesPerTable = 6, threshold = 0.40)
+        val cc = Dedup.connectedComponents(pairs.select("doc_a", "doc_b"))
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"), col("lang"))
+        val w = Window.partitionBy("cluster_id")
+          .orderBy(col("n_chars").desc, col("doc_id").asc)
+        cc.join(docs, Seq("doc_id"))
+          .withColumn("rnk", row_number().over(w))
+          .withColumn("n_members",
+            count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
+          .filter(col("rnk") === 1)
+          .select(col("cluster_id"), col("doc_id").as("rep_doc_id"),
+            col("lang").as("rep_lang"), col("n_chars").as("rep_chars"),
+            col("n_members"))
+      },
+      Some(s"""WITH RECURSIVE $d06PairCtes,
+        |nd_edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM ndpairs
+        |  UNION ALL
+        |  SELECT doc_b AS src, doc_a AS dst FROM ndpairs
+        |), nd_reach(node, r) AS (
+        |  SELECT DISTINCT src, src FROM nd_edges
+        |  UNION
+        |  SELECT e.src, rc.r FROM nd_edges e JOIN nd_reach rc ON rc.node = e.dst
+        |), nd_cc AS (
+        |  SELECT node AS doc_id, min(r) AS cluster_id FROM nd_reach GROUP BY node
+        |), nd_ranked AS (
+        |  SELECT c.cluster_id, c.doc_id, d.lang, d.n_chars,
+        |    row_number() OVER (PARTITION BY c.cluster_id
+        |      ORDER BY d.n_chars DESC, c.doc_id) AS rnk,
+        |    count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+        |  FROM nd_cc c JOIN documents d ON d.doc_id = c.doc_id
+        |)
+        |SELECT cluster_id, doc_id AS rep_doc_id, lang AS rep_lang,
+        |  CAST(n_chars AS BIGINT) AS rep_chars,
+        |  CAST(n_members AS BIGINT) AS n_members
+        |FROM nd_ranked WHERE rnk = 1""".stripMargin)),
 
     // IVF-flat ANN: nlist=8 sampled centroids, corpus partitioned by
     // argmax-cosine cell, queries probe nprobe=2 cells, exact rerank
