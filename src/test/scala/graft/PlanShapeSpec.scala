@@ -149,6 +149,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles(p8) == 2, s"expected exactly 2 shuffles:\n$p8")
   }
 
+  test("t05_stratified_sample: pure map-side filter — zero exchanges of any kind") {
+    val p = plan("t05_stratified_sample")
+    assert(!p.contains("Exchange"), s"stratified sampling must not shuffle:\n$p")
+    assert(!p.contains("Window"), s"no per-stratum window allowed:\n$p")
+    assert(p.contains("Filter"), p)
+  }
+
   test("q01_pricing_summary: partial agg before one shuffle, scan pruned to 5 columns") {
     // formatted mode: the only variant that prints the scan's ReadSchema
     val p = SparkEntry.queries("q01_pricing_summary")(spark, dir)
