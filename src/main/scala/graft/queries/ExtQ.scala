@@ -341,6 +341,51 @@ object ExtQ {
         |SELECT user_id, sess_start_ms, sess_end_ms, n_events FROM sess
         |WHERE sess_end_ms < (SELECT max(ms) FROM ev) - 2000""".stripMargin)),
 
+    // M7 — stream-stream INTERVAL JOIN (the last Structured Streaming
+    // join surface): views joined to same-user purchases within the
+    // following hour, both sides watermarked + a two-sided time
+    // constraint so the state store evicts rows once the watermark
+    // passes their join window — the shape that keeps a continuous
+    // two-stream join bounded at 100 TB. Event times are ms-floored on
+    // both engines (st3's rule) and the interval bounds are integer
+    // millis, so the pair set is exact — no FP anywhere. Under
+    // Trigger.AvailableNow both legs drain completely and inner-join
+    // state outlives the drain, so every qualifying pair emits exactly
+    // once and the batch-join oracle matches.
+    Q("st4_stream_join",
+      (s, d) => withStreamShuffle(s) {
+        val schema = Tables.events(s, d).schema
+        def src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(d)
+          .withColumn("et", expr("timestamp_millis(ts div 1000000)"))
+        val views = src.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+            col("et").as("v_et"))
+          .withWatermark("v_et", "1 hour")
+        val buys = src.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("b_user"), col("event_id").as("buy_id"),
+            col("et").as("b_et"))
+          .withWatermark("b_et", "1 hour")
+        val name = sinkName("st4_join_", d)
+        val q = views.join(buys,
+            col("v_user") === col("b_user") &&
+              col("b_et") >= col("v_et") &&
+              col("b_et") <= col("v_et") + expr("interval 1 hour"))
+          .select(col("view_id"), col("buy_id"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+      },
+      Some("""SELECT v.event_id AS view_id, b.event_id AS buy_id
+        |FROM events v JOIN events b
+        |  ON v.user_id = b.user_id
+        | AND v.event_type = 'view' AND b.event_type = 'purchase'
+        | AND epoch_ms(b.ts) >= epoch_ms(v.ts)
+        | AND epoch_ms(b.ts) <= epoch_ms(v.ts) + 3600000""".stripMargin)),
+
     // P10 — sliding-window tile-spec generator with edge snapping
     // (reference src/detection.py:1358-1368), duplicates preserved.
     Q("f03_tile_specs",
