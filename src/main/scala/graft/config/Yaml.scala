@@ -91,7 +91,15 @@ object Yaml {
       children.map { c =>
         require(c == "-" || c.startsWith("- "),
           s"mixed block list/map entries under '$key': $c")
-        parseValue(c.drop(1).trim)
+        val item = c.drop(1).trim
+        // a bare `- key: val` item is a LIST OF MAPS in real YAML —
+        // parseValue would silently yield the string "key: val";
+        // flow/quoted items ({k: v}, "a: b") are fine
+        require(item.isEmpty || "{[\"'".contains(item.head) ||
+          indexOfKeyColon(item) < 0,
+          s"block list items must be scalars or flow collections, " +
+            s"not nested mappings (under '$key'): $c")
+        parseValue(item)
       }
     } else {
       val m = mutable.LinkedHashMap.empty[String, Any]

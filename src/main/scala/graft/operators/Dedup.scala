@@ -243,16 +243,45 @@ object Dedup {
     * recompute). Pass `checkpointDir` to use RELIABLE `checkpoint`
     * into that fault-tolerant location (HDFS/S3A on a real cluster) —
     * the right default for long CC jobs at 100 TB, at the cost of a
-    * write+read per round.
+    * write+read per round. Superseded rounds' checkpoint files are
+    * DELETED as the loop advances (Spark never cleans reliable
+    * checkpoints itself — without this a 20-round job retains every
+    * round's full snapshot); only the final generation's files remain,
+    * needed by the returned DataFrame — remove the directory when done
+    * with the result. Note `setCheckpointDir` is context-global and
+    * stays set after the call.
     */
   def connectedComponents(edges: DataFrame, srcCol: String = "doc_a",
                           dstCol: String = "doc_b", maxIter: Int = 50,
                           checkpointDir: Option[String] = None): DataFrame = {
-    val ckpt: DataFrame => DataFrame = checkpointDir match {
-      case Some(dir) =>
-        edges.sparkSession.sparkContext.setCheckpointDir(dir)
-        df => df.checkpoint()
-      case None => df => df.localCheckpoint(true)
+    val sc = edges.sparkSession.sparkContext
+    // reliable mode: track each generation's rdd-* dirs (a checkpoint
+    // call adds exactly one, eagerly) so release() can delete a
+    // superseded generation's files at the same point it unpersists it
+    val ckptFs = checkpointDir.map { dir =>
+      sc.setCheckpointDir(dir)
+      val root = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
+      (root, root.getFileSystem(sc.hadoopConfiguration))
+    }
+    def listCkpts: Set[String] = ckptFs match {
+      case Some((root, fs)) if fs.exists(root) =>
+        fs.listStatus(root).map(_.getPath.toString).toSet
+      case _ => Set.empty
+    }
+    val gen = new java.util.IdentityHashMap[DataFrame, Set[String]]
+    val ckpt: DataFrame => DataFrame =
+      if (ckptFs.isDefined) { df =>
+        val before = listCkpts
+        val out = df.checkpoint()
+        gen.put(out, listCkpts -- before)
+        out
+      } else df => df.localCheckpoint(true)
+    def release(df: DataFrame): Unit = {
+      df.unpersist()
+      Option(gen.remove(df)).foreach(_.foreach { p =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        ckptFs.foreach(_._2.delete(path, true))
+      })
     }
     // The loop body deliberately contains NO Union — a Union duplicated
     // through iteration plans trips Spark 4.1's constraint rewrite
@@ -262,7 +291,7 @@ object Dedup {
       .filter(col("src") =!= col("dst")))
     var e = ckpt(e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct())
-    e0.unpersist() // only needed to build the symmetric closure
+    release(e0) // only needed to build the symmetric closure
     var labels = ckpt(e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")))
     var iter = 0
@@ -292,7 +321,7 @@ object Dedup {
           col("a.label") === col("b.dn"), "left")
         .select(col("a.node").as("node"),
           coalesce(col("dl"), col("a.label")).as("label")))
-      labels.unpersist()
+      release(labels)
       labels = doubled
       // contract: rewrite edges into new-representative space and drop
       // intra-cluster loops — the edge table shrinks geometrically, so
@@ -302,7 +331,7 @@ object Dedup {
         .join(labels.select(col("node").as("dst"), col("label").as("ld")), Seq("dst"))
         .select(col("ls").as("src"), col("ld").as("dst"))
         .filter(col("src") =!= col("dst")).distinct())
-      e.unpersist()
+      release(e)
       e = relabeled
       iter += 1
       drained = e.isEmpty
@@ -314,6 +343,7 @@ object Dedup {
     // 2^50 diameter, so hitting it means a logic bug — fail loudly
     require(drained,
       s"connectedComponents did not converge in $maxIter rounds")
+    release(e) // the drained edge table is never read again
     // the edge set can empty while the label forest still has depth > 1
     // (a cluster's rep was itself relabeled in a later round): compress
     // to the fixpoint with doubling — depth halves per pass
@@ -327,7 +357,7 @@ object Dedup {
       stable = nxt.as("n")
         .join(labels.as("o"), col("n.node") === col("o.node"))
         .filter(col("n.label") < col("o.label")).isEmpty
-      labels.unpersist()
+      release(labels) // after the stable check, which reads the old labels
       labels = nxt
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[cc] compress stable=$stable")

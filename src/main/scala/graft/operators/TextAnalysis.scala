@@ -26,13 +26,21 @@ object TextAnalysis {
     * `pmod(xxhash64(id), M)` in production where ids exceed ~8e9 and
     * the multiply could overflow.
     */
+  // The sampling hash's constants, public so callers derive thresholds
+  // (frac · SampleModulus) and oracle SQL from the SAME values the
+  // filter uses — three independently-hardcoded copies would let a
+  // modulus change silently re-scale every configured fraction.
+  val SampleLcgA = 1103515245L
+  val SampleLcgC = 12345L
+  val SampleModulus = 2147483648L // 2^31
+
   def stratifiedSampleByHash(df: DataFrame, keyCol: Column, idCol: Column,
                              thresholds: Seq[(String, Long)],
                              defaultThreshold: Long): DataFrame = {
     val thr = thresholds.foldRight(lit(defaultThreshold): Column) {
       case ((k, t), acc) => when(keyCol === k, lit(t)).otherwise(acc)
     }
-    df.filter((idCol * lit(1103515245L) + lit(12345L)) % lit(2147483648L) < thr)
+    df.filter((idCol * lit(SampleLcgA) + lit(SampleLcgC)) % lit(SampleModulus) < thr)
   }
 
   /** Token count (whitespace) and a BPE-ish subword proxy: count of

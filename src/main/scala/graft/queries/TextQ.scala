@@ -26,13 +26,13 @@ object TextQ {
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
 
   // t05's language-mix fractions as exact integer hash-gate thresholds
-  // (frac · 2³¹, truncated): ONE value set shared between the Spark
-  // filter and the oracle CASE so the mix can never drift between
-  // engines. en is upsampled, de mid-weighted, the long tail default.
+  // (frac · SampleModulus, truncated): derived from the OPERATOR'S own
+  // constants so the mix can never drift between the Spark filter and
+  // the oracle CASE. en is upsampled, de mid-weighted, the tail default.
   private val mixThresholds: Seq[(String, Long)] = Seq(
-    "en" -> (0.5 * 2147483648L).toLong,
-    "de" -> (0.3 * 2147483648L).toLong)
-  private val mixDefault: Long = (0.1 * 2147483648L).toLong
+    "en" -> (0.5 * TextAnalysis.SampleModulus).toLong,
+    "de" -> (0.3 * TextAnalysis.SampleModulus).toLong)
+  private val mixDefault: Long = (0.1 * TextAnalysis.SampleModulus).toLong
 
   /** Verified embedding near-dup pairs, materialized ONCE per
     * (context, dir) — the same persisted-stage pattern as
@@ -42,15 +42,11 @@ object TextQ {
     */
   private val ndPairCache =
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.SparkContext, String), org.apache.spark.sql.DataFrame]
-  private def ndPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
-    ndPairCache.keys.filter(_._1.isStopped).foreach(ndPairCache.remove)
-    ndPairCache.getOrElseUpdate((s.sparkContext, d), {
-      val df = Dedup.embeddingNearDupLsh(Tables.embeddings(s, d),
-        numTables = 2, planesPerTable = 6, threshold = 0.40).cache()
-      df.count()
-      df
-    })
-  }
+  private def ndPairs(s: org.apache.spark.sql.SparkSession, d: String) =
+    memoized(ndPairCache, s, d) {
+      Dedup.embeddingNearDupLsh(Tables.embeddings(s, d),
+        numTables = 2, planesPerTable = 6, threshold = 0.40)
+    }
 
   /** d06's oracle chain as reusable CTEs ending in
     * `ndpairs(doc_a, doc_b, cosine)` — the verified embedding near-dup
@@ -111,22 +107,32 @@ object TextQ {
     * jaccardPairs' size-ratio prefilter then drops colliding-but-
     * dissimilar pairs before any gram array is shuffled.
     */
-  private val pairCache =
-    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.SparkContext, String), org.apache.spark.sql.DataFrame]
-  private def scoredPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
-    // keyed by (context, dir): a DataFrame is bound to its context, so a
-    // restarted context must not see a stopped one's entries. Evict only
-    // entries whose owning context has actually stopped — two live
-    // sessions in one JVM must not thrash each other's cache.
-    pairCache.keys.filter(_._1.isStopped).foreach(pairCache.remove)
-    pairCache.getOrElseUpdate((s.sparkContext, d), {
-      val docs = Tables.documents(s, d)
-      val cands = Dedup.minhashCandidates(docs, numHashes = 16, bands = 2)
-      val df = Dedup.jaccardPairs(docs, cands, n = 1, minJaccard = 0.5).cache()
+  /** Memoize a materialized (cache + count) DataFrame per
+    * (context, dir). Keyed by context because a DataFrame is bound to
+    * it: a restarted context must not see a stopped one's entries.
+    * Evict only entries whose owning context has actually stopped —
+    * two live sessions in one JVM must not thrash each other's cache.
+    */
+  private def memoized(
+      cache: scala.collection.concurrent.TrieMap[(org.apache.spark.SparkContext, String), org.apache.spark.sql.DataFrame],
+      s: org.apache.spark.sql.SparkSession, d: String)(
+      build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    cache.keys.filter(_._1.isStopped).foreach(cache.remove)
+    cache.getOrElseUpdate((s.sparkContext, d), {
+      val df = build.cache()
       df.count()
       df
     })
   }
+
+  private val pairCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.SparkContext, String), org.apache.spark.sql.DataFrame]
+  private def scoredPairs(s: org.apache.spark.sql.SparkSession, d: String) =
+    memoized(pairCache, s, d) {
+      val docs = Tables.documents(s, d)
+      val cands = Dedup.minhashCandidates(docs, numHashes = 16, bands = 2)
+      Dedup.jaccardPairs(docs, cands, n = 1, minJaccard = 0.5)
+    }
 
   val defs: Seq[Q] = Seq(
 
@@ -216,7 +222,7 @@ object TextQ {
       Some {
         val cases = mixThresholds.map { case (k, t) => s"WHEN '$k' THEN $t" }.mkString(" ")
         s"""SELECT doc_id, lang, source FROM documents
-           |WHERE (doc_id * 1103515245 + 12345) % 2147483648 <
+           |WHERE (doc_id * ${TextAnalysis.SampleLcgA} + ${TextAnalysis.SampleLcgC}) % ${TextAnalysis.SampleModulus} <
            |  CASE lang $cases ELSE $mixDefault END""".stripMargin
       }),
 

@@ -90,9 +90,16 @@ object Multimodal {
       (((c(0) & 0xff) == 0xff && (c(1) & 0xff) == 0xd8 && (c(2) & 0xff) == 0xff) ||
         ((c(0) & 0xff) == 0x89 && c(1) == 'P' && c(2) == 'N' && c(3) == 'G'))
 
+  // ImageIO's default stream cache spills every decode to a temp FILE —
+  // pure overhead for in-memory payloads in the per-partition hot loop
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Mean luminance (integer ITU-R 601 weights, exact) per cell of a
     * g×g grid (g = ⌈√dim⌉), row-major, scaled to [0,1]. Deterministic:
-    * integer pixel sums, one double divide per cell.
+    * integer pixel sums, one double divide per cell. Pixels are read
+    * with ONE bulk getRGB per cell — the per-pixel getRGB(x, y)
+    * overload re-does the ColorModel dance on every call, roughly an
+    * order of magnitude slower over a whole image.
     */
   private def gridLuminance(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
     val g = math.ceil(math.sqrt(dim.toDouble)).toInt
@@ -105,19 +112,17 @@ object Multimodal {
       val x1 = math.max(x0 + 1, (colIdx + 1) * w / g)
       val y0 = row * h / g
       val y1 = math.max(y0 + 1, (row + 1) * h / g)
+      val (cw, ch) = (x1 - x0, y1 - y0)
+      val px = img.getRGB(x0, y0, cw, ch, null, 0, cw)
       var sum = 0L
-      var y = y0
-      while (y < y1) {
-        var x = x0
-        while (x < x1) {
-          val rgb = img.getRGB(x, y)
-          sum += (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
-            114 * (rgb & 0xff)) / 1000
-          x += 1
-        }
-        y += 1
+      var j = 0
+      while (j < px.length) {
+        val rgb = px(j)
+        sum += (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+          114 * (rgb & 0xff)) / 1000
+        j += 1
       }
-      out(i) = (sum.toDouble / ((x1 - x0).toLong * (y1 - y0)) / 255.0).toFloat
+      out(i) = (sum.toDouble / (cw.toLong * ch) / 255.0).toFloat
       i += 1
     }
     out

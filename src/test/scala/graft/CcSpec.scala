@@ -69,5 +69,13 @@ class CcSpec extends AnyFunSuite {
     val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
       .filter(java.nio.file.Files.isRegularFile(_)).count()
     assert(wrote > 0, s"no checkpoint files written under $dir")
+    // superseded rounds must be DELETED as the loop advances: a 25-node
+    // chain runs several rounds, each checkpointing 2 generations plus
+    // the compress passes — retaining them all would leave rdd-* dirs
+    // proportional to the round count. Only the final labels generation
+    // (the returned DataFrame's data) may remain.
+    val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => p.getFileName.toString.startsWith("rdd-")).count()
+    assert(rddDirs <= 1, s"superseded checkpoints not cleaned: $rddDirs rdd dirs")
   }
 }

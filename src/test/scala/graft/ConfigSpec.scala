@@ -182,6 +182,15 @@ class ConfigSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Yaml.parse("a: 1\n  b: 2\n")
     }
+    // `- key: val` is a list-of-maps in real YAML — must fail loudly,
+    // not silently parse as the string "key: val"
+    val e2 = intercept[IllegalArgumentException] {
+      Yaml.parse("scales:\n  - appearance: 0.5\n")
+    }
+    assert(e2.getMessage.contains("flow collections"))
+    // flow-map and quoted items in block lists stay legal
+    val ok = Yaml.parse("items:\n  - {a: 1}\n  - \"x: y\"\n")
+    assert(ok("items") == List(Map("a" -> 1L), "x: y"))
   }
 
   test("dotted overrides reach nested maps (OmegaConf dotlist)") {
