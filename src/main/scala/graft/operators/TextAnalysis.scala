@@ -113,4 +113,29 @@ object TextAnalysis {
     */
   def withFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("fingerprint", Text.fingerprint(col(textCol)))
+
+  /** Vocabulary-coverage quality signal: per-document token count and
+    * out-of-vocabulary count against the corpus's own top-`vocabSize`
+    * vocabulary (rank = count desc, token asc — fully tie-broken, so
+    * the vocab set is deterministic on any partitioning). High OOV
+    * ratio flags boilerplate/garbled text — a standard pretraining
+    * wordlist filter.
+    *
+    * Vocab build: map-side-combined token counts + `TakeOrdered` top-k
+    * (never a global sort), collected as a bounded model artifact like
+    * IVF's centroids and scored as a literal IN-list inside codegen.
+    * For 100k+-word vocabs swap the literal for a broadcast join (or
+    * bloom filter) against the exploded tokens — same two-stage shape.
+    */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int = 32,
+                    textCol: String = "text"): DataFrame = {
+    val toksCol = Text.tokens(col(textCol))
+    val vocab: Seq[String] = docs.select(explode(toksCol).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc).limit(vocabSize)
+      .select("tok").collect().toSeq.map(_.getString(0))
+    docs
+      .withColumn("n_tokens", size(toksCol))
+      .withColumn("n_oov", size(filter(toksCol, t => !t.isin(vocab: _*))))
+  }
 }

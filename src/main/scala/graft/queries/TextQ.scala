@@ -226,6 +226,33 @@ object TextQ {
            |  CASE lang $cases ELSE $mixDefault END""".stripMargin
       }),
 
+    // Vocabulary-coverage quality filter: per-doc OOV count against the
+    // corpus top-32 vocab (count desc, token asc — deterministic).
+    // Exact integer counts; the vocab is a bounded driver artifact
+    // scored as a codegen IN-list (TextAnalysis.vocabCoverage).
+    Q("t06_vocab_coverage",
+      (s, d) => TextAnalysis.vocabCoverage(Tables.documents(s, d), vocabSize = 32)
+        .select(col("doc_id"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("n_oov").cast("long").as("n_oov")),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS tok
+        |  FROM documents
+        |), vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
+        |  ORDER BY cnt DESC, tok LIMIT 32
+        |), score AS (
+        |  SELECT t.doc_id,
+        |    count(*) AS n_tokens,
+        |    CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+        |  GROUP BY t.doc_id
+        |)
+        |SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens,
+        |  coalesce(s.n_oov, 0) AS n_oov
+        |FROM documents d LEFT JOIN score s ON s.doc_id = d.doc_id""".stripMargin)),
+
     // Exact dedup on a truncated-content key (the corpus has no full
     // duplicates; prefix dedup exercises the operator).
     Q("d01_exact_dedup",
