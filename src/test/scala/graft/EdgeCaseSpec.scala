@@ -59,6 +59,48 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Dedup.connectedComponents(e).count() == 0)
   }
 
+  test("stratifiedSampleByHash: empty input, unknown stratum, rate sanity") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "k")
+    assert(TextAnalysis.stratifiedSampleByHash(empty, col("k"), col("id"),
+      Seq("a" -> 1L), 0L).count() == 0)
+    // unknown stratum takes the default threshold: 0 keeps nothing,
+    // SampleModulus keeps everything
+    val rows = (0L until 2000L).map(i => (i, if (i % 2 == 0) "a" else "zz"))
+      .toDF("id", "k")
+    val none = TextAnalysis.stratifiedSampleByHash(rows, col("k"), col("id"),
+      Seq("a" -> TextAnalysis.SampleModulus), 0L)
+    assert(none.filter(col("k") === "zz").count() == 0)
+    assert(none.filter(col("k") === "a").count() == 1000)
+    // configured fraction is approximated: 30% ± 5pp over 1000 ids
+    val frac = TextAnalysis.stratifiedSampleByHash(rows, col("k"), col("id"),
+      Seq("a" -> (0.3 * TextAnalysis.SampleModulus).toLong), 0L)
+      .filter(col("k") === "a").count()
+    assert(frac > 250 && frac < 350, s"30% of 1000 sampled as $frac")
+    // decisions are per-row functions of the data: repartitioning the
+    // input must keep the identical id set
+    val a = TextAnalysis.stratifiedSampleByHash(rows.repartition(13),
+      col("k"), col("id"), Seq("a" -> 644245094L), 214748364L)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = TextAnalysis.stratifiedSampleByHash(rows.repartition(2),
+      col("k"), col("id"), Seq("a" -> 644245094L), 214748364L)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("vocabCoverage: empty corpus and all-OOV doc") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.vocabCoverage(empty, 8).count() == 0)
+    // vocab smaller than the token universe: rare tokens count as OOV
+    val docs = Seq(
+      (1L, "common common common rare1"),
+      (2L, "common rare2 rare3 rare4")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(docs, vocabSize = 1)
+      .select("doc_id", "n_tokens", "n_oov").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(got(1L) == ((4, 1))) // 'common' is the vocab; rare1 OOV
+    assert(got(2L) == ((4, 3)))
+  }
+
   test("gtFilteredTracks with no qualifying match is empty, not an error") {
     val gt = oneBox("s", 1, 1, 0, 0)
     val tr = oneBox("s", 1, 2, 900, 900)
