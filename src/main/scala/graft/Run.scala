@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.config.Configs
+
+/** The reference's CLI surface as one Spark entrypoint — the command a
+  * user of `run_pipeline.py <mode> cfg=... key=value...` (reference
+  * src/run_pipeline.py + helpers.parse_cli_args) switches to:
+  *
+  * {{{
+  *   sbt "runMain graft.Run track    cfg=cfgs/track.yaml dataset=/data/seq1 max_age=7"
+  *   sbt "runMain graft.Run eval     cfg=cfgs/eval.yaml  dataset=/data/seq1"
+  *   sbt "runMain graft.Run features cfg=cfgs/track.yaml dataset=/data/seq1"
+  * }}}
+  *
+  * The cfg YAML is parsed (S12), CLI `key=value` overrides merge with
+  * full dotted-path validation (a typo fails loudly), and the typed
+  * config drives the Pipelines composition. Dataset layout follows the
+  * reference convention: `<dataset>/det.txt`, `<dataset>/gt.txt`,
+  * `<dataset>/embeddings.parquet` (frame, id, vector: array<float>);
+  * outputs land beside them (`track.txt`, `eval.txt`).
+  */
+object Run {
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty,
+      "usage: graft.Run <track|eval|features> cfg=<yaml> [key=value ...]")
+    val spark = LocalSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+      logLevel = "WARN")
+    try println(run(spark, args.head, args.toSeq.tail))
+    finally spark.stop()
+  }
+
+  /** Dispatch on a provided session (separated from main so tests drive
+    * the full CLI path without tearing down the shared test context).
+    * Returns the text a CLI user sees.
+    */
+  def run(spark: SparkSession, mode: String, kvArgs: Seq[String]): String = {
+    val (cfgFile, overrides) = Configs.parseOverrides(kvArgs)
+    val file = cfgFile.getOrElse(
+      throw new IllegalArgumentException("pass cfg=<yaml file>"))
+    val text = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)), "UTF-8")
+    mode match {
+      case "track" =>
+        val c = Configs.load(file, text, overrides)
+          .asInstanceOf[Configs.TrackRunConfig]
+        Pipelines.track(spark, s"${c.dataset}/det.txt",
+          embeddings(spark, c.dataset), s"${c.dataset}/track.txt", c.tracker)
+        s"track: wrote ${c.dataset}/track.txt"
+      case "eval" =>
+        val c = Configs.load(file, text, overrides)
+          .asInstanceOf[Configs.EvalRunConfig]
+        val (perSeq, combined) = Pipelines.eval(spark,
+          s"${c.dataset}/gt.txt", s"${c.dataset}/track.txt",
+          s"${c.dataset}/eval.txt", c.iouThreshold)
+        Pipelines.formatMetricTables(perSeq, combined)
+      case "features" =>
+        // the reference's get_gt_thresholds mode: GT-derived matching
+        // thresholds from the same track config (SURVEY §3 entry 4)
+        val c = Configs.load(file, text, overrides)
+          .asInstanceOf[Configs.TrackRunConfig]
+        val row = Pipelines.gtThresholds(spark, s"${c.dataset}/gt.txt",
+          embeddings(spark, c.dataset)).collect().head
+        row.schema.fieldNames.zip(row.toSeq)
+          .map { case (k, v) => s"$k: $v" }.mkString("\n")
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown mode: $other (track|eval|features)")
+    }
+  }
+
+  // spark.read fails loudly with the path in the message if the store
+  // is missing — tracking REQUIRES embeddings (the appearance gate
+  // filters every pair whose embedding is null, reference F10)
+  private def embeddings(spark: SparkSession, dataset: String) =
+    spark.read.parquet(s"$dataset/embeddings.parquet")
+}

@@ -50,6 +50,47 @@ class PipelinesSpec extends AnyFunSuite {
       && tables.contains("IDF1"))
   }
 
+  test("Run CLI: config + overrides drive track then eval over a dataset dir") {
+    import spark.implicits._
+    val dir = tmp("run_cli")
+    val gtRows = for (f <- 1 to 6; o <- 1 to 2)
+      yield (f"$f%06d", o, 10.0 + o * 200 + f * 4, 20.0 + o * 100, 40.0, 36.0, 1.0, 1, -1, -1)
+    val detRows = gtRows.map { case (fr, o, x, y, w, h, _, _, _, _) =>
+      (fr, o - 1, x + 1.5, y - 1.0, w, h, 0.9, 1, -1, -1)
+    }
+    def writeCsv(rows: Seq[(String, Int, Double, Double, Double, Double, Double, Int, Int, Int)],
+                 path: String): Unit =
+      Files.writeString(java.nio.file.Paths.get(path),
+        rows.map(r => r.productIterator.mkString(",")).mkString("", "\n", "\n"))
+    writeCsv(gtRows, s"$dir/gt.txt")
+    writeCsv(detRows, s"$dir/det.txt")
+    detRows.map(r => (r._1, r._2, Array.fill(8)(1.0f)))
+      .toDF("frame", "id", "vector")
+      .write.parquet(s"$dir/embeddings.parquet")
+    // configs as a user would write them (dataset via CLI override)
+    Files.writeString(java.nio.file.Paths.get(s"$dir/track.yaml"),
+      "dataset: null\nmax_age: 3\n")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/eval.yaml"),
+      "dataset: null\niou_threshold: 0.3\n")
+
+    val trackMsg = Run.run(spark, "track",
+      Seq(s"cfg=$dir/track.yaml", s"dataset=$dir", "max_age=5"))
+    assert(trackMsg.contains("track.txt"))
+    assert(MotCsv.read(spark, s"$dir/track.txt").count() == 12)
+
+    val tables = Run.run(spark, "eval",
+      Seq(s"cfg=$dir/eval.yaml", s"dataset=$dir"))
+    assert(tables.contains("CLEAR") && tables.contains("IDF1"))
+
+    // a typo'd override fails loudly before any work runs
+    intercept[IllegalArgumentException] {
+      Run.run(spark, "track", Seq(s"cfg=$dir/track.yaml", s"dataset=$dir", "maxage=5"))
+    }
+    intercept[IllegalArgumentException] {
+      Run.run(spark, "visualize", Seq(s"cfg=$dir/track.yaml", s"dataset=$dir"))
+    }
+  }
+
   test("detect post-processing: cascade + NMS + nested removal -> det.txt ordinals") {
     import spark.implicits._
     val raw = Seq(
