@@ -114,6 +114,40 @@ object TextAnalysis {
   def withFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("fingerprint", Text.fingerprint(col(textCol)))
 
+  /** Repetition-based quality signals (the MassiveText/Gopher repetition
+    * rules): per document, the frequency of its most-repeated 2-gram and
+    * the number of 3-gram occurrences belonging to a duplicated 3-gram.
+    * High values flag boilerplate, keyword stuffing, and generation
+    * loops — the standard pretraining repetition filter.
+    *
+    * Shape: explode grams → count per (doc, gram) → per-doc max/sum.
+    * Both aggregations partial-aggregate map-side (a doc's grams mostly
+    * sit in one scan partition), and the key space is (doc_id, gram) —
+    * never a global structure — so the operator scales linearly. Counts
+    * are exact integers (oracle-stable); callers derive ratios with one
+    * final division.
+    */
+  def repetitionStats(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val base = docs.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+    // Text.shingles assumes size >= n (Spark's sequence(1, 0) would
+    // yield a DESCENDING [1, 0] — not empty), so short docs are
+    // filtered before the explode and restored by the left join below.
+    def gramCounts(n: Int) =
+      base.filter(size(col("__toks")) >= n)
+        .select(col(idCol), explode(Text.shingles(col("__toks"), n)).as("gram"))
+        .groupBy(idCol, "gram").agg(count(lit(1)).as("cnt"))
+    val s2 = gramCounts(2).groupBy(idCol).agg(
+      sum("cnt").as("n_gram2"),
+      max("cnt").as("top_gram2"))
+    val s3 = gramCounts(3).groupBy(idCol).agg(
+      sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_gram3"))
+    docs.join(s2, Seq(idCol), "left").join(s3, Seq(idCol), "left")
+      .withColumn("n_gram2", coalesce(col("n_gram2"), lit(0L)))
+      .withColumn("top_gram2", coalesce(col("top_gram2"), lit(0L)))
+      .withColumn("dup_gram3", coalesce(col("dup_gram3"), lit(0L)))
+  }
+
   /** Vocabulary-coverage quality signal: per-document token count and
     * out-of-vocabulary count against the corpus's own top-`vocabSize`
     * vocabulary (rank = count desc, token asc — fully tie-broken, so

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{Dedup, SimilaritySearch, TextAnalysis}
+import graft.operators.{Dedup, SequencePack, SimilaritySearch, TextAnalysis}
 
 /** Text-analysis, dedup, and similarity-search query catalog over the
   * `documents` / `embeddings` tables (training-data-pipeline operators,
@@ -252,6 +252,65 @@ object TextQ {
         |SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens,
         |  coalesce(s.n_oov, 0) AS n_oov
         |FROM documents d LEFT JOIN score s ON s.doc_id = d.doc_id""".stripMargin)),
+
+    // Repetition-based quality signals (Gopher/MassiveText rules):
+    // most-repeated-2-gram frequency + duplicated-3-gram occurrences
+    // per doc — exact integer counts (TextAnalysis.repetitionStats).
+    Q("t07_repetition",
+      (s, d) => TextAnalysis.repetitionStats(Tables.documents(s, d))
+        .select(col("doc_id"),
+          col("n_gram2").cast("long").as("n_gram2"),
+          col("top_gram2").cast("long").as("top_gram2"),
+          col("dup_gram3").cast("long").as("dup_gram3")),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS tk
+        |  FROM documents
+        |), g2 AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1])) AS gram
+        |  FROM toks WHERE len(tk) >= 2
+        |), c2 AS (
+        |  SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY doc_id, gram
+        |), s2 AS (
+        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_gram2, max(cnt) AS top_gram2 FROM c2 GROUP BY doc_id
+        |), g3 AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gram
+        |  FROM toks WHERE len(tk) >= 3
+        |), c3 AS (
+        |  SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY doc_id, gram
+        |), s3 AS (
+        |  SELECT doc_id, CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_gram3 FROM c3 GROUP BY doc_id
+        |)
+        |SELECT d.doc_id AS doc_id, coalesce(s2.n_gram2, 0) AS n_gram2,
+        |  coalesce(s2.top_gram2, 0) AS top_gram2,
+        |  coalesce(s3.dup_gram3, 0) AS dup_gram3
+        |FROM documents d LEFT JOIN s2 ON s2.doc_id = d.doc_id LEFT JOIN s3 ON s3.doc_id = d.doc_id"""
+        .stripMargin)),
+
+    // Sequence packing (GPT concat-and-split): route every doc to its
+    // fixed 512-token training sequence(s) via RangeRank's bucketed
+    // prefix sum — no single-partition window; assignment is a pure
+    // function of the data (SequencePack.packConcat).
+    Q("t08_sequence_pack",
+      (s, d) => SequencePack.packConcat(
+          Tables.documents(s, d)
+            .withColumn("n_tokens", size(Text.tokens(col("text"))).cast("long")),
+          col("n_tokens"), col("doc_id"), seqLen = 512)
+        .select("doc_id", "n_tokens", "cum_tokens",
+          "seq_first", "seq_last", "seq_offset"),
+      Some("""WITH t AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, cum_tokens,
+        |  (cum_tokens - n_tokens) // 512 AS seq_first,
+        |  CASE WHEN n_tokens > 0 THEN (cum_tokens - 1) // 512 ELSE (cum_tokens - n_tokens) // 512 END AS seq_last,
+        |  (cum_tokens - n_tokens) % 512 AS seq_offset
+        |FROM c""".stripMargin)),
 
     // Exact dedup on a truncated-content key (the corpus has no full
     // duplicates; prefix dedup exercises the operator).

@@ -101,6 +101,46 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(got(2L) == ((4, 3)))
   }
 
+  test("repetitionStats: short docs, empty text, and a pure repetition loop") {
+    val docs = Seq(
+      (1L, "solo"),                 // 1 token: no grams at all
+      (2L, "two tokens"),           // one 2-gram, no 3-gram
+      (3L, "a a a a"),              // 'a a' x3 top2; 'a a a' x2 dup3
+      (4L, ""),                     // empty text
+      (5L, "all words here differ") // no repetition
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs)
+      .select("doc_id", "n_gram2", "top_gram2", "dup_gram3").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((0L, 0L, 0L)))
+    assert(got(2L) == ((1L, 1L, 0L)))
+    assert(got(3L) == ((3L, 3L, 2L)))
+    assert(got(4L) == ((0L, 0L, 0L)))
+    assert(got(5L) == ((3L, 1L, 0L)))
+  }
+
+  test("packConcat: boundary spans, zero-token doc, bucket-count invariance") {
+    // tokens [3, 4, 0, 2] at seqLen=5: cum [3, 7, 7, 9]
+    val docs = Seq(
+      (10L, 3L), (20L, 4L), (25L, 0L), (30L, 2L)).toDF("doc_id", "n_tokens")
+    def run(nb: Int) = SequencePack.packConcat(
+        docs, col("n_tokens"), col("doc_id"), seqLen = 5, nb = nb)
+      .select("doc_id", "cum_tokens", "seq_first", "seq_last", "seq_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    val got = run(4)
+    assert(got == Seq(
+      (10L, 3L, 0L, 0L, 0L),  // fits in seq 0
+      (20L, 7L, 0L, 1L, 3L),  // spans the 5-token boundary
+      (25L, 7L, 1L, 1L, 2L),  // zero tokens: sits where it falls
+      (30L, 9L, 1L, 1L, 2L)))
+    // the bucket count partitions the prefix sum, never the values
+    assert(run(1) == got && run(8) == got)
+    // empty input: no rows, no crash
+    assert(SequencePack.packConcat(docs.limit(0), col("n_tokens"),
+      col("doc_id"), seqLen = 5).count() == 0)
+  }
+
   test("gtFilteredTracks with no qualifying match is empty, not an error") {
     val gt = oneBox("s", 1, 1, 0, 0)
     val tr = oneBox("s", 1, 2, 900, 900)

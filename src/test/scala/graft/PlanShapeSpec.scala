@@ -102,7 +102,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "WholeStageCodegen", "ColumnarToRow", "ReusedExchange",
       "Exchange SinglePartition")
     for (q <- Seq("a01_auc", "a02_average_precision", "o01_seeded_sample",
-        "q13_minmax_norm")) {
+        "q13_minmax_norm", "t08_sequence_pack")) {
       val lines = plan(q).linesIterator.toVector
       lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition")).foreach {
         case (line, i) =>
@@ -130,6 +130,17 @@ class PlanShapeSpec extends AnyFunSuite {
     }
     assert(plan("o01_seeded_sample").contains("TakeOrderedAndProject"),
       "o01 lost the orderBy+limit pushdown")
+  }
+
+  test("t07_repetition: gram counts partial-aggregate before each shuffle") {
+    val p = plan("t07_repetition")
+    // explode -> (doc,gram) count -> per-doc agg, twice (2- and 3-grams),
+    // plus the left-join restore: every HashAggregate pair must keep
+    // its map-side partial leg (no partial_ = someone disabled
+    // map-side combine and every gram row rides the wire raw)
+    assert(p.contains("partial_"), s"t07 lost map-side partial aggregation:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"t07 planned an all-pairs join:\n$p")
   }
 
   test("k03_track: default-config tracker plans exactly one shuffle (the sequence grouping)") {
