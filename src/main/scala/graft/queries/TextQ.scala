@@ -312,6 +312,73 @@ object TextQ {
         |  (cum_tokens - n_tokens) % 512 AS seq_offset
         |FROM c""".stripMargin)),
 
+    // End-to-end corpus cleaning gate: the composition a training-data
+    // pipeline actually ships — length band, stopword-ratio floor,
+    // repetition caps, OOV-ratio ceiling — all as exact integer
+    // comparisons (ratio r >= 1/k written as n*k >= total: no FP
+    // anywhere in a keep/drop decision).
+    Q("t09_quality_gate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val rep = TextAnalysis.repetitionStats(docs)
+          .select(col("doc_id"), col("top_gram2"), col("dup_gram3"))
+        TextAnalysis.vocabCoverage(docs, vocabSize = 32)
+          .withColumn("n_stop",
+            size(filter(Text.tokens(col("text")), t => t.isin("the", "a", "of"))))
+          .join(rep, Seq("doc_id"))
+          .filter(col("n_tokens").between(20, 90)
+            && col("n_stop") * 20 >= col("n_tokens")
+            && col("dup_gram3") === 0 && col("top_gram2") <= 2
+            && col("n_oov") * 4 <= col("n_tokens"))
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_tokens").cast("long").as("n_tokens"),
+            col("n_stop").cast("long").as("n_stop"),
+            col("top_gram2"), col("dup_gram3"),
+            col("n_oov").cast("long").as("n_oov"))
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS tk
+        |  FROM documents
+        |), flat AS (
+        |  SELECT doc_id, unnest(tk) AS tok FROM toks
+        |), vocab AS (
+        |  SELECT tok FROM (SELECT tok, count(*) AS cnt FROM flat GROUP BY tok)
+        |  ORDER BY cnt DESC, tok LIMIT 32
+        |), cover AS (
+        |  SELECT f.doc_id, count(*) AS n_tokens,
+        |    CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |  FROM flat f LEFT JOIN vocab v ON f.tok = v.tok GROUP BY f.doc_id
+        |), g2 AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1])) AS gram
+        |  FROM toks WHERE len(tk) >= 2
+        |), c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY doc_id, gram),
+        |s2 AS (SELECT doc_id, max(cnt) AS top_gram2 FROM c2 GROUP BY doc_id),
+        |g3 AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gram
+        |  FROM toks WHERE len(tk) >= 3
+        |), c3 AS (SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY doc_id, gram),
+        |s3 AS (SELECT doc_id, CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_gram3 FROM c3 GROUP BY doc_id),
+        |stop AS (
+        |  SELECT doc_id, len(list_filter(tk, t -> t IN ('the', 'a', 'of'))) AS n_stop FROM toks
+        |), sig AS (
+        |  SELECT d.doc_id AS doc_id, d.lang AS lang, d.source AS source,
+        |    coalesce(c.n_tokens, 0) AS n_tokens, coalesce(c.n_oov, 0) AS n_oov,
+        |    coalesce(s2.top_gram2, 0) AS top_gram2, coalesce(s3.dup_gram3, 0) AS dup_gram3,
+        |    coalesce(st.n_stop, 0) AS n_stop
+        |  FROM documents d
+        |  LEFT JOIN cover c ON c.doc_id = d.doc_id
+        |  LEFT JOIN s2 ON s2.doc_id = d.doc_id
+        |  LEFT JOIN s3 ON s3.doc_id = d.doc_id
+        |  LEFT JOIN stop st ON st.doc_id = d.doc_id
+        |)
+        |SELECT doc_id, lang, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_stop AS BIGINT) AS n_stop, top_gram2, dup_gram3, n_oov
+        |FROM sig
+        |WHERE n_tokens BETWEEN 20 AND 90
+        |  AND n_stop * 20 >= n_tokens
+        |  AND dup_gram3 = 0 AND top_gram2 <= 2
+        |  AND n_oov * 4 <= n_tokens""".stripMargin)),
+
     // Exact dedup on a truncated-content key (the corpus has no full
     // duplicates; prefix dedup exercises the operator).
     Q("d01_exact_dedup",
