@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Derived, Tables}
-import graft.operators.DetectFilters
+import graft.operators.{DetectFilters, TextAnalysis}
+import graft.functions.Text
 
 /** Extended coverage queries: detection filter cascade (F1–F6), the
   * integral-image mask filter checked against a brute-force pixel-count
@@ -385,6 +386,58 @@ object ExtQ {
         | AND v.event_type = 'view' AND b.event_type = 'purchase'
         | AND epoch_ms(b.ts) >= epoch_ms(v.ts)
         | AND epoch_ms(b.ts) <= epoch_ms(v.ts) + 3600000""".stripMargin)),
+
+    // Streaming corpus cleaning: the t09 quality gate applied to a
+    // DOCUMENT STREAM. Every signal (token band, stopword floor,
+    // repetition caps) is computed per-row by repetitionStatsInline's
+    // higher-order array expressions — a stateless map+filter, so the
+    // plan has no state store, no watermark, and no shuffle: the shape
+    // that filters a firehose at ingest. The corpus-level OOV signal is
+    // deliberately absent — a vocab is a batch artifact; production
+    // would score against a broadcast/literal vocab like t06's.
+    Q("st5_stream_quality",
+      (s, d) => withStreamShuffle(s) {
+        val schema = Tables.documents(s, d).schema
+        val name = sinkName("st5_quality_", d)
+        val gated = TextAnalysis.repetitionStatsInline(
+            s.readStream.schema(schema)
+              .option("pathGlobFilter", "documents.parquet").parquet(d))
+          .withColumn("n_tokens", size(Text.tokens(col("text"))).cast("long"))
+          .withColumn("n_stop",
+            size(filter(Text.tokens(col("text")),
+              t => t.isin("the", "a", "of"))).cast("long"))
+          .filter(col("n_tokens").between(20, 90)
+            && col("n_stop") * 20 >= col("n_tokens")
+            && col("dup_gram3") === 0 && col("top_gram2") <= 2)
+          .select("doc_id", "lang", "source", "n_tokens", "n_stop",
+            "top_gram2", "dup_gram3")
+        val q = gated.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, lang, source, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS tk
+        |  FROM documents
+        |), gr AS (
+        |  SELECT doc_id, lang, source, tk,
+        |    CASE WHEN len(tk) >= 2 THEN list_transform(generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1]) ELSE CAST([] AS VARCHAR[]) END AS g2,
+        |    CASE WHEN len(tk) >= 3 THEN list_transform(generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) ELSE CAST([] AS VARCHAR[]) END AS g3
+        |  FROM toks
+        |), sig AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(len(tk) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(tk, t -> t IN ('the', 'a', 'of'))) AS BIGINT) AS n_stop,
+        |    CAST(CASE WHEN len(g2) > 0 THEN list_max(list_transform(list_distinct(g2), x -> len(list_filter(g2, y -> y = x)))) ELSE 0 END AS BIGINT) AS top_gram2,
+        |    CAST(len(list_filter(g3, x -> len(list_filter(g3, y -> y = x)) > 1)) AS BIGINT) AS dup_gram3
+        |  FROM gr
+        |)
+        |SELECT doc_id, lang, source, n_tokens, n_stop, top_gram2, dup_gram3
+        |FROM sig
+        |WHERE n_tokens BETWEEN 20 AND 90 AND n_stop * 20 >= n_tokens
+        |  AND dup_gram3 = 0 AND top_gram2 <= 2""".stripMargin)),
 
     // P10 — sliding-window tile-spec generator with edge snapping
     // (reference src/detection.py:1358-1368), duplicates preserved.

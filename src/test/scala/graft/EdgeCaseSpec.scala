@@ -119,6 +119,19 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(got(5L) == ((3L, 1L, 0L)))
   }
 
+  test("repetitionStatsInline agrees with the explode form row-for-row") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val edge = Seq((9001L, "solo"), (9002L, ""), (9003L, "a a a a"))
+      .toDF("doc_id", "text")
+    val docs = real.select("doc_id", "text").union(edge)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_gram2", "top_gram2", "dup_gram3")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    assert(key(TextAnalysis.repetitionStatsInline(docs))
+      == key(TextAnalysis.repetitionStats(docs)))
+  }
+
   test("packConcat: boundary spans, zero-token doc, bucket-count invariance") {
     // tokens [3, 4, 0, 2] at seqLen=5: cum [3, 7, 7, 9]
     val docs = Seq(
