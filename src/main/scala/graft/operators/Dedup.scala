@@ -91,6 +91,28 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** Asymmetric LSH candidates for INCREMENTAL dedup: band buckets of a
+    * new batch joined against band buckets of an existing corpus —
+    * `(doc_a = new, doc_b = corpus)` pairs only, never new×new or
+    * corpus×corpus. This is the shape that dedups a fresh crawl against
+    * a 100 TB training set: the corpus's band-signature table is a
+    * persisted artifact maintained across batches (bandSignatures is
+    * deterministic, so it never needs recomputing), and each ingest
+    * computes signatures for ITS docs only and probes the bucket join —
+    * cost scales with the batch, not the corpus. Callers ensure the two
+    * inputs are disjoint; ids may overlap across sets without ambiguity
+    * because sides are fixed by position.
+    */
+  def minhashCandidatesAgainst(newDocs: DataFrame, corpus: DataFrame,
+                               numHashes: Int, bands: Int,
+                               textCol: String = "text"): DataFrame = {
+    val bn = bandSignatures(newDocs, numHashes, bands, textCol)
+      .select(col("band"), col("band_sig"), col("doc_id").as("doc_a"))
+    val bc = bandSignatures(corpus, numHashes, bands, textCol)
+      .select(col("band"), col("band_sig"), col("doc_id").as("doc_b"))
+    bn.join(bc, Seq("band", "band_sig")).select("doc_a", "doc_b").distinct()
+  }
+
   /** Star-reduced LSH candidates: per (band, bucket) emit only
     * (hub = min doc_id, member) edges instead of the full clique.
     *

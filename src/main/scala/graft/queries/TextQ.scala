@@ -565,6 +565,64 @@ object TextQ {
         |  CAST(n_members AS BIGINT) AS n_members
         |FROM nd_ranked WHERE rnk = 1""".stripMargin)),
 
+    // Incremental dedup: the 'src0' slice plays a fresh ingest batch,
+    // everything else the existing corpus. Asymmetric band join (new
+    // signatures probe the corpus's persisted band table — cost scales
+    // with the batch, not the corpus: Dedup.minhashCandidatesAgainst),
+    // exact-Jaccard verify at 0.5, then a per-new-doc match count;
+    // kept = no verified corpus near-dup.
+    Q("d09_incremental_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val fresh = docs.filter(col("source") === "src0")
+        val corpus = docs.filter(col("source") =!= "src0")
+        val cands = Dedup.minhashCandidatesAgainst(fresh, corpus,
+          numHashes = 16, bands = 2)
+        val nDups = Dedup.jaccardPairs(docs, cands, n = 1, minJaccard = 0.5)
+          .groupBy(col("doc_a").as("doc_id"))
+          .agg(count(lit(1)).as("n_dups"))
+        fresh.join(nDups, Seq("doc_id"), "left")
+          .withColumn("n_dups", coalesce(col("n_dups"), lit(0L)))
+          .select(col("doc_id"), col("lang"), col("n_dups"),
+            (col("n_dups") === 0).as("kept"))
+      },
+      Some("""WITH toks AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS tok
+        |    FROM documents) t
+        |), per_seed AS (
+        |  SELECT doc_id, seed, min(md5('s' || CAST(seed AS VARCHAR) || '_' || tok)) AS mh
+        |  FROM toks, range(16) r(seed) GROUP BY doc_id, seed
+        |), banded AS (
+        |  SELECT doc_id, CAST(seed // 8 AS INT) AS band,
+        |    md5(string_agg(CAST(seed AS VARCHAR) || ':' || mh, '|'
+        |        ORDER BY CAST(seed AS VARCHAR) || ':' || mh)) AS band_sig
+        |  FROM per_seed GROUP BY doc_id, CAST(seed // 8 AS INT)
+        |), src AS (SELECT doc_id, source FROM documents),
+        |cands AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN src sa ON sa.doc_id = a.doc_id AND sa.source = 'src0'
+        |       JOIN banded b ON a.band = b.band AND a.band_sig = b.band_sig
+        |       JOIN src sb ON sb.doc_id = b.doc_id AND sb.source <> 'src0'
+        |), sets AS (
+        |  SELECT doc_id, list_distinct(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS gs
+        |  FROM documents
+        |), scored AS (
+        |  SELECT c.doc_a,
+        |    len(list_intersect(sa.gs, sb.gs)) AS inter,
+        |    len(sa.gs) + len(sb.gs) - len(list_intersect(sa.gs, sb.gs)) AS usz
+        |  FROM cands c JOIN sets sa ON c.doc_a = sa.doc_id JOIN sets sb ON c.doc_b = sb.doc_id
+        |), dupc AS (
+        |  SELECT doc_a AS doc_id, count(*) AS n_dups FROM scored
+        |  WHERE usz > 0 AND CAST(inter AS DOUBLE) / usz >= CAST(0.5 AS DOUBLE)
+        |  GROUP BY doc_a
+        |)
+        |SELECT d.doc_id AS doc_id, d.lang AS lang,
+        |  CAST(coalesce(dupc.n_dups, 0) AS BIGINT) AS n_dups,
+        |  coalesce(dupc.n_dups, 0) = 0 AS kept
+        |FROM documents d LEFT JOIN dupc ON dupc.doc_id = d.doc_id
+        |WHERE d.source = 'src0'""".stripMargin)),
+
     // IVF-flat ANN: nlist=8 sampled centroids, corpus partitioned by
     // argmax-cosine cell, queries probe nprobe=2 cells, exact rerank
     // top-5 inside the probed cells. The cell assignment is the
