@@ -35,13 +35,24 @@ object Bench {
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    // The driver keeps only the last ~2000 chars of the run's output, so
-    // the whole line must fit in that window: centisecond precision
-    // (Locale.ROOT — never a comma decimal point) keeps ~70 queries
-    // under ~1700 chars.
+    // The driver keeps only the last 2000 chars of the run's output
+    // (observed in round 7: the 70-query line was 1778 chars, with
+    // ~150 chars of Spark log noise before it and ~75 after inside the
+    // window). At 80+ queries, full catalog names push the line past
+    // the window and the driver's JSON parse would see a truncated
+    // head — so per-query keys use the short catalog ids ("d05",
+    // "k03" — the vocabulary every doc and verdict uses), falling
+    // back to the full name when a prefix is shared (s03_lsh_topk /
+    // s03_mot_roundtrip). Centisecond precision, Locale.ROOT (never a
+    // comma decimal point).
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
+    val prefixGroups = SparkEntry.queries.keySet.groupBy(_.takeWhile(_ != '_'))
+    def shortName(n: String): String = {
+      val p = n.takeWhile(_ != '_')
+      if (prefixGroups(p).size == 1) p else n
+    }
+    val qs = results.map { case (k, v, _) => s"\"" + shortName(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
