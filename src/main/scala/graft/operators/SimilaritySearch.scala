@@ -154,6 +154,70 @@ object SimilaritySearch {
     * axis (vary the plane seed offset) — see `lshTables`; one table with
     * `numPlanes` bits already demonstrates the scale path.
     */
+  /** Lloyd k-means over the embedding column with fully deterministic
+    * arithmetic — the clustering backbone for corpus-diversity analysis
+    * and SemDeDup-style semantic selection.
+    *
+    * Seeding and scale posture follow [[ivfTopK]]: centroids are the
+    * first `k` ids (swap for k-means‖ sampling in production) and live
+    * as LITERALS inside a per-row argmax projection, so each Lloyd
+    * assignment pass is a full scan with NO join and NO shuffle over
+    * the vectors. The only shuffle per iteration is the centroid
+    * update — `posexplode` to (cluster, dim) keys, an integer partial
+    * agg, and a ≤ k·dims-row collect (a bounded model artifact).
+    *
+    * Determinism: assignment uses the quantized cosine rounded to 9
+    * decimals with min-id tie-break; the centroid mean is an exact
+    * integer sum of 1e6-quantized components with one final division,
+    * then narrowed to float (IEEE — identical in any engine). An empty
+    * cluster keeps its previous centroid (transcribed by the oracle).
+    * Iteration count is a parameter — convergence-based stopping would
+    * make round count data-dependent; pipelines run a fixed budget.
+    */
+  def kmeansAssign(vecs: DataFrame, k: Int, iters: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    var cents: Array[(Int, Array[Float])] = vecs.filter(col(idCol) < k)
+      .select(col(idCol).cast("int").as("cid"),
+        col(vecCol).cast("array<float>").as("cv"))
+      .collect().map { r =>
+        require(!r.isNullAt(1),
+          s"kmeansAssign seed $idCol=${r.getInt(0)} has a null $vecCol")
+        (r.getInt(0), r.getSeq[Float](1).toArray)
+      }.sortBy(_._1)
+    require(cents.length == k,
+      s"kmeansAssign sampled ${cents.length} seed centroids, expected $k " +
+        s"— '$idCol < $k' assumes dense 0-based ids")
+    // max struct = highest ccos, then highest -cid = lowest cid: the
+    // same ORDER BY ccos DESC, cid ASC rank-1 as ivfTopK's cells
+    def best(vec: Column) = array_max(array(cents.map { case (cid, cv) =>
+      struct(round(Vectors.cosineQNative(vec, lit(cv)), 9).as("ccos"),
+        lit(-cid).as("neg"), lit(cid).as("cid"))
+    }: _*))
+    for (_ <- 1 until iters) {
+      val assigned = vecs.select(col(vecCol).as("v"),
+        best(col(vecCol)).getField("cid").as("cl"))
+      val sums = assigned
+        .select(col("cl"), posexplode(col("v")))
+        .groupBy(col("cl"), col("pos"))
+        .agg(sum(round(col("col").cast("double") * 1e6).cast("long")).as("sq"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byCl = sums.groupBy(_.getAs[Int]("cl")).map { case (cl, rs) =>
+        cl -> rs.sortBy(_.getAs[Int]("pos")).map { r =>
+          // (sum/n)/1e6 then IEEE-narrow — the oracle transcribes
+          // CAST(CAST(sq AS DOUBLE)/CAST(n AS DOUBLE)/1e6 AS REAL)
+          (r.getAs[Long]("sq").toDouble / r.getAs[Long]("n").toDouble / 1e6).toFloat
+        }
+      }
+      cents = cents.map { case (cid, old) => (cid, byCl.getOrElse(cid, old)) }
+    }
+    vecs.select(col(idCol), col(vecCol).as("__v"))
+      .withColumn("__b", best(col("__v")))
+      .select(col(idCol), col("__b.cid").as("cluster"),
+        col("__b.ccos").as("cos_centroid"))
+  }
+
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, numPlanes: Int,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = lshSignature(queries, numPlanes, vecCol = vecCol)

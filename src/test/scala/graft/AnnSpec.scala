@@ -52,6 +52,29 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeansAssign: seeds self-assign at iters=1; duplicates co-assign; full coverage") {
+    val emb = syntheticEmb(60)
+    val a1 = SimilaritySearch.kmeansAssign(emb, k = 8, iters = 1)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    assert(a1.length == 60 && a1.map(_._1).distinct.length == 60)
+    assert(a1.forall { case (_, cl, _) => cl >= 0 && cl < 8 })
+    // at iters=1 the centroids ARE the first 8 vectors: each seed's own
+    // quantized cosine is exactly 1.0 after the 9-decimal round, and no
+    // other centroid can beat 1.0 (ties break to the seed's own lower id
+    // only when equal — the seed still wins its own cluster)
+    for ((id, cl, cos) <- a1 if id < 8) {
+      assert(cl == id, s"seed $id assigned to $cl")
+      assert(cos == 1.0, s"seed $id cos $cos")
+    }
+    // vec 40 is an exact copy of vec 10: identical rows must co-assign
+    // at any iteration count
+    for (it <- 1 to 3) {
+      val m = SimilaritySearch.kmeansAssign(emb, k = 8, iters = it)
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toMap
+      assert(m(40) == m(10), s"iters=$it split identical vectors")
+    }
+  }
+
   test("embeddingNearDupLsh always finds identical-vector pairs; output respects threshold") {
     val emb = syntheticEmb(60)
     val out = Dedup.embeddingNearDupLsh(emb, numTables = 2, planesPerTable = 6,
