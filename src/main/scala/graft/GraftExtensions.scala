@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotqDescriptor)
     ext.injectFunction(GraftExtensions.distLeDescriptor)
     ext.injectFunction(GraftExtensions.interSizeDescriptor)
+    ext.injectFunction(GraftExtensions.repStatsDescriptor)
     ext.injectOptimizerRule(_ => graft.optimizer.BandJoinRewrite)
   }
 }
@@ -37,6 +38,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[graft.expressions.SortedIntersectSize].getName, "graft_inter_size"),
     (c: Seq[Expression]) => graft.expressions.SortedIntersectSize(c(0), c(1)))
 
+  private val repStatsDescriptor = (
+    FunctionIdentifier("graft_repstats"),
+    new ExpressionInfo(classOf[graft.expressions.RepetitionStats].getName, "graft_repstats"),
+    (c: Seq[Expression]) => graft.expressions.RepetitionStats(c(0), c(1)))
+
   /** Imperative registration for an already-built session: functions
     * plus the band-join optimizer rule (idempotent).
     */
@@ -47,6 +53,8 @@ object GraftExtensions {
       distLeDescriptor._1, distLeDescriptor._2, distLeDescriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
       interSizeDescriptor._1, interSizeDescriptor._2, interSizeDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      repStatsDescriptor._1, repStatsDescriptor._2, repStatsDescriptor._3)
     val opt = spark.sessionState.experimentalMethods
     if (!opt.extraOptimizations.contains(graft.optimizer.BandJoinRewrite))
       opt.extraOptimizations = opt.extraOptimizations :+ graft.optimizer.BandJoinRewrite

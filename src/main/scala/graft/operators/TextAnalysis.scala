@@ -149,34 +149,28 @@ object TextAnalysis {
   }
 
   /** Per-row variant of [[repetitionStats]]: the same `top_gram2` /
-    * `dup_gram3` values computed with higher-order array functions
-    * inside one codegen'd projection — zero shuffles, so it composes
-    * into streaming plans (stateless map) and filter-only pipelines.
+    * `dup_gram3` values computed inside one projection — zero shuffles,
+    * so it composes into streaming plans (stateless map) and
+    * filter-only pipelines.
     *
-    * Cost trade: O(grams²) comparisons per row vs the explode form's
-    * two shuffles. At typical web-document lengths (≤ a few thousand
-    * tokens) the quadratic term is noise and this wins outright; for
-    * pathologically long docs route through [[repetitionStats]].
-    * EdgeCaseSpec asserts the two variants agree row-for-row.
+    * Backed by the native `graft_repstats` expression
+    * (expressions.RepetitionStats): one JVM pass per row — hash tokens,
+    * roll gram fingerprints, sort a long[], scan runs. The composable
+    * higher-order-function forms of the same computation are
+    * CodegenFallback all the way down (every lambda step an interpreted
+    * tree walk, multiplied by alias substitution in Filter/Project):
+    * a nested filter-in-transform cut measured 350 s on the sf0.1
+    * stream, a sorted-fold cut ~18 s, this expression ~2 s. When a
+    * per-row kernel is hot, hand Catalyst ONE native expression, not a
+    * lambda forest. EdgeCaseSpec asserts inline ≡ explode row-for-row.
     */
   def repetitionStatsInline(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val toks = Text.tokens(col(textCol))
-    val g2 = col("__g2")
-    val g3 = col("__g3")
+    def reps(n: Int) = call_function("graft_repstats", toks, lit(n))
     docs
-      .withColumn("__g2",
-        when(size(toks) >= 2, Text.shingles(toks, 2))
-          .otherwise(array().cast("array<string>")))
-      .withColumn("__g3",
-        when(size(toks) >= 3, Text.shingles(toks, 3))
-          .otherwise(array().cast("array<string>")))
-      .withColumn("n_gram2", size(g2).cast("long"))
-      .withColumn("top_gram2",
-        when(size(g2) > 0, array_max(transform(array_distinct(g2),
-          x => size(filter(g2, y => y === x))))).otherwise(0).cast("long"))
-      .withColumn("dup_gram3",
-        size(filter(g3, x => size(filter(g3, y => y === x)) > 1)).cast("long"))
-      .drop("__g2", "__g3")
+      .withColumn("n_gram2", element_at(reps(2), 1))
+      .withColumn("top_gram2", element_at(reps(2), 2))
+      .withColumn("dup_gram3", element_at(reps(3), 3))
   }
 
   /** Vocabulary-coverage quality signal: per-document token count and

@@ -675,6 +675,60 @@ object TextQ {
         |  FROM cos) t
         |WHERE rank <= 5""".stripMargin)),
 
+    // Lloyd k-means (2 iterations, k=8): per-row literal-centroid
+    // argmax assignment (no shuffle over the vectors), quantized
+    // integer centroid means, empty clusters keep their seed. The
+    // oracle replays both iterations including the float narrowing
+    // (SimilaritySearch.kmeansAssign).
+    Q("s05_kmeans",
+      (s, d) => SimilaritySearch.kmeansAssign(
+        Tables.embeddings(s, d), k = 8, iters = 2),
+      Some("""WITH cents0 AS (
+        |  SELECT CAST(vec_id AS INT) AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+        |), cc1 AS (
+        |  SELECT v.vec_id, c.cid,
+        |    CAST(sum(CAST(ROUND(CAST(v.embedding[i + 1] AS DOUBLE) * CAST(c.cv[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq,
+        |    CAST(sum(CAST(ROUND(CAST(v.embedding[i + 1] AS DOUBLE) * CAST(v.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nv,
+        |    CAST(sum(CAST(ROUND(CAST(c.cv[i + 1] AS DOUBLE) * CAST(c.cv[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nc
+        |  FROM embeddings v, cents0 c, range(64) r(i)
+        |  GROUP BY v.vec_id, c.cid
+        |), s1 AS (
+        |  SELECT vec_id, cid,
+        |    ROUND(CASE WHEN nv = 0 OR nc = 0 THEN 0.0
+        |      ELSE CAST(dq AS DOUBLE) / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) END, 9) AS ccos
+        |  FROM cc1
+        |), a1 AS (
+        |  SELECT vec_id, cid AS cl FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM s1) x
+        |  WHERE rn = 1
+        |), compsum AS (
+        |  SELECT a.cl, r.i AS pos,
+        |    CAST(sum(CAST(ROUND(CAST(v.embedding[r.i + 1] AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) AS sq,
+        |    count(*) AS n
+        |  FROM embeddings v JOIN a1 a ON a.vec_id = v.vec_id CROSS JOIN range(64) r(i)
+        |  GROUP BY a.cl, r.i
+        |), cent1 AS (
+        |  SELECT c0.cid, r.i AS pos,
+        |    coalesce(CAST(CAST(cs.sq AS DOUBLE) / CAST(cs.n AS DOUBLE) / 1e6 AS REAL), c0.cv[r.i + 1]) AS comp
+        |  FROM cents0 c0 CROSS JOIN range(64) r(i)
+        |  LEFT JOIN compsum cs ON cs.cl = c0.cid AND cs.pos = r.i
+        |), cc2 AS (
+        |  SELECT v.vec_id, c.cid,
+        |    CAST(sum(CAST(ROUND(CAST(v.embedding[c.pos + 1] AS DOUBLE) * CAST(c.comp AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq,
+        |    CAST(sum(CAST(ROUND(CAST(v.embedding[c.pos + 1] AS DOUBLE) * CAST(v.embedding[c.pos + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nv,
+        |    CAST(sum(CAST(ROUND(CAST(c.comp AS DOUBLE) * CAST(c.comp AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nc
+        |  FROM embeddings v CROSS JOIN cent1 c
+        |  GROUP BY v.vec_id, c.cid
+        |), s2 AS (
+        |  SELECT vec_id, cid,
+        |    ROUND(CASE WHEN nv = 0 OR nc = 0 THEN 0.0
+        |      ELSE CAST(dq AS DOUBLE) / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) END, 9) AS ccos
+        |  FROM cc2
+        |)
+        |SELECT vec_id, CAST(cid AS INT) AS cluster, ccos AS cos_centroid FROM (
+        |  SELECT vec_id, cid, ccos, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM s2) x
+        |WHERE rn = 1""".stripMargin)),
+
     // LSH ANN end-to-end: bucket join + quantized-cosine rerank top-3.
     Q("s03_lsh_topk",
       (s, d) => {

@@ -150,6 +150,21 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_repstats: hand-checked gram counts, short inputs, null elements (SQL surface)") {
+    // "a a a a": 3 2-grams all "a a" -> [3,3,3]; 2 3-grams "a a a" -> [2,2,2]
+    val r = spark.sql(
+      """SELECT graft_repstats(array('a','a','a','a'), 2) AS g2,
+        |       graft_repstats(array('a','a','a','a'), 3) AS g3,
+        |       graft_repstats(array('x'), 2) AS short,
+        |       graft_repstats(array(CAST(NULL AS STRING), 'a'), 2) AS withnull,
+        |       graft_repstats(array('p','q','r'), 2) AS uniq""".stripMargin).head()
+    assert(r.getSeq[Long](0) == Seq(3L, 3L, 3L))
+    assert(r.getSeq[Long](1) == Seq(2L, 2L, 2L))
+    assert(r.getSeq[Long](2) == Seq(0L, 0L, 0L))
+    assert(r.getSeq[Long](3) == Seq(1L, 1L, 0L)) // null hashes as '' — one gram, no dup
+    assert(r.getSeq[Long](4) == Seq(2L, 1L, 0L))
+  }
+
   test("graft_dotq rounds half AWAY FROM ZERO on negative ties (matches Spark round + DuckDB)") {
     // Find a double d where d * 1e12 lands EXACTLY on n + 0.5, so the
     // tie rule is actually exercised (Math.round would give -n here;
