@@ -143,6 +143,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"t07 planned an all-pairs join:\n$p")
   }
 
+  test("s05_kmeans: assignment pass is a pure scan — no exchange, no join") {
+    // centroids are literals inside the argmax projection; the Lloyd
+    // UPDATE passes (separate jobs during construction) may shuffle,
+    // but the returned assignment plan must stay scan-shaped
+    val p = plan("s05_kmeans")
+    assert(!p.contains("Exchange"), s"s05 assignment shuffles:\n$p")
+    assert(!p.contains("Join"), s"s05 assignment joins:\n$p")
+  }
+
   test("k03_track: default-config tracker plans exactly one shuffle (the sequence grouping)") {
     // minTrackLength=1 must elide the (seq, trackId) length-filter
     // window — the kernel's groupByKey exchange is the ONLY shuffle,
