@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.distLeDescriptor)
     ext.injectFunction(GraftExtensions.interSizeDescriptor)
     ext.injectFunction(GraftExtensions.repStatsDescriptor)
+    ext.injectFunction(GraftExtensions.bandSigsDescriptor)
     ext.injectOptimizerRule(_ => graft.optimizer.BandJoinRewrite)
   }
 }
@@ -43,6 +44,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[graft.expressions.RepetitionStats].getName, "graft_repstats"),
     (c: Seq[Expression]) => graft.expressions.RepetitionStats(c(0), c(1)))
 
+  private val bandSigsDescriptor = (
+    FunctionIdentifier("graft_bandsigs"),
+    new ExpressionInfo(classOf[graft.expressions.BandSignatures].getName, "graft_bandsigs"),
+    (c: Seq[Expression]) => graft.expressions.BandSignatures(c(0), c(1), c(2)))
+
   /** Imperative registration for an already-built session: functions
     * plus the band-join optimizer rule (idempotent).
     */
@@ -55,6 +61,8 @@ object GraftExtensions {
       interSizeDescriptor._1, interSizeDescriptor._2, interSizeDescriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
       repStatsDescriptor._1, repStatsDescriptor._2, repStatsDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      bandSigsDescriptor._1, bandSigsDescriptor._2, bandSigsDescriptor._3)
     val opt = spark.sessionState.experimentalMethods
     if (!opt.extraOptimizations.contains(graft.optimizer.BandJoinRewrite))
       opt.extraOptimizations = opt.extraOptimizations :+ graft.optimizer.BandJoinRewrite

@@ -439,6 +439,86 @@ object ExtQ {
         |WHERE n_tokens BETWEEN 20 AND 90 AND n_stop * 20 >= n_tokens
         |  AND dup_gram3 = 0 AND top_gram2 <= 2""".stripMargin)),
 
+    // Streaming ingest dedup: a document stream (the src0 slice)
+    // probes the existing corpus's PERSISTED band-signature table with
+    // a stream-static equi-join — the online form of d09. The stream
+    // side is stateless end to end: graft_bandsigs computes an
+    // arriving doc's MinHash band signatures per-row (no token
+    // shuffle, no state), the static side is the batch artifact a
+    // production pipeline maintains, and the exact-Jaccard verify is
+    // the native sorted-merge intersect. Emitted rows keep the band
+    // column, so no stateful distinct is needed — a pair colliding in
+    // both bands appears once per band, deterministically.
+    Q("st6_stream_ingest_dedup",
+      (s, d) => withStreamShuffle(s) {
+        import graft.operators.Dedup
+        import graft.functions.Text
+        val docs = Tables.documents(s, d)
+        val corpus = docs.filter(col("source") =!= "src0")
+        val fp = (t: org.apache.spark.sql.Column) =>
+          sort_array(transform(Text.distinctTokens(t), g => xxhash64(g)))
+        val staticSide = Dedup.bandSignatures(corpus, 16, 2, "text")
+          .join(corpus.select(col("doc_id"), fp(col("text")).as("grams_b")), Seq("doc_id"))
+          .select(col("band"), col("band_sig"),
+            col("doc_id").as("doc_b"), col("grams_b"))
+        val name = sinkName("st6_ingest_", d)
+        val stream = s.readStream.schema(docs.schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(d)
+          .filter(col("source") === "src0")
+          .select(col("doc_id").as("doc_a"), fp(col("text")).as("grams_a"),
+            posexplode(call_function("graft_bandsigs",
+              Text.tokens(col("text")), lit(16), lit(2))))
+          .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_sig"))
+        val q = stream.join(staticSide, Seq("band", "band_sig"))
+          .withColumn("inter",
+            call_function("graft_inter_size", col("grams_a"), col("grams_b")))
+          .withColumn("unionSz",
+            size(col("grams_a")) + size(col("grams_b")) - col("inter"))
+          .withColumn("jaccard",
+            when(col("unionSz") === 0, 0.0)
+              .otherwise(col("inter").cast("double") / col("unionSz")))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("doc_a"), col("doc_b"), col("band"),
+            round(col("jaccard"), 9).as("jaccard"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+      },
+      Some("""WITH toks AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS tok
+        |    FROM documents) t
+        |), per_seed AS (
+        |  SELECT doc_id, seed, min(md5('s' || CAST(seed AS VARCHAR) || '_' || tok)) AS mh
+        |  FROM toks, range(16) r(seed) GROUP BY doc_id, seed
+        |), banded AS (
+        |  SELECT doc_id, CAST(seed // 8 AS INT) AS band,
+        |    md5(string_agg(CAST(seed AS VARCHAR) || ':' || mh, '|'
+        |        ORDER BY CAST(seed AS VARCHAR) || ':' || mh)) AS band_sig
+        |  FROM per_seed GROUP BY doc_id, CAST(seed // 8 AS INT)
+        |), src AS (SELECT doc_id, source FROM documents),
+        |sets AS (
+        |  SELECT doc_id, list_distinct(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS gs
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.band AS band,
+        |  ROUND(CASE WHEN len(sa.gs) + len(sb.gs) - len(list_intersect(sa.gs, sb.gs)) = 0 THEN 0.0
+        |    ELSE CAST(len(list_intersect(sa.gs, sb.gs)) AS DOUBLE)
+        |      / (len(sa.gs) + len(sb.gs) - len(list_intersect(sa.gs, sb.gs))) END, 9) AS jaccard
+        |FROM banded a
+        |JOIN src xa ON xa.doc_id = a.doc_id AND xa.source = 'src0'
+        |JOIN banded b ON a.band = b.band AND a.band_sig = b.band_sig
+        |JOIN src xb ON xb.doc_id = b.doc_id AND xb.source <> 'src0'
+        |JOIN sets sa ON sa.doc_id = a.doc_id
+        |JOIN sets sb ON sb.doc_id = b.doc_id
+        |WHERE CASE WHEN len(sa.gs) + len(sb.gs) - len(list_intersect(sa.gs, sb.gs)) = 0 THEN 0.0
+        |    ELSE CAST(len(list_intersect(sa.gs, sb.gs)) AS DOUBLE)
+        |      / (len(sa.gs) + len(sb.gs) - len(list_intersect(sa.gs, sb.gs))) END >= CAST(0.5 AS DOUBLE)"""
+        .stripMargin)),
+
     // P10 — sliding-window tile-spec generator with edge snapping
     // (reference src/detection.py:1358-1368), duplicates preserved.
     Q("f03_tile_specs",

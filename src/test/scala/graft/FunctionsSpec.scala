@@ -165,6 +165,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getSeq[Long](4) == Seq(2L, 1L, 0L))
   }
 
+  test("graft_bandsigs (per-row) == Dedup.bandSignatures (table form) on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val table = graft.operators.Dedup.bandSignatures(docs, 16, 2, "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val perRow = docs.select(col("doc_id"),
+        posexplode(call_function("graft_bandsigs",
+          graft.functions.Text.tokens(col("text")), lit(16), lit(2))))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(perRow == table)
+  }
+
+  test("graft_bandsigs: empty token set is deterministic and bands divide check fails loudly") {
+    val a = spark.sql("SELECT graft_bandsigs(array('x'), 16, 2) AS s").head().getSeq[String](0)
+    assert(a.length == 2 && a.forall(_.length == 32))
+    val e = spark.sql("SELECT graft_bandsigs(CAST(array() AS ARRAY<STRING>), 4, 2) AS s")
+      .head().getSeq[String](0)
+    assert(e.length == 2 && e.forall(_.length == 32))
+    intercept[Exception] {
+      spark.sql("SELECT graft_bandsigs(array('x'), 16, 3)").head()
+    }
+  }
+
   test("graft_dotq rounds half AWAY FROM ZERO on negative ties (matches Spark round + DuckDB)") {
     // Find a double d where d * 1e12 lands EXACTLY on n + 0.5, so the
     // tie rule is actually exercised (Math.round would give -n here;
