@@ -449,8 +449,16 @@ object ExtQ {
     // the native sorted-merge intersect. Emitted rows keep the band
     // column, so no stateful distinct is needed — a pair colliding in
     // both bands appears once per band, deterministically.
+    //
+    // The band table is materialized BEFORE entering the stream's
+    // 4-partition shuffle scope: building the artifact is a batch job
+    // that wants full cluster parallelism (its token shuffle at 4
+    // partitions cost ~5 s of the query at sf0.1); only the per-micro-
+    // batch probe join should run at stream settings. A production
+    // pipeline reads the table from storage, so the stream plan
+    // joining a pre-materialized input is the faithful shape.
     Q("st6_stream_ingest_dedup",
-      (s, d) => withStreamShuffle(s) {
+      (s, d) => {
         import graft.operators.Dedup
         import graft.functions.Text
         val docs = Tables.documents(s, d)
@@ -461,31 +469,35 @@ object ExtQ {
           .join(corpus.select(col("doc_id"), fp(col("text")).as("grams_b")), Seq("doc_id"))
           .select(col("band"), col("band_sig"),
             col("doc_id").as("doc_b"), col("grams_b"))
-        val name = sinkName("st6_ingest_", d)
-        val stream = s.readStream.schema(docs.schema)
-          .option("pathGlobFilter", "documents.parquet").parquet(d)
-          .filter(col("source") === "src0")
-          .select(col("doc_id").as("doc_a"), fp(col("text")).as("grams_a"),
-            posexplode(call_function("graft_bandsigs",
-              Text.tokens(col("text")), lit(16), lit(2))))
-          .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_sig"))
-        val q = stream.join(staticSide, Seq("band", "band_sig"))
-          .withColumn("inter",
-            call_function("graft_inter_size", col("grams_a"), col("grams_b")))
-          .withColumn("unionSz",
-            size(col("grams_a")) + size(col("grams_b")) - col("inter"))
-          .withColumn("jaccard",
-            when(col("unionSz") === 0, 0.0)
-              .otherwise(col("inter").cast("double") / col("unionSz")))
-          .filter(col("jaccard") >= 0.5)
-          .select(col("doc_a"), col("doc_b"), col("band"),
-            round(col("jaccard"), 9).as("jaccard"))
-          .writeStream.format("memory").queryName(name)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        s.table(name)
+          .cache()
+        staticSide.count()  // materialize at batch (32-partition) parallelism
+        try withStreamShuffle(s) {
+          val name = sinkName("st6_ingest_", d)
+          val stream = s.readStream.schema(docs.schema)
+            .option("pathGlobFilter", "documents.parquet").parquet(d)
+            .filter(col("source") === "src0")
+            .select(col("doc_id").as("doc_a"), fp(col("text")).as("grams_a"),
+              posexplode(call_function("graft_bandsigs",
+                Text.tokens(col("text")), lit(16), lit(2))))
+            .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_sig"))
+          val q = stream.join(staticSide, Seq("band", "band_sig"))
+            .withColumn("inter",
+              call_function("graft_inter_size", col("grams_a"), col("grams_b")))
+            .withColumn("unionSz",
+              size(col("grams_a")) + size(col("grams_b")) - col("inter"))
+            .withColumn("jaccard",
+              when(col("unionSz") === 0, 0.0)
+                .otherwise(col("inter").cast("double") / col("unionSz")))
+            .filter(col("jaccard") >= 0.5)
+            .select(col("doc_a"), col("doc_b"), col("band"),
+              round(col("jaccard"), 9).as("jaccard"))
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          s.table(name)
+        } finally staticSide.unpersist()
       },
       Some("""WITH toks AS (
         |  SELECT DISTINCT doc_id, tok FROM (
