@@ -197,4 +197,45 @@ object TextAnalysis {
       .withColumn("n_tokens", size(toksCol))
       .withColumn("n_oov", size(filter(toksCol, t => !t.isin(vocab: _*))))
   }
+
+  /** Benchmark decontamination: flag every training document that
+    * shares at least one word n-gram with a held-out evaluation set —
+    * the standard pre-training hygiene pass (n-gram overlap against
+    * eval benchmarks, as in the GPT-3/Gopher decontamination
+    * methodology; the reference's corpus tooling has no equivalent,
+    * this is a scale extension).
+    *
+    * Shape: the eval set's distinct gram fingerprints are SMALL by
+    * construction (benchmarks are thousands of documents, the corpus
+    * is billions), so the membership probe is a broadcast join against
+    * the exploded train grams — no shuffle of train text, and the only
+    * exchange is the per-doc hit count's groupBy(doc_id), whose
+    * map-side partial aggregation reduces each task's output to one
+    * row per contaminated document. Grams are fingerprinted to
+    * xxhash64 longs before the join (8 fixed bytes instead of an
+    * n-word UTF8 string — the [[Dedup.jaccardPairs]] trade; a 64-bit
+    * collision needs ~billions of distinct grams to matter and would
+    * only ever ADD a spurious flag, never drop a real one).
+    *
+    * Documents shorter than n tokens carry no gram and can never be
+    * flagged; both sides guard on token count (Text.shingles assumes
+    * size >= n).
+    */
+  def decontaminate(train: DataFrame, evalSet: DataFrame, n: Int = 5,
+                    textCol: String = "text"): DataFrame = {
+    val toks = Text.tokens(col(textCol))
+    def gramHashes(df: DataFrame) = df
+      .filter(size(toks) >= n)
+      .select(col("doc_id"),
+        explode(array_distinct(Text.shingles(toks, n))).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("g"))
+    val evalGrams = broadcast(gramHashes(evalSet).select("g").distinct())
+    val hits = gramHashes(train).join(evalGrams, Seq("g"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated_grams"))
+    train.select("doc_id", "source")
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_contaminated_grams",
+        coalesce(col("n_contaminated_grams"), lit(0L)))
+      .withColumn("contaminated", col("n_contaminated_grams") > 0)
+  }
 }

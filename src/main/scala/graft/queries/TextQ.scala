@@ -623,6 +623,40 @@ object TextQ {
         |FROM documents d LEFT JOIN dupc ON dupc.doc_id = d.doc_id
         |WHERE d.source = 'src0'""".stripMargin)),
 
+    // Benchmark decontamination: the 'src19' slice plays the held-out
+    // eval set; every other document is flagged when it shares any
+    // word 5-gram with it (GPT-3/Gopher-style n-gram overlap hygiene).
+    // Eval grams broadcast, train text never shuffles — see
+    // TextAnalysis.decontaminate.
+    Q("d10_decontamination",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        TextAnalysis.decontaminate(
+          train = docs.filter(col("source") =!= "src19"),
+          evalSet = docs.filter(col("source") === "src19"), n = 5)
+      },
+      Some("""WITH toked AS (
+        |  SELECT doc_id, source, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS toks
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, source, list_distinct(
+        |    list_transform(range(1, len(toks) - 3),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS gs
+        |  FROM toked WHERE len(toks) >= 5
+        |), evalg AS (
+        |  SELECT DISTINCT unnest(gs) AS g FROM grams WHERE source = 'src19'
+        |), traing AS (
+        |  SELECT doc_id, unnest(gs) AS g FROM grams WHERE source <> 'src19'
+        |), hits AS (
+        |  SELECT t.doc_id, count(*) AS n FROM traing t JOIN evalg e ON t.g = e.g
+        |  GROUP BY t.doc_id
+        |)
+        |SELECT d.doc_id, d.source,
+        |  CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_grams,
+        |  coalesce(h.n, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        |WHERE d.source <> 'src19'""".stripMargin)),
+
     // IVF-flat ANN: nlist=8 sampled centroids, corpus partitioned by
     // argmax-cosine cell, queries probe nprobe=2 cells, exact rerank
     // top-5 inside the probed cells. The cell assignment is the

@@ -169,6 +169,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles(p8) == 2, s"expected exactly 2 shuffles:\n$p8")
   }
 
+  test("d10_decontamination: eval grams broadcast, train text never shuffles") {
+    // the gram-membership probe and the final hit-count lookup must
+    // both be broadcast joins; the only hash exchanges are the tiny
+    // eval-gram distinct and the per-doc count (after map-side
+    // partial agg), so train TEXT never rides a shuffle
+    val p = plan("d10_decontamination")
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 2,
+      s"both d10 joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"d10 must not shuffle-join:\n$p")
+    assert(p.contains("partial_count"),
+      s"d10 lost map-side partial aggregation on the hit count:\n$p")
+  }
+
   test("t05_stratified_sample: pure map-side filter — zero exchanges of any kind") {
     val p = plan("t05_stratified_sample")
     assert(!p.contains("Exchange"), s"stratified sampling must not shuffle:\n$p")
