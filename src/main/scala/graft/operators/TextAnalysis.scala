@@ -198,6 +198,39 @@ object TextAnalysis {
       .withColumn("n_oov", size(filter(toksCol, t => !t.isin(vocab: _*))))
   }
 
+  /** Deterministic global training shuffle + shard assignment — the
+    * "shuffle then shard" stage that precedes writing training data as
+    * fixed-count shard files. Each row gets a pseudo-random-but-
+    * reproducible key (the shared LCG over `idCol`, optionally
+    * seeded: different seeds give independent epoch orders), a global
+    * position in key order, and a round-robin shard id — round-robin
+    * over the SHUFFLED order makes every shard a uniform sample with
+    * sizes differing by at most one, which is what keeps data-parallel
+    * readers balanced.
+    *
+    * The global position comes from [[RangeRank.withGlobalRank]] —
+    * bucketed windows + broadcast offsets, never a single-partition
+    * `row_number() OVER (ORDER BY key)` — so the shuffle scales with
+    * the cluster. The LCG keeps the key replayable in any SQL engine
+    * (same rationale as [[stratifiedSampleByHash]]; same caveat: swap
+    * for a 64-bit hash where ids approach ~8e9 and the multiply could
+    * overflow). Keys are injective in ids below 2^31 (the LCG is a
+    * bijection mod 2^31), and `idCol` tie-breaks beyond that, so the
+    * order is total and reruns are bit-identical on any partitioning.
+    */
+  def seededShuffle(df: DataFrame, idCol: Column, nShards: Int,
+                    seed: Long = 0L): DataFrame = {
+    require(nShards > 0, s"seededShuffle: nShards must be positive, got $nShards")
+    val skey = ((idCol + lit(seed)) * lit(SampleLcgA) + lit(SampleLcgC)) %
+      lit(SampleModulus)
+    val ranked = RangeRank.withGlobalRank(
+      df.withColumn("shuffle_key", skey),
+      col("shuffle_key"), idCol, descending = false, rnkName = "rnk")
+    ranked
+      .withColumn("shard", (col("rnk") - 1) % nShards)
+      .withColumn("pos_in_shard", expr(s"(rnk - 1) div $nShards"))
+  }
+
   /** Benchmark decontamination: flag every training document that
     * shares at least one word n-gram with a held-out evaluation set —
     * the standard pre-training hygiene pass (n-gram overlap against

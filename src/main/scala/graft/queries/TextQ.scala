@@ -379,6 +379,34 @@ object TextQ {
         |  AND dup_gram3 = 0 AND top_gram2 <= 2
         |  AND n_oov * 4 <= n_tokens""".stripMargin)),
 
+    // Deterministic global training shuffle + round-robin shard
+    // assignment over the shuffled order (16 shards) — the writer
+    // stage before training-data sharding. Global position from
+    // RangeRank (bucketed windows + broadcast offsets), never a
+    // single-partition row_number; the oracle's global window is the
+    // semantic spec, not the plan.
+    Q("t10_seeded_shuffle",
+      (s, d) => TextAnalysis.seededShuffle(
+          Tables.documents(s, d).select("doc_id"), col("doc_id"), nShards = 16)
+        .select("doc_id", "shuffle_key", "rnk", "shard", "pos_in_shard"),
+      Some {
+        import TextAnalysis.{SampleLcgA, SampleLcgC, SampleModulus}
+        s"""WITH keyed AS (
+           |  SELECT doc_id,
+           |    (doc_id * $SampleLcgA + $SampleLcgC) % $SampleModulus AS shuffle_key
+           |  FROM documents
+           |), ranked AS (
+           |  SELECT doc_id, shuffle_key,
+           |    row_number() OVER (ORDER BY shuffle_key, doc_id) AS rnk
+           |  FROM keyed
+           |)
+           |SELECT doc_id, CAST(shuffle_key AS BIGINT) AS shuffle_key,
+           |  CAST(rnk AS BIGINT) AS rnk,
+           |  CAST((rnk - 1) % 16 AS BIGINT) AS shard,
+           |  CAST((rnk - 1) // 16 AS BIGINT) AS pos_in_shard
+           |FROM ranked""".stripMargin
+      }),
+
     // Exact dedup on a truncated-content key (the corpus has no full
     // duplicates; prefix dedup exercises the operator).
     Q("d01_exact_dedup",

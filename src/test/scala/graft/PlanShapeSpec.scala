@@ -102,7 +102,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "WholeStageCodegen", "ColumnarToRow", "ReusedExchange",
       "Exchange SinglePartition")
     for (q <- Seq("a01_auc", "a02_average_precision", "o01_seeded_sample",
-        "q13_minmax_norm", "t08_sequence_pack")) {
+        "q13_minmax_norm", "t08_sequence_pack", "t10_seeded_shuffle")) {
       val lines = plan(q).linesIterator.toVector
       lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition")).foreach {
         case (line, i) =>
