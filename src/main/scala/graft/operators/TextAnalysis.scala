@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Text
 
@@ -229,6 +230,115 @@ object TextAnalysis {
     ranked
       .withColumn("shard", (col("rnk") - 1) % nShards)
       .withColumn("pos_in_shard", expr(s"(rnk - 1) div $nShards"))
+  }
+
+  /** Domain-mixing token-budget allocation (water-filling): given a
+    * target mixture weight per source and a global token budget,
+    * allocate tokens so each source gets budget·w/W — except sources
+    * whose whole capacity is below their fair share, which contribute
+    * everything they have ("capped", rate 1.0) and their unused share
+    * is redistributed across the rest by weight. This is the standard
+    * mixture-balancing stage of a pre-training pipeline (domain
+    * weights à la The Pile / LLaMA data mixtures) when upsampling is
+    * not allowed: capacity-limited domains saturate, the rest absorb
+    * the remainder.
+    *
+    * The allocation is EXACT INTEGER arithmetic end-to-end so reruns
+    * and the SQL oracle are bit-identical: the capped set is the
+    * maximal prefix (in ascending capacity-per-weight order) where
+    * `cap·W_rem <= (budget−C_cum)·w` — an integer test, no float in
+    * any decision — and uncapped allocations are
+    * `(budget−C_capped)·w div W_rem` (floor; the rounding deficit is
+    * < one token per uncapped source, negligible at token scale).
+    * `rate` is a single final division for reporting only.
+    *
+    * Scale shape: one map-side-combined aggregation of the corpus to
+    * per-source (source, cap) rows, then windows over THAT aggregate
+    * — whose cardinality is the number of domains (tens..thousands),
+    * not data — so the single-partition window is a bounded model
+    * artifact, same class as RangeRank's offset table. The big table
+    * shuffles nothing but its per-source partial sums. Overflow
+    * bound: cap·W_rem and (budget−C)·w stay below 2^63 while
+    * total_tokens · total_weight < 9.2e18 — at 2e13 tokens (100 TB of
+    * text) that allows total weight up to ~4.6e5; switch to DECIMAL
+    * beyond that.
+    *
+    * `weightExpr` must be a positive integral Column over the
+    * per-source row (e.g. a literal map lookup). The budget is the
+    * rational `budgetNum/budgetDen` of the corpus's total tokens,
+    * kept exact as `(total · num) div den`.
+    */
+  def domainMixAllocation(docs: DataFrame, sourceCol: String,
+                          weightExpr: Column, budgetNum: Long, budgetDen: Long,
+                          textCol: String = "text"): DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0,
+      s"domainMixAllocation: bad budget fraction $budgetNum/$budgetDen")
+    val perSrc = docs
+      .groupBy(col(sourceCol))
+      .agg(sum(size(Text.tokens(col(textCol)))).cast("long").as("cap_tokens"),
+        count(lit(1)).as("n_docs"))
+      .withColumn("weight", weightExpr.cast("long"))
+    val tot = perSrc.agg(
+      sum("cap_tokens").cast("long").as("total_tokens"),
+      sum("weight").cast("long").as("total_weight"))
+    // Ratio orders by capacity-per-weight; the DECISION below is pure
+    // integer — the double is an ordering key only (ties → source).
+    val ord = Window.orderBy(
+      (col("cap_tokens").cast("double") / col("weight")).as("ratio"),
+      col(sourceCol))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = perSrc.crossJoin(broadcast(tot))
+      .withColumn("budget", expr(s"(total_tokens * $budgetNum) div $budgetDen"))
+      .withColumn("cum_cap", sum("cap_tokens").over(cum))
+      .withColumn("cum_w", sum("weight").over(cum))
+      // Prefix-monotone capped flag: a source is capped iff every
+      // source up to and including it (in ratio order) satisfies the
+      // water-filling test. min-over-prefix makes ties safe.
+      .withColumn("capped", min(
+        when(col("cap_tokens") * (col("total_weight") - col("cum_w")) <=
+          (col("budget") - col("cum_cap")) * col("weight"), lit(1))
+          .otherwise(lit(0))).over(cum))
+    val cappedTot = flagged.agg(
+      coalesce(sum(when(col("capped") === 1, col("cap_tokens"))), lit(0L))
+        .cast("long").as("capped_cap"),
+      coalesce(sum(when(col("capped") === 1, col("weight"))), lit(0L))
+        .cast("long").as("capped_w"))
+    flagged.crossJoin(broadcast(cappedTot))
+      .withColumn("alloc_tokens",
+        when(col("capped") === 1, col("cap_tokens"))
+          .otherwise(expr(
+            "((budget - capped_cap) * weight) div (total_weight - capped_w)")))
+      .withColumn("rate",
+        col("alloc_tokens").cast("double") / col("cap_tokens").cast("double"))
+      .select(col(sourceCol), col("weight"), col("cap_tokens"), col("n_docs"),
+        col("capped").cast("long").as("capped"), col("alloc_tokens"),
+        col("rate"))
+  }
+
+  /** Apply a [[domainMixAllocation]] result as a deterministic
+    * downsample: keep a document iff `lcg(doc_id) mod M < thr(source)`
+    * where `thr = (alloc·M) div cap` — the same hash gate as
+    * [[stratifiedSampleByHash]], thresholds derived from the
+    * allocation with integer arithmetic (capped sources get thr = M,
+    * keeping every document). The allocation table is tiny (one row
+    * per source) so it is collected and inlined: the corpus-side plan
+    * is a pure scan + map-side filter — no join, no shuffle of the
+    * big table. Overflow caveat: `alloc·M` needs DECIMAL once a
+    * single source exceeds ~4e9 tokens; at that point derive thr from
+    * rate with a documented half-ulp tolerance instead.
+    */
+  def applyMixSample(docs: DataFrame, alloc: DataFrame,
+                     sourceCol: String = "source"): DataFrame = {
+    val thresholds = alloc.select(sourceCol, "alloc_tokens", "cap_tokens")
+      .collect()
+      .map { r =>
+        val cap = r.getLong(2)
+        val thr = if (cap == 0L) SampleModulus
+          else r.getLong(1) * SampleModulus / cap
+        (r.getString(0), thr)
+      }.toSeq.sortBy(_._1)
+    stratifiedSampleByHash(docs, col(sourceCol), col("doc_id"),
+      thresholds, defaultThreshold = 0L)
   }
 
   /** Benchmark decontamination: flag every training document that

@@ -34,6 +34,56 @@ object TextQ {
     "de" -> (0.3 * TextAnalysis.SampleModulus).toLong)
   private val mixDefault: Long = (0.1 * TextAnalysis.SampleModulus).toLong
 
+  // Shared water-filling allocation CTE for t11/t12 — transcribes
+  // TextAnalysis.domainMixAllocation step for step (same weight
+  // expression, same integer tests, `//` = Spark's `div` on the
+  // non-negative operands involved). The double ratio is an ORDER BY
+  // key only; every decision and allocation is exact integer
+  // arithmetic, so one shared text keeps both oracles honest.
+  private val MixAllocSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source,
+      |    len(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS n_tokens
+      |  FROM documents
+      |), per_src AS (
+      |  SELECT source,
+      |    CAST(substr(source, 4) AS BIGINT) % 3 + 1 AS weight,
+      |    CAST(sum(n_tokens) AS BIGINT) AS cap_tokens,
+      |    count(*) AS n_docs
+      |  FROM tok GROUP BY source
+      |), tot AS (
+      |  SELECT CAST(sum(cap_tokens) AS BIGINT) AS total_tokens,
+      |         CAST(sum(weight) AS BIGINT) AS total_weight FROM per_src
+      |), ranked AS (
+      |  SELECT s.*, t.total_tokens, t.total_weight,
+      |    (t.total_tokens * 4) // 5 AS budget,
+      |    CAST(sum(cap_tokens) OVER ord AS BIGINT) AS cum_cap,
+      |    CAST(sum(weight) OVER ord AS BIGINT) AS cum_w
+      |  FROM per_src s, tot t
+      |  WINDOW ord AS (ORDER BY CAST(cap_tokens AS DOUBLE)/weight, source
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), flagged AS (
+      |  SELECT *,
+      |    min(CASE WHEN cap_tokens * (total_weight - cum_w) <= (budget - cum_cap) * weight
+      |        THEN 1 ELSE 0 END) OVER (ORDER BY CAST(cap_tokens AS DOUBLE)/weight, source
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS capped
+      |  FROM ranked
+      |), ctot AS (
+      |  SELECT COALESCE(CAST(sum(CASE WHEN capped=1 THEN cap_tokens END) AS BIGINT),0) AS capped_cap,
+      |         COALESCE(CAST(sum(CASE WHEN capped=1 THEN weight END) AS BIGINT),0) AS capped_w
+      |  FROM flagged
+      |), alloc AS (
+      |  SELECT f.source, f.weight, f.cap_tokens, f.n_docs, f.capped,
+      |    CASE WHEN f.capped=1 THEN f.cap_tokens
+      |         ELSE ((f.budget - c.capped_cap) * f.weight) // (f.total_weight - c.capped_w)
+      |    END AS alloc_tokens,
+      |    CAST(CASE WHEN f.capped=1 THEN f.cap_tokens
+      |         ELSE ((f.budget - c.capped_cap) * f.weight) // (f.total_weight - c.capped_w)
+      |         END AS DOUBLE) / CAST(f.cap_tokens AS DOUBLE) AS rate
+      |  FROM flagged f, ctot c
+      |)
+      |""".stripMargin
+
   /** Verified embedding near-dup pairs, materialized ONCE per
     * (context, dir) — the same persisted-stage pattern as
     * `scoredPairs`: d06 reports the pairs, d08 clusters them, and a
@@ -405,6 +455,48 @@ object TextQ {
            |  CAST((rnk - 1) % 16 AS BIGINT) AS shard,
            |  CAST((rnk - 1) // 16 AS BIGINT) AS pos_in_shard
            |FROM ranked""".stripMargin
+      }),
+
+    // Domain-mixing token-budget allocation: water-fill 80% of the
+    // corpus's tokens across sources with weights cycling 1..3 —
+    // capacity-limited sources saturate (rate 1.0), the rest split the
+    // remainder by weight. Every decision is integer arithmetic (the
+    // double ratio is an ordering key only), so the oracle is
+    // hash-exact; windows run over the per-source aggregate (20 rows),
+    // never the corpus.
+    Q("t11_domain_mix",
+      (s, d) => TextAnalysis.domainMixAllocation(
+          Tables.documents(s, d),
+          sourceCol = "source",
+          weightExpr = expr("cast(substring(source, 4) as bigint) % 3 + 1"),
+          budgetNum = 4L, budgetDen = 5L)
+        .select("source", "weight", "cap_tokens", "n_docs", "capped",
+          "alloc_tokens", "rate"),
+      Some(MixAllocSql +
+        """SELECT f.source, f.weight, f.cap_tokens, f.n_docs,
+          |  CAST(f.capped AS BIGINT) AS capped, f.alloc_tokens, f.rate
+          |FROM alloc f""".stripMargin)),
+
+    // Apply the t11 allocation as a deterministic per-source
+    // downsample: the tiny allocation table becomes inlined hash-gate
+    // thresholds thr = (alloc·M) div cap, so the corpus-side plan is a
+    // pure scan + filter — the same LCG gate as t05, rates derived
+    // from the water-filling instead of configured.
+    Q("t12_mix_apply",
+      (s, d) => TextAnalysis.applyMixSample(
+          Tables.documents(s, d).select("doc_id", "source"),
+          TextAnalysis.domainMixAllocation(
+            Tables.documents(s, d),
+            sourceCol = "source",
+            weightExpr = expr("cast(substring(source, 4) as bigint) % 3 + 1"),
+            budgetNum = 4L, budgetDen = 5L)),
+      Some {
+        import TextAnalysis.{SampleLcgA, SampleLcgC, SampleModulus}
+        MixAllocSql +
+        s"""SELECT d.doc_id, d.source
+           |FROM documents d JOIN alloc a USING (source)
+           |WHERE (d.doc_id * $SampleLcgA + $SampleLcgC) % $SampleModulus
+           |      < (a.alloc_tokens * $SampleModulus) // a.cap_tokens""".stripMargin
       }),
 
     // Exact dedup on a truncated-content key (the corpus has no full

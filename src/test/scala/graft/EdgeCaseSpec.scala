@@ -87,6 +87,72 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("domainMixAllocation: water-filling invariants, saturation, degenerate budgets") {
+    // 3 sources: caps 100/1000/1000 tokens, weights 1/1/2. Budget =
+    // 80% of 2100 = 1680. Fair shares 420/420/840: src0 saturates
+    // (100 < 420); redistribution gives src2 2·(1580/3) = 1053 > its
+    // 1000 cap so it saturates on the SECOND water-filling round; the
+    // remaining 580 all flows to src1. Exercises cascaded capping.
+    def docs(caps: Seq[Int]) = caps.zipWithIndex.flatMap { case (c, i) =>
+      // one doc per source with exactly c whitespace tokens
+      Seq((i.toLong, s"src$i", Seq.fill(c)("w").mkString(" ")))
+    }.toDF("doc_id", "source", "text")
+    val wmap = expr("case when source = 'src2' then 2L else 1L end")
+    val out = TextAnalysis.domainMixAllocation(
+      docs(Seq(100, 1000, 1000)), "source", wmap, 4L, 5L)
+      .orderBy("source").collect()
+    assert(out.map(_.getAs[Long]("cap_tokens")).toSeq == Seq(100L, 1000L, 1000L))
+    assert(out.map(_.getAs[Long]("capped")).toSeq == Seq(1L, 0L, 1L))
+    assert(out.map(_.getAs[Long]("alloc_tokens")).toSeq == Seq(100L, 580L, 1000L))
+    val allocs = out.map(_.getAs[Long]("alloc_tokens")).sum
+    assert(allocs <= 1680L && 1680L - allocs < 2,
+      s"floor deficit must be < #uncapped, got ${1680L - allocs}")
+    assert(out.forall(r => r.getAs[Long]("alloc_tokens") <= r.getAs[Long]("cap_tokens")))
+
+    // budget >= total capacity: everything capped, rate 1.0 everywhere
+    val all = TextAnalysis.domainMixAllocation(
+      docs(Seq(10, 20)), "source", lit(1L), 1L, 1L).collect()
+    assert(all.forall(_.getAs[Long]("capped") == 1L))
+    assert(all.forall(r => r.getAs[Long]("alloc_tokens") == r.getAs[Long]("cap_tokens")))
+    assert(all.forall(_.getAs[Double]("rate") == 1.0))
+
+    // zero budget: nothing capped, all allocations zero
+    val zero = TextAnalysis.domainMixAllocation(
+      docs(Seq(10, 20)), "source", lit(1L), 0L, 1L).collect()
+    assert(zero.forall(_.getAs[Long]("alloc_tokens") == 0L))
+
+    // single source: gets exactly the budget (floor of 4/5 of its cap)
+    val one = TextAnalysis.domainMixAllocation(
+      docs(Seq(1000)), "source", lit(7L), 4L, 5L).collect()
+    assert(one.length == 1 && one.head.getAs[Long]("alloc_tokens") == 800L)
+
+    // partitioning invariance: identical allocation on any layout
+    val base = docs(Seq(100, 1000, 1000))
+    val p1 = TextAnalysis.domainMixAllocation(base.repartition(7), "source",
+      wmap, 4L, 5L).orderBy("source").collect().toSeq
+    val p2 = TextAnalysis.domainMixAllocation(base.coalesce(1), "source",
+      wmap, 4L, 5L).orderBy("source").collect().toSeq
+    assert(p1 == p2)
+  }
+
+  test("applyMixSample: capped source keeps every doc, rates track allocation") {
+    val docs = (0L until 3000L).map { i =>
+      (i, s"src${i % 3}", Seq.fill(10)("w").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val wmap = expr("case when source = 'src2' then 6L else 1L end")
+    // weights 1/1/6, equal caps 10000 each, budget 24000 of 30000:
+    // src2's share 18000 > 10000 -> capped (thr = M, keeps ALL docs);
+    // src0/src1 get 7000 each -> gate rate 0.7
+    val alloc = TextAnalysis.domainMixAllocation(docs, "source", wmap, 4L, 5L)
+    val kept = TextAnalysis.applyMixSample(docs.select("doc_id", "source"), alloc)
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src2") == 1000L, s"capped source must keep all docs: $bySrc")
+    for (s <- Seq("src0", "src1"))
+      assert(bySrc(s) > 600 && bySrc(s) < 800,
+        s"~70% gate expected for $s, got ${bySrc(s)}")
+  }
+
   test("vocabCoverage: empty corpus and all-OOV doc") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(TextAnalysis.vocabCoverage(empty, 8).count() == 0)

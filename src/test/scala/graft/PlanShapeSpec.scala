@@ -51,6 +51,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("t12_mix_apply: corpus-side plan is a pure scan + filter (no join, no shuffle)") {
+    // the allocation table is collected (one row per source, a bounded
+    // model artifact) and inlined as hash-gate thresholds, so the
+    // RETURNED plan — the one that scans the corpus — must not join or
+    // shuffle the big table at all
+    val p = plan("t12_mix_apply")
+    assert(shuffles(p) == 0, s"mix apply must not shuffle the corpus:\n$p")
+    assert(!p.contains("Join"), s"thresholds must inline, not join:\n$p")
+    assert(p.contains("Filter"), p)
+  }
+
+  test("t11_domain_mix: corpus shuffles only per-source partials; windows on the aggregate") {
+    val p = plan("t11_domain_mix")
+    // one partial_sum-fed exchange for the per-source agg; the window
+    // machinery operates on the 20-row aggregate (plus the two scalar
+    // broadcast joins), never on the corpus
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"per-source agg must map-side combine:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"totals must broadcast back:\n$p")
+  }
+
   test("q03_star_revenue: hinted dims broadcast, not shuffled") {
     val p = plan("q03_star_revenue")
     assert(p.contains("BroadcastHashJoin"), p)
