@@ -315,6 +315,38 @@ object TextAnalysis {
         col("rate"))
   }
 
+  /** Tokenizer vocabulary induction, step one: the corpus-wide
+    * adjacent character-pair frequencies that drive the first BPE
+    * merge (the merge rule is simply the top pair; repeated rounds
+    * with a re-segmented vocabulary yield the full merge table).
+    *
+    * Scale shape — the reason this works at 100 TB: the corpus is
+    * reduced to its DISTINCT-WORD table first (tokenize → explode →
+    * count, all codegen'd builtins with map-side partial counts), and
+    * the quadratic-ish pair explosion runs over that vocabulary —
+    * tens of thousands of rows for natural language, regardless of
+    * corpus size — weighted by word frequency. The per-word pair
+    * extraction uses `transform(sequence(...))` (CodegenFallback),
+    * which is acceptable ONLY because its input is the tiny vocab
+    * table, never the corpus; the top-k is an `orderBy.limit` that
+    * plans as TakeOrderedAndProject (no global sort materialization).
+    */
+  def bpePairCounts(docs: DataFrame, k: Int,
+                    textCol: String = "text"): DataFrame = {
+    require(k > 0, s"bpePairCounts: k must be positive, got $k")
+    val words = docs
+      .select(explode(Text.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    words
+      .filter(length(col("word")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum("freq").cast("long").as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(k)
+  }
+
   /** Apply a [[domainMixAllocation]] result as a deterministic
     * downsample: keep a document iff `lcg(doc_id) mod M < thr(source)`
     * where `thr = (alloc·M) div cap` — the same hash gate as

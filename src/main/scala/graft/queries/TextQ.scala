@@ -499,6 +499,27 @@ object TextQ {
            |      < (a.alloc_tokens * $SampleModulus) // a.cap_tokens""".stripMargin
       }),
 
+    // Tokenizer vocab induction, step one: corpus-wide adjacent
+    // char-pair counts (the first BPE merge signal). The pair
+    // explosion runs over the distinct-word table (vocab-sized), not
+    // the corpus; top-k plans as TakeOrderedAndProject.
+    Q("t13_bpe_pairs",
+      (s, d) => TextAnalysis.bpePairCounts(Tables.documents(s, d), k = 50),
+      Some("""WITH words AS (
+        |  SELECT w AS word, count(*) AS freq FROM (
+        |    SELECT unnest(list_filter(string_split(lower(text),' '), t -> len(t)>0)) AS w
+        |    FROM documents)
+        |  GROUP BY w
+        |), pairs AS (
+        |  SELECT p AS pair, CAST(sum(freq) AS BIGINT) AS pair_count FROM (
+        |    SELECT freq,
+        |      unnest(list_transform(range(1, len(word)), i -> substr(word, CAST(i AS INT), 2))) AS p
+        |    FROM words WHERE len(word) >= 2)
+        |  GROUP BY p
+        |)
+        |SELECT pair, pair_count FROM pairs
+        |ORDER BY pair_count DESC, pair LIMIT 50""".stripMargin)),
+
     // Exact dedup on a truncated-content key (the corpus has no full
     // duplicates; prefix dedup exercises the operator).
     Q("d01_exact_dedup",

@@ -153,6 +153,23 @@ class EdgeCaseSpec extends AnyFunSuite {
         s"~70% gate expected for $s, got ${bySrc(s)}")
   }
 
+  test("bpePairCounts: hand-computed pairs, single-char words ignored, k truncation") {
+    // "abab ab a" twice: words abab(2), ab(2), a(2).
+    // abab -> ab,ba,ab; ab -> ab. Weighted: ab = 2*2 + 2*1 = 6, ba = 2.
+    // 'a' has no pair and must not crash the sequence(1, len-1).
+    val docs = Seq((1L, "abab ab a"), (2L, "abab ab a"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bpePairCounts(docs, k = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(out == Seq("ab" -> 6L, "ba" -> 2L))
+    // k truncates in (count desc, pair asc) order
+    val top1 = TextAnalysis.bpePairCounts(docs, k = 1).collect()
+    assert(top1.length == 1 && top1.head.getString(0) == "ab")
+    // empty corpus -> no rows, no crash
+    assert(TextAnalysis.bpePairCounts(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), k = 5).count() == 0)
+  }
+
   test("vocabCoverage: empty corpus and all-OOV doc") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(TextAnalysis.vocabCoverage(empty, 8).count() == 0)

@@ -73,6 +73,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"totals must broadcast back:\n$p")
   }
 
+  test("t13_bpe_pairs: top-k plans as TakeOrderedAndProject, counts partial-aggregate") {
+    val p = plan("t13_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"orderBy.limit must not materialize a global sort:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"word counting must map-side combine:\n$p")
+    assert(p.contains("partial_sum"),
+      s"pair counting must map-side combine:\n$p")
+  }
+
   test("q03_star_revenue: hinted dims broadcast, not shuffled") {
     val p = plan("q03_star_revenue")
     assert(p.contains("BroadcastHashJoin"), p)
