@@ -14,12 +14,13 @@ import scala.collection.mutable
   *  - flow sequences `[a, b, [c]]` (arbitrarily nested)
   *  - flow mappings `{ "k": v, ... }`, possibly spanning multiple
   *    lines (track.yaml's `thresholds:` block)
-  *  - ONE level of block-style nesting: a bare `key:` followed by
-  *    indented `k: v` lines (block map) or `- item` lines (block
-  *    list) — the shape a user hand-writing a config reaches for
-  *    first. Deeper nesting (an indented child opening its own
-  *    block) still fails loudly: none of the reference configs need
-  *    it, and a silent partial parse would be worse than an error.
+  *  - block-style nesting to ARBITRARY depth: a bare `key:` followed
+  *    by indented `k: v` lines (block map) or `- item` lines (block
+  *    list), where any child may open its own deeper block. Block
+  *    list items stay scalars/flow collections (`- key: val` — a
+  *    list of maps — fails loudly rather than silently parsing as
+  *    the string "key: val"); mixed list/map entries at one level
+  *    and orphaned indentation fail loudly too.
   *  - `#` comments (full-line and trailing) and blank lines
   *
   * Parsed values are Scala types: `null`, `Boolean`, `Long`, `Double`,
@@ -29,94 +30,102 @@ import scala.collection.mutable
   */
 object Yaml {
 
+  /** A non-blank logical line: indent column, trimmed content, raw
+    * text for error messages.
+    */
+  private case class Ln(indent: Int, s: String, raw: String)
+
   def parse(text: String): Map[String, Any] = {
-    val out = mutable.LinkedHashMap.empty[String, Any]
-    val lines = text.linesIterator.toArray
-    var i = 0
-    while (i < lines.length) {
-      val line = stripComment(lines(i))
-      if (line.trim.nonEmpty) {
-        val colon = indexOfKeyColon(line)
-        require(colon > 0, s"unsupported YAML line (need 'key: value'): ${lines(i)}")
-        require(!line.startsWith(" ") && !line.startsWith("\t"),
-          s"unexpected indentation (no open block): ${lines(i)}")
-        val key = unquote(line.substring(0, colon).trim)
-        var rest = line.substring(colon + 1).trim
-        if (rest.isEmpty) {
-          // bare `key:` — either an explicit null or ONE level of
-          // block map / block list in the indented lines that follow
-          val children = mutable.ListBuffer.empty[String]
-          var indent = -1
-          var j = i + 1
-          var open = true
-          while (j < lines.length && open) {
-            val l = stripComment(lines(j))
-            if (l.trim.isEmpty) j += 1
-            else if (l.startsWith(" ") || l.startsWith("\t")) {
-              val ind = l.indexWhere(c => c != ' ' && c != '\t')
-              if (indent < 0) indent = ind
-              require(ind == indent,
-                s"only one level of block nesting is supported (under '$key'): ${lines(j)}")
-              children += l.trim
-              j += 1
-            } else open = false
-          }
-          if (children.isEmpty) out(key) = null
-          else {
-            i = j - 1
-            out(key) = parseBlock(key, children.toList)
-          }
-        } else {
-          // flow collection spanning multiple lines: accumulate until
-          // brackets balance (comments stripped per physical line)
-          while (bracketDepth(rest) > 0 && i + 1 < lines.length) {
-            i += 1
-            rest = rest + " " + stripComment(lines(i)).trim
-          }
-          require(bracketDepth(rest) == 0, s"unbalanced brackets in value for '$key'")
-          out(key) = parseValue(rest)
-        }
-      }
-      i += 1
-    }
-    out.toMap
+    val ls = text.linesIterator
+      .map(stripComment)
+      .filter(_.trim.nonEmpty)
+      .map(l => Ln(l.indexWhere(c => c != ' ' && c != '\t'), l.trim, l))
+      .toArray
+    if (ls.isEmpty) return Map.empty
+    require(ls.head.indent == 0,
+      s"unexpected indentation (no open block): ${ls.head.raw}")
+    val (m, next) = parseMapBlock(ls, 0, 0)
+    require(next == ls.length,
+      s"unexpected indentation (no open block): ${ls(next).raw}")
+    m
   }
 
-  /** One level of block children under `key`: all `- item` lines → a
-    * list, all `k: v` lines → a map; mixing or a child opening its own
-    * block (empty value) fails loudly.
+  /** Recursive block node at `from`, whose lines sit at `indent`: a
+    * list if the first line is a `- item`, a map otherwise. Block
+    * nesting recurses to ARBITRARY depth — a bare `key:` whose next
+    * line is deeper opens a child block at that line's indent.
+    * Mixing list and map entries at one level ends the block, which
+    * surfaces as the enclosing scope's fail-loud indentation error.
     */
-  private def parseBlock(key: String, children: List[String]): Any =
-    if (children.head == "-" || children.head.startsWith("- ")) {
-      children.map { c =>
-        require(c == "-" || c.startsWith("- "),
-          s"mixed block list/map entries under '$key': $c")
-        val item = c.drop(1).trim
-        // a bare `- key: val` item is a LIST OF MAPS in real YAML —
-        // parseValue would silently yield the string "key: val";
-        // flow/quoted items ({k: v}, "a: b") are fine
-        require(item.isEmpty || "{[\"'".contains(item.head) ||
-          indexOfKeyColon(item) < 0,
-          s"block list items must be scalars or flow collections, " +
-            s"not nested mappings (under '$key'): $c")
-        parseValue(item)
-      }
-    } else {
-      val m = mutable.LinkedHashMap.empty[String, Any]
-      children.foreach { c =>
-        require(!c.startsWith("-"),
-          s"mixed block list/map entries under '$key': $c")
-        val cc = indexOfKeyColon(c)
-        require(cc > 0, s"block entry needs 'key: value' (under '$key'): $c")
-        val v = c.substring(cc + 1).trim
-        require(v.nonEmpty,
-          s"only one level of block nesting is supported (under '$key'): $c")
-        require(bracketDepth(v) == 0,
-          s"multi-line flow values are not supported inside a block (under '$key'): $c")
-        m(unquote(c.substring(0, cc).trim)) = parseValue(v)
-      }
-      m.toMap
+  private def parseNode(ls: Array[Ln], from: Int, indent: Int): (Any, Int) =
+    if (ls(from).s == "-" || ls(from).s.startsWith("- "))
+      parseListBlock(ls, from, indent)
+    else parseMapBlock(ls, from, indent)
+
+  private def parseListBlock(ls: Array[Ln], from: Int,
+                             indent: Int): (List[Any], Int) = {
+    val buf = mutable.ListBuffer.empty[Any]
+    var i = from
+    while (i < ls.length && ls(i).indent == indent &&
+      (ls(i).s == "-" || ls(i).s.startsWith("- "))) {
+      val item = ls(i).s.drop(1).trim
+      // a bare `- key: val` item is a LIST OF MAPS in real YAML —
+      // parseValue would silently yield the string "key: val";
+      // flow/quoted items ({k: v}, "a: b") are fine
+      require(item.isEmpty || "{[\"'".contains(item.head) ||
+        indexOfKeyColon(item) < 0,
+        s"block list items must be scalars or flow collections, " +
+          s"not nested mappings: ${ls(i).raw}")
+      val (v, ni) = parseFlowValue(ls, i, item)
+      buf += v
+      i = ni
     }
+    (buf.toList, i)
+  }
+
+  private def parseMapBlock(ls: Array[Ln], from: Int,
+                            indent: Int): (Map[String, Any], Int) = {
+    val m = mutable.LinkedHashMap.empty[String, Any]
+    var i = from
+    while (i < ls.length && ls(i).indent == indent &&
+      ls(i).s != "-" && !ls(i).s.startsWith("- ")) {
+      val line = ls(i).s
+      val colon = indexOfKeyColon(line)
+      require(colon > 0, s"unsupported YAML line (need 'key: value'): ${ls(i).raw}")
+      val key = unquote(line.substring(0, colon).trim)
+      val rest = line.substring(colon + 1).trim
+      if (rest.isEmpty) {
+        // bare `key:` — an explicit null, or a child block (map or
+        // list) opened by a deeper next line; recursion = any depth
+        if (i + 1 < ls.length && ls(i + 1).indent > indent) {
+          val (v, ni) = parseNode(ls, i + 1, ls(i + 1).indent)
+          m(key) = v
+          i = ni
+        } else { m(key) = null; i += 1 }
+      } else {
+        val (v, ni) = parseFlowValue(ls, i, rest)
+        m(key) = v
+        i = ni
+      }
+    }
+    (m.toMap, i)
+  }
+
+  /** A scalar or flow collection starting on line `i` with text
+    * `first`; flow collections may span lines — accumulate until
+    * brackets balance (comments already stripped per physical line).
+    */
+  private def parseFlowValue(ls: Array[Ln], i: Int,
+                             first: String): (Any, Int) = {
+    var rest = first
+    var j = i
+    while (bracketDepth(rest) > 0 && j + 1 < ls.length) {
+      j += 1
+      rest = rest + " " + ls(j).s
+    }
+    require(bracketDepth(rest) == 0, s"unbalanced brackets in value: $first")
+    (parseValue(rest), j + 1)
+  }
 
   /** Scalar coercion for a single CLI `key=value` override — the same
     * inference chain as the reference (int → float → bool → str,

@@ -168,12 +168,25 @@ class ConfigSpec extends AnyFunSuite {
     assert(block == flow)
   }
 
-  test("deeper block nesting is rejected, not silently mis-parsed") {
-    // a child opening its own block (empty value)
-    val e1 = intercept[IllegalArgumentException] {
-      Yaml.parse("outer:\n  mid:\n    inner: 1\n")
-    }
-    assert(e1.getMessage.contains("one level"))
+  test("arbitrary-depth block nesting parses; malformed shapes still fail loudly") {
+    // a child opening its own block recurses to any depth
+    val deep = Yaml.parse(
+      """outer:
+        |  mid:
+        |    inner: 1
+        |    leaf_list:
+        |      - 0.5
+        |      - two
+        |  sibling: x
+        |after: 9
+        |""".stripMargin)
+    assert(deep("outer") == Map(
+      "mid" -> Map("inner" -> 1L, "leaf_list" -> List(0.5, "two")),
+      "sibling" -> "x"))
+    assert(deep("after") == 9L)
+    // a bare key: at depth is still an explicit null
+    val nul = Yaml.parse("a:\n  b:\n  c: 1\n")
+    assert(nul("a") == Map("b" -> null, "c" -> 1L))
     // mixed list/map entries under one key
     intercept[IllegalArgumentException] {
       Yaml.parse("outer:\n  - 1\n  k: 2\n")
@@ -181,6 +194,10 @@ class ConfigSpec extends AnyFunSuite {
     // indentation with no open block
     intercept[IllegalArgumentException] {
       Yaml.parse("a: 1\n  b: 2\n")
+    }
+    // a dedent to an indent no enclosing block owns
+    intercept[IllegalArgumentException] {
+      Yaml.parse("a:\n    b: 1\n  c: 2\n")
     }
     // `- key: val` is a list-of-maps in real YAML — must fail loudly,
     // not silently parse as the string "key: val"
