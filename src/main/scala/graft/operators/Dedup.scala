@@ -29,6 +29,53 @@ object Dedup {
         Window.unboundedPreceding, Window.unboundedFollowing)))
   }
 
+  /** Span-level exact dedup — the C4/RefinedWeb LINE-dedup shape
+    * adapted to unstructured text: each document is chunked into
+    * consecutive `spanWords`-word spans, only the globally FIRST
+    * occurrence of each distinct span text survives (first = smallest
+    * `(doc_id, span_idx)`, so repeats later in the SAME document drop
+    * too), and the surviving spans are reassembled per document in
+    * original order. A document whose every span appeared earlier
+    * vanishes from the output entirely. Output: `(doc_id, clean_text,
+    * n_spans, n_kept)` with `clean_text` rebuilt from the kept spans.
+    *
+    * Scale shape: two shuffles total — the span-keyed exchange for the
+    * first-occurrence window (per-group fan-in = one span's duplication
+    * count, never the corpus) and the `doc_id` reassembly groupBy. The
+    * chunking itself is a per-row projection; the `transform` /
+    * reassembly lambdas are CodegenFallback but touch only one
+    * document's few spans per call, never a corpus-sized collection.
+    * At 100 TB you would additionally pre-hash the span (xxhash64) so
+    * the shuffle carries 8-byte keys and keep the string only for
+    * in-bucket equality; here the span text is the key directly so the
+    * oracle replays it verbatim.
+    */
+  def spanDedup(docs: DataFrame, spanWords: Int,
+                textCol: String = "text"): DataFrame = {
+    require(spanWords > 0, s"spanDedup: spanWords must be positive, got $spanWords")
+    val spans = docs
+      .withColumn("ws", Text.tokens(col(textCol)))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(0, (size(ws) - 1) div $spanWords),
+           |  i -> array_join(slice(ws, i * $spanWords + 1, $spanWords), ' '))"""
+          .stripMargin).as("spans"))
+      .select(col("doc_id"), size(col("spans")).cast("long").as("n_spans"),
+        posexplode(col("spans")).as(Seq("span_idx", "span")))
+    val firstSeen = Window.partitionBy("span").orderBy("doc_id", "span_idx")
+    spans
+      .withColumn("rn", row_number().over(firstSeen))
+      .filter(col("rn") === 1)
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("span_idx"), col("span")))),
+            x => x.getField("span")), " ").as("clean_text"),
+        max("n_spans").as("n_spans"),
+        count(lit(1)).as("n_kept"))
+      .select("doc_id", "clean_text", "n_spans", "n_kept")
+  }
+
   /** MinHash + LSH banding: docs sharing ≥1 band bucket become candidate
     * pairs (shingle → minhash → band → bucket-join). `numHashes` hashes
     * in `bands` bands of `numHashes/bands` rows each.

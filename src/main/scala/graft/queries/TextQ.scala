@@ -798,6 +798,33 @@ object TextQ {
         |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
         |WHERE d.source <> 'src19'""".stripMargin)),
 
+    // Span-level exact dedup (the C4/RefinedWeb line-dedup shape):
+    // 10-word spans, global first-occurrence keep, documents
+    // reassembled from their surviving spans — see Dedup.spanDedup.
+    Q("d11_span_dedup",
+      (s, d) => Dedup.spanDedup(Tables.documents(s, d), spanWords = 10),
+      Some("""WITH toked AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS ws
+        |  FROM documents
+        |), spans AS (
+        |  SELECT doc_id,
+        |    CAST((len(ws) - 1) // 10 + 1 AS BIGINT) AS n_spans,
+        |    unnest(range(0, (len(ws) - 1) // 10 + 1)) AS span_idx,
+        |    unnest(list_transform(range(0, (len(ws) - 1) // 10 + 1),
+        |      i -> array_to_string(ws[CAST(i * 10 + 1 AS BIGINT) : CAST(i * 10 + 10 AS BIGINT)], ' '))) AS span
+        |  FROM toked WHERE len(ws) > 0
+        |), keep AS (
+        |  SELECT doc_id, span_idx, span, n_spans,
+        |    row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+        |  FROM spans
+        |)
+        |SELECT doc_id,
+        |  string_agg(span, ' ' ORDER BY span_idx) AS clean_text,
+        |  max(n_spans) AS n_spans,
+        |  CAST(count(*) AS BIGINT) AS n_kept
+        |FROM keep WHERE rn = 1
+        |GROUP BY doc_id""".stripMargin)),
+
     // IVF-flat ANN: nlist=8 sampled centroids, corpus partitioned by
     // argmax-cosine cell, queries probe nprobe=2 cells, exact rerank
     // top-5 inside the probed cells. The cell assignment is the

@@ -244,6 +244,25 @@ class EdgeCaseSpec extends AnyFunSuite {
       tr.withColumn("conf", lit(1.0)), 0.3).count() == 0)
   }
 
+  test("spanDedup: first-occurrence keep, within-doc repeats, full erasure") {
+    val docs = Seq(
+      (1L, "a b c d e f"),      // spans (w=3): "a b c", "d e f"
+      (2L, "a b c x"),          // "a b c" dup of doc 1 -> only "x" kept
+      (3L, "a b c d e f"),      // both spans seen -> doc vanishes
+      (4L, "p q r p q r p"),    // within-doc repeat: 2nd "p q r" drops
+      (5L, "")                  // empty text -> filtered pre-chunking
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, spanWords = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 4L))       // 3 erased, 5 empty
+    assert(out(1L) == (("a b c d e f", 2L, 2L)))
+    assert(out(2L) == (("x", 2L, 1L)))          // partial last span kept
+    assert(out(4L) == (("p q r p", 3L, 2L)))    // repeat dropped, tail kept
+    // empty input: no rows, no crash
+    assert(Dedup.spanDedup(docs.limit(0), 3).count() == 0)
+  }
+
   test("combine of a single sequence equals that sequence's counts") {
     val gt = oneBox("s", 1, 1, 0, 0).union(oneBox("s", 2, 1, 0, 0))
     val tr = oneBox("s", 1, 1, 1, 1).union(oneBox("s", 2, 1, 1, 1))
