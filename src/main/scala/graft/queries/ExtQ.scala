@@ -684,6 +684,33 @@ object ExtQ {
         |)
         |SELECT CAST(count(*) AS BIGINT) AS n_pos,
         |  ROUND(CAST(CAST(sum(CAST(ROUND(CAST(cum_pos AS DOUBLE) / rnk * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE) / count(*) / 1e12, 9) AS average_precision
-        |FROM ranked WHERE pos = 1""".stripMargin))
+        |FROM ranked WHERE pos = 1""".stripMargin)),
+
+    // S15 relational half — the render draw plan on a 640×480 canvas:
+    // integer clip (boxes painting zero pixels dropped — 4.5k of 12k
+    // dets at this canvas), reference label anchor max(y1-10, 20)
+    // (visualize.py:528), md5-derived per-id color (E13). The pixel
+    // half (band painting, bitmap-digit labels, PNG/GIF encode) is
+    // asserted per-pixel in RenderSpec — rasters aren't SQL.
+    Q("v01_draw_plan",
+      (s, d) => graft.sinks.Render.drawPlan(
+        Derived.table(s, d, "dets"), width = 640, height = 480),
+      Some(s"""WITH ${Derived.detCte},
+        |plan AS (
+        |  SELECT seq, frame, id,
+        |    CAST(floor(x1) AS INT) AS ix1, CAST(floor(y1) AS INT) AS iy1,
+        |    CAST(floor(x2) AS INT) AS ix2, CAST(floor(y2) AS INT) AS iy2,
+        |    md5(CAST(id AS VARCHAR)) AS h
+        |  FROM dets
+        |)
+        |SELECT seq, frame, id,
+        |  CAST(greatest(ix1, 0) AS INT) AS px1, CAST(greatest(iy1, 0) AS INT) AS py1,
+        |  CAST(least(ix2, 639) AS INT) AS px2, CAST(least(iy2, 479) AS INT) AS py2,
+        |  text_x, CAST(greatest(iy1 - 10, 20) AS INT) AS text_y,
+        |  CAST((strpos('0123456789abcdef', substr(h,1,1))-1)*16 + strpos('0123456789abcdef', substr(h,2,1))-1 AS INT) AS r,
+        |  CAST((strpos('0123456789abcdef', substr(h,3,1))-1)*16 + strpos('0123456789abcdef', substr(h,4,1))-1 AS INT) AS g,
+        |  CAST((strpos('0123456789abcdef', substr(h,5,1))-1)*16 + strpos('0123456789abcdef', substr(h,6,1))-1 AS INT) AS b
+        |FROM (SELECT *, ix1 AS text_x FROM plan) p
+        |WHERE ix1 <= 639 AND ix2 >= 0 AND iy1 <= 479 AND iy2 >= 0""".stripMargin))
   )
 }

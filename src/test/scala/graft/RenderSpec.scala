@@ -1,0 +1,129 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.file.Files
+
+import javax.imageio.ImageIO
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sinks.Render
+
+/** S15/S14 raster half: pixel-level assertions on the annotation kernel
+  * and the sinks (the relational draw plan is DuckDB-checked by v01).
+  */
+class RenderSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private val Gray = 0x808080
+
+  private def basePng(w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, Gray)
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Same color derivation as Geometry.colorForId (md5 hex pairs). */
+  private def colorOf(id: Int): Int = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (Integer.parseInt(h.substring(0, 2), 16) << 16) |
+      (Integer.parseInt(h.substring(2, 4), 16) << 8) |
+      Integer.parseInt(h.substring(4, 6), 16)
+  }
+
+  private def decode(bytes: Array[Byte]): BufferedImage =
+    ImageIO.read(new ByteArrayInputStream(bytes))
+
+  private def annotated(drawIds: Boolean) = {
+    import spark.implicits._
+    // frame 1 has one box; frame 2 has none (pass-through)
+    val images = Seq(("s0", 1, basePng(64, 48)), ("s0", 2, basePng(64, 48)))
+      .toDF("seq", "frame", "content")
+    val boxes = Seq(("s0", 1, 7, 10.0, 30.0, 40.0, 45.0))
+      .toDF("seq", "frame", "id", "x1", "y1", "x2", "y2")
+    Render.annotateFrames(images, boxes, width = 64, height = 48,
+        drawIds = drawIds, thickness = 3)
+      .collect().map(r => r.getInt(1) -> r).toMap
+  }
+
+  test("annotateFrames: border bands painted, interior untouched, label digits drawn") {
+    val out = annotated(drawIds = true)
+    assert(out(1).getInt(3) == 1 && out(2).getInt(3) == 0)
+    val img = decode(out(1).getAs[Array[Byte]](2))
+    val c7 = colorOf(7)
+    // 3px bands inside (10,30)-(40,45)
+    assert((img.getRGB(10, 30) & 0xffffff) == c7) // corner
+    assert((img.getRGB(12, 37) & 0xffffff) == c7) // left band x<13
+    assert((img.getRGB(25, 44) & 0xffffff) == c7) // bottom band y>42
+    assert((img.getRGB(20, 37) & 0xffffff) == Gray) // interior
+    assert((img.getRGB(9, 29) & 0xffffff) == Gray)  // just outside
+    // label "7" at (text_x, text_y) = (10, max(30-10, 20)) = (10, 20):
+    // glyph row0 is all-on -> (10,20) and (15,21) painted, and the
+    // digit-7 hole at row1 col0/col1 -> (10,22) stays gray
+    assert((img.getRGB(10, 20) & 0xffffff) == c7)
+    assert((img.getRGB(15, 21) & 0xffffff) == c7)
+    assert((img.getRGB(10, 22) & 0xffffff) == Gray)
+    // untouched frame decodes back to the base raster
+    val img2 = decode(out(2).getAs[Array[Byte]](2))
+    assert((img2.getRGB(10, 30) & 0xffffff) == Gray)
+  }
+
+  test("annotateFrames: drawIds=false leaves the label area untouched; output deterministic") {
+    val out = annotated(drawIds = false)
+    val img = decode(out(1).getAs[Array[Byte]](2))
+    assert((img.getRGB(10, 20) & 0xffffff) == Gray)
+    // bit-identical across runs (determinism of paint order + encoder)
+    val again = annotated(drawIds = false)
+    assert(java.util.Arrays.equals(out(1).getAs[Array[Byte]](2),
+      again(1).getAs[Array[Byte]](2)))
+  }
+
+  test("annotateFrames: off-canvas box clipped to the edge bands") {
+    import spark.implicits._
+    val images = Seq(("s0", 1, basePng(32, 32))).toDF("seq", "frame", "content")
+    // extends past both edges -> clipped to (20,20)-(31,31)
+    val boxes = Seq(("s0", 1, 3, 20.0, 20.0, 99.0, 99.0))
+      .toDF("seq", "frame", "id", "x1", "y1", "x2", "y2")
+    val out = Render.annotateFrames(images, boxes, 32, 32,
+      drawIds = false, thickness = 2).collect().head
+    val img = decode(out.getAs[Array[Byte]](2))
+    assert((img.getRGB(31, 31) & 0xffffff) == colorOf(3))
+    assert((img.getRGB(25, 25) & 0xffffff) == Gray) // clipped interior
+  }
+
+  test("exportImages: one zero-padded file per frame, manifest returned") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("render_export").toString
+    val frames = Seq(("s0", 1, basePng(16, 16)), ("s1", 12, basePng(16, 16)))
+      .toDF("seq", "frame", "content")
+    val manifest = Render.exportImages(frames, dir).collect()
+    assert(manifest.length == 2 && manifest.forall(_.getLong(1) > 0))
+    assert(new java.io.File(s"$dir/s0/000001.png").isFile)
+    assert(new java.io.File(s"$dir/s1/000012.png").isFile)
+    // written file decodes
+    assert(ImageIO.read(new java.io.File(s"$dir/s0/000001.png")).getWidth == 16)
+  }
+
+  test("renderVideo: codec chain picks a JVM-available writer; per-seq frame counts round-trip") {
+    import spark.implicits._
+    assert(Render.pickCodec() == "gif") // stock JDK: no mp4/avi writer
+    val dir = Files.createTempDirectory("render_video").toString
+    val frames = Seq(
+      ("s0", 2, basePng(20, 20)), ("s0", 1, basePng(20, 20)),
+      ("s0", 3, basePng(20, 20)), ("s1", 1, basePng(20, 20)))
+      .toDF("seq", "frame", "content")
+    val manifest = Render.renderVideo(frames, dir, fps = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(manifest == Map("s0" -> 3L, "s1" -> 1L))
+    // read back: animated gif with 3 frames
+    val in = ImageIO.createImageInputStream(new java.io.File(s"$dir/s0.gif"))
+    val reader = ImageIO.getImageReadersByFormatName("gif").next()
+    reader.setInput(in)
+    assert(reader.getNumImages(true) == 3)
+    reader.dispose(); in.close()
+  }
+}
