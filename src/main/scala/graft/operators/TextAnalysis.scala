@@ -347,6 +347,66 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Bigram-LM quality scoring — the CCNet/Gopher perplexity-filter
+    * shape, trained on the corpus itself (no model download): the top
+    * `vocabSize` tokens by count form the vocabulary (everything else
+    * maps to one `<oov>` symbol; `^` marks document start), bigram
+    * counts over the mapped streams are the LM, and each document is
+    * scored by its mean add-one-smoothed conditional probability
+    *   p_i = (c(prev_i, cur_i) + 1) / (c(prev_i) + vocabSize + 2).
+    *
+    * Each term is quantized (round·1e9 → long) so the per-document sum
+    * is an order-independent integer — the engine's standard
+    * FP-determinism discipline. The arithmetic mean stands where
+    * perplexity would use the geometric: `ln` is not bit-portable
+    * across engines, and a deployment that wants true perplexity adds
+    * one `ln` at threshold time — vocabulary, smoothing, and the
+    * ranking infrastructure are identical.
+    *
+    * Scale shape: the vocab is a TakeOrdered top-V (bounded model
+    * artifact, like IVF's centroids) inlined as a codegen'd IN-list;
+    * the LM itself is ≤ (V+2)² rows and BROADCAST into the scoring
+    * join, so the corpus shuffles exactly twice (bigram-count agg with
+    * map-side partials; per-doc re-agg) and never sorts globally. The
+    * left join + fill(0) keeps the scorer total when a NEW batch is
+    * scored against a previously trained corpus LM (unseen bigrams
+    * back off to the smoothing floor).
+    */
+  def bigramLmScore(docs: DataFrame, vocabSize: Int = 64,
+                    textCol: String = "text"): DataFrame = {
+    require(vocabSize > 0, s"bigramLmScore: vocabSize must be positive, got $vocabSize")
+    val toksCol = Text.tokens(col(textCol))
+    val toked = docs.select(col("doc_id"), toksCol.as("ws"))
+    val vocab: Seq[String] = toked.select(explode(col("ws")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc).limit(vocabSize)
+      .select("tok").collect().toSeq.map(_.getString(0))
+    def mapped(c: Column, start: Boolean) = {
+      val inVocab = if (start) c === "^" || c.isin(vocab: _*) else c.isin(vocab: _*)
+      when(inVocab, c).otherwise(lit("<oov>"))
+    }
+    val bg = toked.filter(size(col("ws")) > 0)
+      .withColumn("m", concat(array(lit("^")), col("ws")))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws)),
+          |  i -> named_struct('p', element_at(m, i), 'c', element_at(m, i + 1)))"""
+          .stripMargin)).as("b"))
+      .select(col("doc_id"),
+        mapped(col("b.p"), start = true).as("prev"),
+        mapped(col("b.c"), start = false).as("cur"))
+    val cb = bg.groupBy("prev", "cur").agg(count(lit(1)).as("c"))
+    val cp = cb.groupBy("prev").agg(sum("c").cast("long").as("cpc"))
+    val model = cb.join(cp, "prev") // ≤ (V+2)² rows — the LM artifact
+    bg.join(broadcast(model), Seq("prev", "cur"), "left")
+      .na.fill(0L, Seq("c", "cpc"))
+      .withColumn("pq", round((col("c") + lit(1)).cast("double") /
+        (col("cpc") + lit(vocabSize + 2)).cast("double") * lit(1e9)).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("pq").as("prob_sum_q9"))
+      .withColumn("mean_cond_prob",
+        col("prob_sum_q9").cast("double") / col("n_bigrams") / lit(1e9))
+  }
+
   /** Apply a [[domainMixAllocation]] result as a deterministic
     * downsample: keep a document iff `lcg(doc_id) mod M < thr(source)`
     * where `thr = (alloc·M) div cap` — the same hash gate as

@@ -520,6 +520,42 @@ object TextQ {
         |SELECT pair, pair_count FROM pairs
         |ORDER BY pair_count DESC, pair LIMIT 50""".stripMargin)),
 
+    // Bigram-LM quality score (the perplexity-filter shape): top-64
+    // vocab, add-one-smoothed conditional probabilities, per-term
+    // 1e9 quantization -> order-independent integer doc scores. See
+    // TextAnalysis.bigramLmScore for why the mean is arithmetic.
+    Q("t14_bigram_lm",
+      (s, d) => TextAnalysis.bigramLmScore(Tables.documents(s, d), vocabSize = 64),
+      Some("""WITH toked AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS ws
+        |  FROM documents
+        |), nonempty AS (
+        |  SELECT doc_id, list_prepend('^', ws) AS m, len(ws) AS n FROM toked WHERE len(ws) > 0
+        |), vocab AS (
+        |  SELECT tok FROM (SELECT unnest(ws) AS tok FROM toked) t
+        |  GROUP BY tok ORDER BY count(*) DESC, tok ASC LIMIT 64
+        |), idx AS (
+        |  SELECT doc_id, m, unnest(range(1, n + 1)) AS i FROM nonempty
+        |), bg AS (
+        |  SELECT doc_id,
+        |    CASE WHEN m[i] = '^' OR m[i] IN (SELECT tok FROM vocab) THEN m[i] ELSE '<oov>' END AS prev,
+        |    CASE WHEN m[i+1] IN (SELECT tok FROM vocab) THEN m[i+1] ELSE '<oov>' END AS cur
+        |  FROM idx
+        |), cb AS (
+        |  SELECT prev, cur, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2
+        |), cp AS (
+        |  SELECT prev, CAST(sum(c) AS BIGINT) AS cpc FROM cb GROUP BY 1
+        |), scored AS (
+        |  SELECT g.doc_id,
+        |    CAST(ROUND(CAST(b.c + 1 AS DOUBLE) / CAST(p.cpc + 66 AS DOUBLE) * 1e9) AS BIGINT) AS pq
+        |  FROM bg g JOIN cb b ON b.prev = g.prev AND b.cur = g.cur
+        |            JOIN cp p ON p.prev = g.prev
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(CAST(sum(pq) AS BIGINT) AS BIGINT) AS prob_sum_q9,
+        |  CAST(CAST(sum(pq) AS BIGINT) AS DOUBLE) / count(*) / 1e9 AS mean_cond_prob
+        |FROM scored GROUP BY doc_id""".stripMargin)),
+
     // Exact dedup on a truncated-content key (the corpus has no full
     // duplicates; prefix dedup exercises the operator).
     Q("d01_exact_dedup",

@@ -263,6 +263,20 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Dedup.spanDedup(docs.limit(0), 3).count() == 0)
   }
 
+  test("bigramLmScore: hand-computed add-one-smoothed conditionals") {
+    // corpus: doc1 "a a b", doc2 "a b"; vocab(top-2) = {a, b}
+    // bigrams: (^,a)x2, (a,a)x1, (a,b)x2; c(^)=2, c(a)=3; denom = V+2 = 4
+    // p(^,a) = 3/6 = 0.5           -> 500000000
+    // p(a,a) = 2/7                 -> 285714286
+    // p(a,b) = 3/7                 -> 428571429
+    val docs = Seq((1L, "a a b"), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.bigramLmScore(docs, vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet == Set(1L, 2L)) // empty doc dropped
+    assert(out(1L) == ((3L, 500000000L + 285714286L + 428571429L)))
+    assert(out(2L) == ((2L, 500000000L + 428571429L)))
+  }
+
   test("combine of a single sequence equals that sequence's counts") {
     val gt = oneBox("s", 1, 1, 0, 0).union(oneBox("s", 2, 1, 0, 0))
     val tr = oneBox("s", 1, 1, 1, 1).union(oneBox("s", 2, 1, 1, 1))
