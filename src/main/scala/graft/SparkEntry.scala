@@ -5,10 +5,11 @@ import graft.queries.{ExtQ, KernelQ, MotQ, Q, Rel, TextQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Every operator claimed in SURVEY §2 appears here as a named query;
-  * SQL-expressible ones carry a DuckDB oracle in [[oracleSql]], kernels
-  * (NMS, greedy matching, tracker) are rows-only checked and covered by
-  * ScalaTest golden specs instead.
+  * Every operator claimed in SURVEY §2 appears here as a named query,
+  * and every query carries a DuckDB oracle in [[oracleSql]] — including
+  * the sequential kernels (NMS, tracker, Kalman), which replay as
+  * recursive CTEs (see queries/KernelQ.scala). ScalaTest golden specs
+  * cover the raster/streaming halves SQL can't express.
   */
 object SparkEntry {
 

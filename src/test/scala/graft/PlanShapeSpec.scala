@@ -222,6 +222,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Filter"), p)
   }
 
+  test("t14_bigram_lm: LM broadcast into the scoring join, two corpus shuffles") {
+    val p = plan("t14_bigram_lm")
+    assert("BroadcastHashJoin .*LeftOuter".r.findFirstIn(p).isDefined,
+      s"the (V+2)^2-bounded LM must broadcast, not shuffle the corpus:\n$p")
+    // corpus-scale exchanges: bigram-count agg + per-doc re-agg; the
+    // vocab top-V is collected pre-plan, the LM sides live under the
+    // BroadcastExchange. No sort-merge join anywhere.
+    assert(!p.contains("SortMergeJoin"), s"corpus must never sort-merge:\n$p")
+  }
+
+  test("d11_span_dedup: span window carries a group limit-free partial path, two shuffles") {
+    val p = plan("d11_span_dedup")
+    // first-occurrence window (span key) + reassembly groupBy — and
+    // nothing else touching the corpus
+    assert(shuffles(p) == 2, s"span dedup is exactly two shuffles:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), s"no global funnel:\n$p")
+  }
+
+  test("v01_draw_plan: render plan is filter+project over the fixture — no new exchange") {
+    val q = SparkEntry.queries("v01_draw_plan")(spark, dir)
+    // walk above the cached dets InMemoryRelation only: the draw plan
+    // itself must add zero exchanges and keep md5/conv in codegen
+    val p = q.queryExecution.executedPlan.toString
+    val own = p.split("InMemoryRelation").head
+    assert(!own.contains("Exchange"), s"draw plan must not shuffle:\n$own")
+    assert(own.contains("Filter"), own)
+  }
+
   test("q01_pricing_summary: partial agg before one shuffle, scan pruned to 5 columns") {
     // formatted mode: the only variant that prints the scan's ReadSchema
     val p = SparkEntry.queries("q01_pricing_summary")(spark, dir)
