@@ -164,4 +164,54 @@ object Multimodal {
         }
       }
   }
+
+  /** REAL video-frame decode for animated-GIF payloads — the container
+    * format [[graft.sinks.Render.renderVideo]] writes, so the engine's
+    * video story round-trips: encode per-sequence → store as a binary
+    * column → decode every `stride`-th frame back to feature rows.
+    * Each selected frame goes through the same grid-luminance
+    * featurization as still images ([[decodeOne]]'s real path); GIF
+    * frames are composited onto the running canvas first (GIF frames
+    * may be partial-update rects — reference analogue: cv2's
+    * VideoCapture always yields full frames, src/embedding.py:1340s).
+    *
+    * Non-GIF payloads fail loudly: this is the capability-proven path,
+    * not the stub ([[sampleFrames]] keeps the deterministic byte-fold
+    * stand-in for codecs that don't ship in a bare JVM).
+    *
+    * Scale shape: one task per payload row (a video is one binary
+    * cell); frames stream through the reader, only the selected ones
+    * featurize. Long videos parallelize across rows, like every other
+    * per-payload decode here.
+    */
+  def gifFrames(media: DataFrame, stride: Int, dim: Int = 16): Dataset[FrameFeature] = {
+    require(stride > 0, s"gifFrames: stride must be positive, got $stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (p, c) =>
+        require(c != null && c.length >= 4 && c(0) == 'G' && c(1) == 'I' && c(2) == 'F',
+          s"gifFrames: not a GIF payload: $p")
+        val in = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(c))
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        reader.setInput(in)
+        try {
+          val n = reader.getNumImages(true)
+          var canvas: java.awt.image.BufferedImage = null
+          (0 until n).flatMap { f =>
+            val frame = reader.read(f)
+            if (canvas == null) {
+              canvas = new java.awt.image.BufferedImage(
+                frame.getWidth, frame.getHeight,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+            }
+            val g = canvas.createGraphics()
+            try g.drawImage(frame, 0, 0, null) finally g.dispose()
+            if (f % stride == 0) Some(FrameFeature(p, f, gridLuminance(canvas, dim)))
+            else None
+          }
+        } finally { reader.dispose(); in.close() }
+      }
+  }
 }

@@ -108,6 +108,40 @@ class RenderSpec extends AnyFunSuite {
     assert(ImageIO.read(new java.io.File(s"$dir/s0/000001.png")).getWidth == 16)
   }
 
+  test("video round-trip: renderVideo GIF decodes back via Multimodal.gifFrames") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("render_roundtrip").toString
+    def solidPng(gray: Int): Array[Byte] = {
+      val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+      val rgb = (gray << 16) | (gray << 8) | gray
+      for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, rgb)
+      val baos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    // 4 frames, strictly brightening
+    val frames = Seq(("s0", 1, solidPng(40)), ("s0", 2, solidPng(100)),
+      ("s0", 3, solidPng(160)), ("s0", 4, solidPng(220)))
+      .toDF("seq", "frame", "content")
+    Render.renderVideo(frames, dir, fps = 5).collect()
+    val gif = Files.readAllBytes(java.nio.file.Paths.get(s"$dir/s0.gif"))
+    val media = Seq(("s0.gif", gif)).toDF("path", "content")
+    val out = graft.sources.Multimodal.gifFrames(media, stride = 2, dim = 4)
+      .collect().sortBy(_.frameIdx)
+    // stride 2 over 4 frames -> frames 0 and 2
+    assert(out.map(_.frameIdx).toSeq == Seq(0, 2))
+    // solid frames: all grid cells equal; brightness strictly increases
+    out.foreach(f => assert(f.feature.distinct.length == 1))
+    assert(out(0).feature(0) < out(1).feature(0))
+    // GIF round-trip preserves the solid gray exactly (palette hit)
+    assert(math.abs(out(0).feature(0) - 40f / 255f) < 0.02f)
+    // non-GIF payload fails loudly
+    val bad = Seq(("x.bin", Array[Byte](1, 2, 3, 4))).toDF("path", "content")
+    assertThrows[org.apache.spark.SparkException] {
+      graft.sources.Multimodal.gifFrames(bad, stride = 1).collect()
+    }
+  }
+
   test("renderVideo: codec chain picks a JVM-available writer; per-seq frame counts round-trip") {
     import spark.implicits._
     assert(Render.pickCodec() == "gif") // stock JDK: no mp4/avi writer
