@@ -94,6 +94,37 @@ object Pipelines {
       outFile)
   }
 
+  /** §3 `visualize` — annotate frames with an annotation source and
+    * render the sequence video (reference annotate_icebergs +
+    * render_video, src/utils/visualize.py:182-233,235-338). Canvas
+    * dims come from the first image, exactly like the reference's
+    * video writer (visualize.py:270-272). Returns
+    * (framesAnnotated, framesInVideo).
+    */
+  def visualize(spark: SparkSession, annFile: String, imagesDir: String,
+                outImagesDir: String, videoDir: String,
+                drawIds: Boolean = true, fps: Int = 7): (Long, Long) = {
+    val boxes = MotCsv.readLenient(spark, annFile)
+      .select(lit("seq0").as("seq"), col("frame"), col("id"),
+        col("x").as("x1"), col("y").as("y1"),
+        (col("x") + col("w")).as("x2"), (col("y") + col("h")).as("y2"))
+    val images = graft.sources.Multimodal
+      .readMediaDir(spark, imagesDir, glob = "*.{png,jpg,jpeg,PNG,JPG}")
+      .select(lit("seq0").as("seq"),
+        graft.functions.Geometry.framePad(
+          regexp_extract(col("path"), "([0-9]+)\\.[A-Za-z]+$", 1)).as("frame"),
+        col("content"))
+    val first = images.select("content").head().getAs[Array[Byte]](0)
+    val dims = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(first))
+    require(dims != null, s"Could not read first image under $imagesDir")
+    val annotated = graft.sinks.Render.annotateFrames(
+      images, boxes, dims.getWidth, dims.getHeight, drawIds = drawIds)
+    val nImg = graft.sinks.Render.exportImages(annotated, outImagesDir).count()
+    val nVid = graft.sinks.Render.renderVideo(annotated, videoDir, fps)
+      .agg(sum("n_frames")).head().getLong(0)
+    (nImg, nVid)
+  }
+
   /** TrackEval-style metric tables (print_all_metrics, reference
     * src/utils/eval.py:511-636): Count, CLEAR, Identity, Derived.
     */

@@ -24,7 +24,7 @@ object Run {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: graft.Run <track|eval|features> cfg=<yaml> [key=value ...]")
+      "usage: graft.Run <track|eval|features|visualize> cfg=<yaml> [key=value ...]")
     val spark = LocalSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
       logLevel = "WARN")
     try println(run(spark, args.head, args.toSeq.tail))
@@ -41,16 +41,24 @@ object Run {
       throw new IllegalArgumentException("pass cfg=<yaml file>"))
     val text = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)), "UTF-8")
+    // config type comes from the FILENAME (the reference's dispatch), so
+    // a mode/config mismatch (visualize cfg=track.yaml) must say so
+    // instead of surfacing as a ClassCastException deep in the pipeline
+    def loadAs[T <: AnyRef](implicit ct: scala.reflect.ClassTag[T]): T =
+      Configs.load(file, text, overrides) match {
+        case c: T => c
+        case other => throw new IllegalArgumentException(
+          s"mode '$mode' needs a ${ct.runtimeClass.getSimpleName} but $file " +
+            s"loaded as ${other.getClass.getSimpleName} — pass the matching cfg=")
+      }
     mode match {
       case "track" =>
-        val c = Configs.load(file, text, overrides)
-          .asInstanceOf[Configs.TrackRunConfig]
+        val c = loadAs[Configs.TrackRunConfig]
         Pipelines.track(spark, s"${c.dataset}/det.txt",
           embeddings(spark, c.dataset), s"${c.dataset}/track.txt", c.tracker)
         s"track: wrote ${c.dataset}/track.txt"
       case "eval" =>
-        val c = Configs.load(file, text, overrides)
-          .asInstanceOf[Configs.EvalRunConfig]
+        val c = loadAs[Configs.EvalRunConfig]
         val (perSeq, combined) = Pipelines.eval(spark,
           s"${c.dataset}/gt.txt", s"${c.dataset}/track.txt",
           s"${c.dataset}/eval.txt", c.iouThreshold)
@@ -58,15 +66,28 @@ object Run {
       case "features" =>
         // the reference's get_gt_thresholds mode: GT-derived matching
         // thresholds from the same track config (SURVEY §3 entry 4)
-        val c = Configs.load(file, text, overrides)
-          .asInstanceOf[Configs.TrackRunConfig]
+        val c = loadAs[Configs.TrackRunConfig]
         val row = Pipelines.gtThresholds(spark, s"${c.dataset}/gt.txt",
           embeddings(spark, c.dataset)).collect().head
         row.schema.fieldNames.zip(row.toSeq)
           .map { case (k, v) => s"$k: $v" }.mkString("\n")
+      case "visualize" =>
+        val c = loadAs[Configs.VisualizeRunConfig]
+        // reference annotation-source → file mapping (visualize.py:385)
+        val ann = c.annotationSource match {
+          case "ground_truth" => "gt.txt"
+          case "detections"   => "det.txt"
+          case "eval"         => "eval.txt"
+          case _              => "track.txt"
+        }
+        val outDir = s"${c.dataset}/visualizations/${c.annotationSource}"
+        val vidDir = s"${c.dataset}/visualizations/videos"
+        val (nImg, nVid) = Pipelines.visualize(spark, s"${c.dataset}/$ann",
+          s"${c.dataset}/images", outDir, vidDir, c.drawIds, c.fps)
+        s"visualize: $nImg annotated frames in $outDir, $nVid-frame video in $vidDir"
       case other =>
         throw new IllegalArgumentException(
-          s"unknown mode: $other (track|eval|features)")
+          s"unknown mode: $other (track|eval|features|visualize)")
     }
   }
 

@@ -28,6 +28,22 @@ object Configs {
   /** cfgs/eval.yaml (reference EvalConfig, src/utils/eval.py). */
   final case class EvalRunConfig(dataset: String, iouThreshold: Double = 0.5)
 
+  /** cfgs/visualize.yaml — drives the S15/S14 render sinks
+    * (sinks/Render.scala; reference VisualizationConfig + dispatch,
+    * src/utils/visualize.py:157-180). `draw_contours`/`draw_masks`
+    * require the SAM model (M5, out of engine scope) and are rejected
+    * when true rather than silently ignored.
+    */
+  final case class VisualizeRunConfig(
+      dataset: String,
+      annotationSource: String = "tracking",
+      startIndex: Int = 0,
+      seqLengthLimit: Option[Int] = None,
+      showImages: Boolean = false,
+      drawIds: Boolean = true,
+      drawBoxes: Boolean = true,
+      fps: Int = 7)
+
   /** cfgs/detect.yaml — the engine-side inference/postprocess knobs
     * (model-training keys are carried verbatim in `extras` for a user
     * porting reference workflows; the engine consumes the filter
@@ -101,6 +117,9 @@ object Configs {
     "use_kalman", "bidirectional_matching", "use_spatial_index",
     "process_noise", "measurement_noise")
   private val evalKeys = Set("dataset", "iou_threshold")
+  private val visualizeKeys = Set("dataset", "annotation_source", "start_index",
+    "seq_length_limit", "show_images", "draw_ids", "draw_boxes",
+    "draw_contours", "draw_masks", "fps")
 
   /** A typo'd override (maxage=7 for max_age, thresholds.distancee=50)
     * would otherwise merge, never be read, and the run would proceed
@@ -133,10 +152,14 @@ object Configs {
       evalConfig(merged(yamlText, overrides))
     }
     else if (name.contains("detect")) detectConfig(merged(yamlText, overrides))
+    else if (name.contains("visualize")) {
+      checkOverrideKeys(visualizeKeys, "visualize", overrides)
+      visualizeConfig(merged(yamlText, overrides))
+    }
     else throw new IllegalArgumentException(
-      s"Unknown config type: $cfgFile (engine-side types: track, eval, detect; " +
-        "embed/visualize configs drive model training / rendering, which are " +
-        "out of engine scope per SURVEY §2)")
+      s"Unknown config type: $cfgFile (engine-side types: track, eval, detect, " +
+        "visualize; embed configs drive model training, which is out of engine " +
+        "scope per SURVEY §2)")
   }
 
   def trackConfig(m: Map[String, Any]): TrackRunConfig = {
@@ -173,6 +196,27 @@ object Configs {
 
   def evalConfig(m: Map[String, Any]): EvalRunConfig =
     EvalRunConfig(str(m, "dataset"), dbl(m, "iou_threshold", 0.5))
+
+  def visualizeConfig(m: Map[String, Any]): VisualizeRunConfig = {
+    val src = m.get("annotation_source").flatMap(Option(_))
+      .map(_.toString).getOrElse("tracking")
+    val valid = Seq("ground_truth", "detections", "tracking", "eval")
+    require(valid.contains(src),
+      s"Invalid annotation source: $src. Must be one of: ${valid.mkString(", ")}")
+    require(!bool(m, "draw_contours", false) && !bool(m, "draw_masks", false),
+      "draw_contours/draw_masks need the SAM segmentation model (M5), which " +
+        "is out of engine scope per SURVEY §2 — render boxes/ids instead")
+    VisualizeRunConfig(
+      dataset = str(m, "dataset"),
+      annotationSource = src,
+      startIndex = int(m, "start_index", 0),
+      seqLengthLimit = m.get("seq_length_limit").flatMap(v =>
+        Option(v).map(x => num(x).toInt)),
+      showImages = bool(m, "show_images", false),
+      drawIds = bool(m, "draw_ids", true),
+      drawBoxes = bool(m, "draw_boxes", true),
+      fps = int(m, "fps", 7))
+  }
 
   def detectConfig(m: Map[String, Any]): DetectRunConfig = {
     val known = Set("dataset", "confidence_threshold", "scales", "window_size",

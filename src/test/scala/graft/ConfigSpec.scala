@@ -121,6 +121,44 @@ class ConfigSpec extends AnyFunSuite {
     assert(d.extras("num_epochs") == 4L) // training keys carried, not dropped
   }
 
+  test("visualize config: reference-shaped YAML, source validation, SAM keys rejected") {
+    // mirrors cfgs/visualize.yaml (reference VisualizationConfig,
+    // src/utils/visualize.py:157-180)
+    val vizYaml =
+      """dataset: null
+        |annotation_source: tracking
+        |start_index: 0
+        |seq_length_limit: null
+        |show_images: False
+        |draw_ids: True
+        |draw_boxes: True
+        |draw_contours: False
+        |draw_masks: False
+        |fps: 7
+        |""".stripMargin
+    val v = Configs.load("cfgs/visualize.yaml", vizYaml,
+      Map("dataset" -> "hill/test", "fps" -> 10L))
+      .asInstanceOf[Configs.VisualizeRunConfig]
+    assert(v.annotationSource == "tracking" && v.fps == 10
+      && v.drawIds && v.drawBoxes && v.seqLengthLimit.isEmpty)
+    // reference-validated source list (visualize.py:175-177)
+    val ex = intercept[IllegalArgumentException] {
+      Configs.load("cfgs/visualize.yaml", vizYaml,
+        Map("dataset" -> "x", "annotation_source" -> "bogus"))
+    }
+    assert(ex.getMessage.contains("Invalid annotation source"))
+    // SAM-backed options are out of engine scope -> loud, not silent
+    intercept[IllegalArgumentException] {
+      Configs.load("cfgs/visualize.yaml", vizYaml,
+        Map("dataset" -> "x", "draw_masks" -> true))
+    }
+    // typo'd override caught by the known-keys gate
+    intercept[IllegalArgumentException] {
+      Configs.load("cfgs/visualize.yaml", vizYaml,
+        Map("dataset" -> "x", "fpss" -> 10L))
+    }
+  }
+
   test("missing dataset fails loudly; unknown config type fails loudly") {
     val ex = intercept[IllegalArgumentException] {
       Configs.load("cfgs/track.yaml", trackYaml) // dataset: null, no override

@@ -91,6 +91,38 @@ class PipelinesSpec extends AnyFunSuite {
     }
   }
 
+  test("Run CLI: visualize mode annotates frames and renders the sequence video") {
+    import java.awt.image.BufferedImage
+    val dir = tmp("viz")
+    // two frames of a 48x36 "sequence" + a 2-frame track
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/images"))
+    for (f <- 1 to 2) {
+      val img = new BufferedImage(48, 36, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 36; x <- 0 until 48) img.setRGB(x, y, 0x606060)
+      javax.imageio.ImageIO.write(img, "png",
+        new java.io.File(f"$dir/images/$f%06d.png"))
+    }
+    Files.writeString(java.nio.file.Paths.get(s"$dir/track.txt"),
+      "000001,5,8,6,20,14,1.0,1,-1,-1\n000002,5,12,8,20,14,1.0,1,-1,-1\n")
+    val cfg = s"$dir/visualize.yaml"
+    Files.writeString(java.nio.file.Paths.get(cfg),
+      "dataset: null\nannotation_source: tracking\ndraw_ids: True\nfps: 7\n")
+    val msg = Run.run(spark, "visualize", Seq(s"cfg=$cfg", s"dataset=$dir", "fps=5"))
+    assert(msg.contains("2 annotated frames") && msg.contains("2-frame video"))
+    // reference output layout: visualizations/<source>/ + videos/
+    val f1 = new java.io.File(s"$dir/visualizations/tracking/seq0/000001.png")
+    assert(f1.isFile)
+    assert(new java.io.File(s"$dir/visualizations/videos/seq0.gif").isFile)
+    // the annotated frame carries the box color at the clipped corner
+    val img = javax.imageio.ImageIO.read(f1)
+    assert((img.getRGB(8, 6) & 0xffffff) != 0x606060)
+    // SAM-backed option still refuses loudly through the CLI path
+    val ex = intercept[IllegalArgumentException] {
+      Run.run(spark, "visualize", Seq(s"cfg=$cfg", s"dataset=$dir", "draw_masks=true"))
+    }
+    assert(ex.getMessage.contains("SAM"))
+  }
+
   test("detect post-processing: cascade + NMS + nested removal -> det.txt ordinals") {
     import spark.implicits._
     val raw = Seq(
