@@ -176,9 +176,19 @@ object Render {
               val ios = new MemoryCacheImageOutputStream(out)
               writer.setOutput(ios)
               writer.prepareWriteSequence(null)
+              var vw, vh = -1 // video dims = first frame's (visualize.py:270-272)
               while (rows.hasNext && rows.head.getString(0) == seq) {
                 val row = rows.next()
-                val img = decodeFrame(seq, row.getInt(1), row.getAs[Array[Byte]](2))
+                var img = decodeFrame(seq, row.getInt(1), row.getAs[Array[Byte]](2))
+                if (vw < 0) { vw = img.getWidth; vh = img.getHeight }
+                else if (img.getWidth != vw || img.getHeight != vh) {
+                  // mismatched frame → resize, like the reference's
+                  // writer loop (visualize.py:318-320)
+                  val c = new BufferedImage(vw, vh, BufferedImage.TYPE_INT_RGB)
+                  val g = c.createGraphics()
+                  try g.drawImage(img, 0, 0, vw, vh, null) finally g.dispose()
+                  img = c
+                }
                 writer.writeToSequence(
                   new IIOImage(img, null, gifFrameMeta(writer, img, fps, n == 0L)),
                   writer.getDefaultWriteParam)

@@ -142,6 +142,29 @@ class RenderSpec extends AnyFunSuite {
     }
   }
 
+  test("renderVideo: mismatched frame dims resize to the first frame's") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("render_mixdims").toString
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val baos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val frames = Seq(("s0", 1, png(24, 18)), ("s0", 2, png(48, 36)))
+      .toDF("seq", "frame", "content")
+    val n = Render.renderVideo(frames, dir, fps = 5).collect().head.getLong(1)
+    assert(n == 2)
+    val in = ImageIO.createImageInputStream(new java.io.File(s"$dir/s0.gif"))
+    val reader = ImageIO.getImageReadersByFormatName("gif").next()
+    reader.setInput(in)
+    // both frames at the FIRST frame's dims
+    assert((0 until 2).forall { i =>
+      reader.read(i).getWidth == 24 && reader.read(i).getHeight == 18
+    })
+    reader.dispose(); in.close()
+  }
+
   test("renderVideo: codec chain picks a JVM-available writer; per-seq frame counts round-trip") {
     import spark.implicits._
     assert(Render.pickCodec() == "gif") // stock JDK: no mp4/avi writer
