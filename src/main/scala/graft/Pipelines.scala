@@ -103,26 +103,48 @@ object Pipelines {
     */
   def visualize(spark: SparkSession, annFile: String, imagesDir: String,
                 outImagesDir: String, videoDir: String,
-                drawIds: Boolean = true, fps: Int = 7): (Long, Long) = {
+                drawIds: Boolean = true, drawBoxes: Boolean = true,
+                startIndex: Int = 0, lengthLimit: Option[Int] = None,
+                fps: Int = 7): (Long, Long) = {
     val boxes = MotCsv.readLenient(spark, annFile)
       .select(lit("seq0").as("seq"), col("frame"), col("id"),
         col("x").as("x1"), col("y").as("y1"),
         (col("x") + col("w")).as("x2"), (col("y") + col("h")).as("y2"))
+    // F9 frame-range slice on the sorted frame list (reference
+    // _get_selection, visualize.py:371-377); frames-per-sequence is
+    // tracker-state-bounded, so the per-seq window is fine here
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("seq").orderBy("frame")
     val images = graft.sources.Multimodal
       .readMediaDir(spark, imagesDir, glob = "*.{png,jpg,jpeg,PNG,JPG}")
       .select(lit("seq0").as("seq"),
         graft.functions.Geometry.framePad(
           regexp_extract(col("path"), "([0-9]+)\\.[A-Za-z]+$", 1)).as("frame"),
         col("content"))
-    val first = images.select("content").head().getAs[Array[Byte]](0)
-    val dims = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(first))
-    require(dims != null, s"Could not read first image under $imagesDir")
+      .withColumn("rn", row_number().over(w) - lit(1))
+      .filter(col("rn") >= startIndex &&
+        lengthLimit.map(l => col("rn") < startIndex + l).getOrElse(lit(true)))
+      .drop("rn")
+    // canvas dims from the FIRST selected frame — deterministically
+    // (reference reads the actual first image, visualize.py:270-272;
+    // a bare head() on a file scan returns whichever file packed
+    // first, typically the largest)
+    val first = images.orderBy("frame").select("content").take(1)
+    require(first.nonEmpty, s"No frame images found under $imagesDir")
+    val dims = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(first.head.getAs[Array[Byte]](0)))
+    require(dims != null, s"Could not decode first image under $imagesDir")
+    // both sinks consume the same frames: persist, or the raster work
+    // (decode + draw + PNG encode, the dominant cost) runs twice
     val annotated = graft.sinks.Render.annotateFrames(
-      images, boxes, dims.getWidth, dims.getHeight, drawIds = drawIds)
-    val nImg = graft.sinks.Render.exportImages(annotated, outImagesDir).count()
-    val nVid = graft.sinks.Render.renderVideo(annotated, videoDir, fps)
-      .agg(sum("n_frames")).head().getLong(0)
-    (nImg, nVid)
+      images, boxes, dims.getWidth, dims.getHeight,
+      drawIds = drawIds, drawBoxes = drawBoxes).persist()
+    try {
+      val nImg = graft.sinks.Render.exportImages(annotated, outImagesDir).count()
+      val nVid = graft.sinks.Render.renderVideo(annotated, videoDir, fps)
+        .agg(sum("n_frames")).head().getLong(0)
+      (nImg, nVid)
+    } finally annotated.unpersist()
   }
 
   /** TrackEval-style metric tables (print_all_metrics, reference

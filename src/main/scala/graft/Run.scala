@@ -83,7 +83,8 @@ object Run {
         val outDir = s"${c.dataset}/visualizations/${c.annotationSource}"
         val vidDir = s"${c.dataset}/visualizations/videos"
         val (nImg, nVid) = Pipelines.visualize(spark, s"${c.dataset}/$ann",
-          s"${c.dataset}/images", outDir, vidDir, c.drawIds, c.fps)
+          s"${c.dataset}/images", outDir, vidDir, c.drawIds, c.drawBoxes,
+          c.startIndex, c.seqLengthLimit, c.fps)
         s"visualize: $nImg annotated frames in $outDir, $nVid-frame video in $vidDir"
       case other =>
         throw new IllegalArgumentException(

@@ -206,6 +206,11 @@ object Configs {
     require(!bool(m, "draw_contours", false) && !bool(m, "draw_masks", false),
       "draw_contours/draw_masks need the SAM segmentation model (M5), which " +
         "is out of engine scope per SURVEY §2 — render boxes/ids instead")
+    // a validated-then-ignored knob is the silent-misconfiguration mode
+    // this loader exists to prevent: no interactive display engine-side
+    require(!bool(m, "show_images", false),
+      "show_images: the engine has no interactive display (reference " +
+        "plt.show) — annotated frames are exported as files instead")
     VisualizeRunConfig(
       dataset = str(m, "dataset"),
       annotationSource = src,

@@ -396,8 +396,13 @@ object TextAnalysis {
         mapped(col("b.c"), start = false).as("cur"))
     val cb = bg.groupBy("prev", "cur").agg(count(lit(1)).as("c"))
     val cp = cb.groupBy("prev").agg(sum("c").cast("long").as("cpc"))
-    val model = cb.join(cp, "prev") // ≤ (V+2)² rows — the LM artifact
-    bg.join(broadcast(model), Seq("prev", "cur"), "left")
+    // TWO broadcast lookups (≤ (V+2)² and ≤ V+2 rows): the context
+    // count must resolve on `prev` ALONE — joining it through the
+    // (prev, cur) pair table would zero the denominator for an unseen
+    // pair with a well-known context, scoring garbage ABOVE seen-but-
+    // rare continuations on the new-batch path
+    bg.join(broadcast(cb), Seq("prev", "cur"), "left")
+      .join(broadcast(cp), Seq("prev"), "left")
       .na.fill(0L, Seq("c", "cpc"))
       .withColumn("pq", round((col("c") + lit(1)).cast("double") /
         (col("cpc") + lit(vocabSize + 2)).cast("double") * lit(1e9)).cast("long"))

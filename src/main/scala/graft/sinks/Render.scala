@@ -87,7 +87,8 @@ object Render {
     */
   def annotateFrames(images: DataFrame, boxes: DataFrame,
                      width: Int, height: Int,
-                     drawIds: Boolean = true, thickness: Int = 3): DataFrame = {
+                     drawIds: Boolean = true, drawBoxes: Boolean = true,
+                     thickness: Int = 3): DataFrame = {
     val spark = images.sparkSession
     import spark.implicits._
     val perFrame = drawPlan(boxes, width, height)
@@ -102,7 +103,7 @@ object Render {
         val draws = if (row.isNullAt(3)) Seq.empty[Row]
           else row.getSeq[Row](3)
         val png = renderOne(row.getString(0), row.getInt(1),
-          row.getAs[Array[Byte]]("content"), draws, drawIds, thickness)
+          row.getAs[Array[Byte]]("content"), draws, drawIds, drawBoxes, thickness)
         (row.getString(0), row.getInt(1), png, draws.size)
       }
       .toDF("seq", "frame", "content", "n_boxes")
@@ -117,9 +118,10 @@ object Render {
   def exportImages(frames: DataFrame, outDir: String): DataFrame = {
     val spark = frames.sparkSession
     import spark.implicits._
+    val confBc = broadcastHadoopConf(spark)
     frames.select(col("seq"), col("frame").cast("int"), col("content"))
       .mapPartitions { it =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = confBc.value.value
         it.map { row =>
           val p = new Path(f"$outDir/${row.getString(0)}/${row.getInt(1)}%06d.png")
           val fs = p.getFileSystem(conf)
@@ -157,12 +159,13 @@ object Render {
     val spark = frames.sparkSession
     import spark.implicits._
     val codec = pickCodec() // fail on the driver, not per-task
+    val confBc = broadcastHadoopConf(spark)
     frames.select(col("seq"), col("frame").cast("int"), col("content"))
       .repartition(col("seq"))
       .sortWithinPartitions("seq", "frame")
       .mapPartitions { it =>
         val rows = it.buffered
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = confBc.value.value
         new Iterator[(String, Long, String)] {
           def hasNext: Boolean = rows.hasNext
           def next(): (String, Long, String) = {
@@ -189,9 +192,18 @@ object Render {
                   try g.drawImage(img, 0, 0, vw, vh, null) finally g.dispose()
                   img = c
                 }
-                writer.writeToSequence(
-                  new IIOImage(img, null, gifFrameMeta(writer, img, fps, n == 0L)),
+                // animation metadata is GIF-native; a non-GIF writer
+                // from the chain gets its own defaults (frame timing
+                // is then that container's concern)
+                val meta = if (codec == "gif") gifFrameMeta(writer, img, fps, n == 0L)
+                  else null
+                writer.writeToSequence(new IIOImage(img, null, meta),
                   writer.getDefaultWriteParam)
+                // GIF appends strictly forward: discard the output
+                // cache behind the write head each frame, or the
+                // "streaming" encode silently holds the whole encoded
+                // file in memory until the final flush
+                ios.flushBefore(ios.getStreamPosition)
                 n += 1
               }
               writer.endWriteSequence()
@@ -208,6 +220,19 @@ object Render {
   // ---------------------------------------------------------------- //
   // raster kernel                                                    //
   // ---------------------------------------------------------------- //
+
+  /** Ship the SESSION's Hadoop conf to the tasks (a bare
+    * `new Configuration()` on an executor sees only the classpath
+    * XMLs — `spark.hadoop.*` credentials/endpoints for s3a/HDFS would
+    * silently vanish on exactly the deployments the FileSystem-based
+    * sinks exist for). Hadoop's Configuration is not Serializable, so
+    * it rides in a Writable wrapper.
+    */
+  private def broadcastHadoopConf(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.SerializableWritable[org.apache.hadoop.conf.Configuration]] =
+    spark.sparkContext.broadcast(new org.apache.spark.SerializableWritable(
+      spark.sparkContext.hadoopConfiguration))
 
   private def decodeFrame(seq: String, frame: Int, content: Array[Byte]): BufferedImage = {
     val img =
@@ -227,7 +252,8 @@ object Render {
   }
 
   private def renderOne(seq: String, frame: Int, content: Array[Byte],
-                        draws: Seq[Row], drawIds: Boolean, thickness: Int): Array[Byte] = {
+                        draws: Seq[Row], drawIds: Boolean, drawBoxes: Boolean,
+                        thickness: Int): Array[Byte] = {
     val img = decodeFrame(seq, frame, content)
     // collect_list order is partition-dependent; id-ascending makes
     // overlapping paints deterministic (the reference iterates its
@@ -235,7 +261,7 @@ object Render {
     draws.sortBy(_.getInt(0)).foreach { d =>
       val (px1, py1, px2, py2) = (d.getInt(1), d.getInt(2), d.getInt(3), d.getInt(4))
       val rgb = (d.getInt(7) << 16) | (d.getInt(8) << 8) | d.getInt(9)
-      paintBorder(img, px1, py1, px2, py2, thickness, rgb)
+      if (drawBoxes) paintBorder(img, px1, py1, px2, py2, thickness, rgb)
       if (drawIds)
         paintLabel(img, d.getInt(0).toString, d.getInt(5), d.getInt(6), rgb)
     }
@@ -244,16 +270,21 @@ object Render {
     baos.toByteArray
   }
 
-  /** Border bands `thickness` px deep inside the (already clipped) box —
-    * every painted pixel is on-canvas by construction.
+  /** Border bands `thickness` px deep inside the box, clipped to the
+    * DECODED raster too — the draw plan clips to the declared canvas,
+    * but an individual frame may be smaller than the canvas the caller
+    * declared (mixed-dim sequences), and painting must never index
+    * past the actual raster.
     */
   private def paintBorder(img: BufferedImage, px1: Int, py1: Int, px2: Int, py2: Int,
                           thickness: Int, rgb: Int): Unit = {
+    val yEnd = math.min(py2, img.getHeight - 1)
+    val xEnd = math.min(px2, img.getWidth - 1)
     var y = py1
-    while (y <= py2) {
+    while (y <= yEnd) {
       val edgeRow = y < py1 + thickness || y > py2 - thickness
       var x = px1
-      while (x <= px2) {
+      while (x <= xEnd) {
         if (edgeRow || x < px1 + thickness || x > px2 - thickness)
           img.setRGB(x, y, rgb)
         x += 1

@@ -171,9 +171,12 @@ object Multimodal {
     * column → decode every `stride`-th frame back to feature rows.
     * Each selected frame goes through the same grid-luminance
     * featurization as still images ([[decodeOne]]'s real path); GIF
-    * frames are composited onto the running canvas first (GIF frames
-    * may be partial-update rects — reference analogue: cv2's
-    * VideoCapture always yields full frames, src/embedding.py:1340s).
+    * frames are composited onto a logical-screen-sized canvas at their
+    * image-descriptor offsets first (frames may be partial-update
+    * rects — reference analogue: cv2's VideoCapture always yields full
+    * frames, src/embedding.py:1340s). Disposal is accumulate-only:
+    * restore-to-background/previous frames composite like doNotDispose
+    * — fine for decode-for-features, not a pixel-perfect GIF player.
     *
     * Non-GIF payloads fail loudly: this is the capability-proven path,
     * not the stub ([[sampleFrames]] keeps the deterministic byte-fold
@@ -196,18 +199,39 @@ object Multimodal {
           new java.io.ByteArrayInputStream(c))
         val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
         reader.setInput(in)
+        // canvas = the logical screen (stream metadata); frames may be
+        // partial-update rects positioned by their image descriptor —
+        // pasting at (0,0) would silently corrupt every feature after
+        // the first partial frame of an optimizer-compressed GIF
+        def attr(m: javax.imageio.metadata.IIOMetadata, fmt: String,
+                 node: String, a: String): Option[Int] = {
+          var c0 = m.getAsTree(fmt).getFirstChild
+          while (c0 != null && c0.getNodeName != node) c0 = c0.getNextSibling
+          Option(c0).flatMap(nd =>
+            Option(nd.getAttributes.getNamedItem(a)).map(_.getNodeValue.toInt))
+        }
+        val streamFmt = "javax_imageio_gif_stream_1.0"
+        val imageFmt = "javax_imageio_gif_image_1.0"
         try {
           val n = reader.getNumImages(true)
+          val sw = attr(reader.getStreamMetadata, streamFmt,
+            "LogicalScreenDescriptor", "logicalScreenWidth")
+          val sh = attr(reader.getStreamMetadata, streamFmt,
+            "LogicalScreenDescriptor", "logicalScreenHeight")
           var canvas: java.awt.image.BufferedImage = null
           (0 until n).flatMap { f =>
             val frame = reader.read(f)
+            val im = reader.getImageMetadata(f)
+            val left = attr(im, imageFmt, "ImageDescriptor", "imageLeftPosition").getOrElse(0)
+            val top = attr(im, imageFmt, "ImageDescriptor", "imageTopPosition").getOrElse(0)
             if (canvas == null) {
               canvas = new java.awt.image.BufferedImage(
-                frame.getWidth, frame.getHeight,
+                math.max(sw.getOrElse(0), left + frame.getWidth),
+                math.max(sh.getOrElse(0), top + frame.getHeight),
                 java.awt.image.BufferedImage.TYPE_INT_RGB)
             }
             val g = canvas.createGraphics()
-            try g.drawImage(frame, 0, 0, null) finally g.dispose()
+            try g.drawImage(frame, left, top, null) finally g.dispose()
             if (f % stride == 0) Some(FrameFeature(p, f, gridLuminance(canvas, dim)))
             else None
           }

@@ -121,6 +121,18 @@ class PipelinesSpec extends AnyFunSuite {
       Run.run(spark, "visualize", Seq(s"cfg=$cfg", s"dataset=$dir", "draw_masks=true"))
     }
     assert(ex.getMessage.contains("SAM"))
+    // interactive display refused too (no silent ignore)
+    assert(intercept[IllegalArgumentException] {
+      Run.run(spark, "visualize", Seq(s"cfg=$cfg", s"dataset=$dir", "show_images=true"))
+    }.getMessage.contains("interactive"))
+    // frame-range slice + draw toggles flow through: only frame 2,
+    // boxes suppressed
+    val msg2 = Run.run(spark, "visualize", Seq(s"cfg=$cfg", s"dataset=$dir",
+      "start_index=1", "seq_length_limit=1", "draw_boxes=false", "draw_ids=false"))
+    assert(msg2.contains("1 annotated frames") && msg2.contains("1-frame video"))
+    val f2 = javax.imageio.ImageIO.read(
+      new java.io.File(s"$dir/visualizations/tracking/seq0/000002.png"))
+    assert((f2.getRGB(12, 8) & 0xffffff) == 0x606060) // untouched pixels
   }
 
   test("detect post-processing: cascade + NMS + nested removal -> det.txt ordinals") {

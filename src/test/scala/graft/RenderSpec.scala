@@ -95,6 +95,31 @@ class RenderSpec extends AnyFunSuite {
     assert((img.getRGB(25, 25) & 0xffffff) == Gray) // clipped interior
   }
 
+  test("annotateFrames: frame smaller than the declared canvas paints clipped, no crash") {
+    import spark.implicits._
+    // canvas declared 64x48 (mixed-dim sequence), actual frame 32x24
+    val images = Seq(("s0", 1, basePng(32, 24))).toDF("seq", "frame", "content")
+    val boxes = Seq(("s0", 1, 2, 10.0, 10.0, 50.0, 40.0))
+      .toDF("seq", "frame", "id", "x1", "y1", "x2", "y2")
+    val out = Render.annotateFrames(images, boxes, 64, 48,
+      drawIds = false, thickness = 2).collect().head
+    val img = decode(out.getAs[Array[Byte]](2))
+    assert(img.getWidth == 32 && img.getHeight == 24)
+    assert((img.getRGB(10, 10) & 0xffffff) == colorOf(2)) // visible corner painted
+  }
+
+  test("annotateFrames: drawBoxes=false suppresses the border, labels still drawn") {
+    import spark.implicits._
+    val images = Seq(("s0", 1, basePng(64, 48))).toDF("seq", "frame", "content")
+    val boxes = Seq(("s0", 1, 7, 10.0, 30.0, 40.0, 45.0))
+      .toDF("seq", "frame", "id", "x1", "y1", "x2", "y2")
+    val out = Render.annotateFrames(images, boxes, 64, 48,
+      drawIds = true, drawBoxes = false).collect().head
+    val img = decode(out.getAs[Array[Byte]](2))
+    assert((img.getRGB(10, 30) & 0xffffff) == Gray)      // no border
+    assert((img.getRGB(10, 20) & 0xffffff) == colorOf(7)) // label present
+  }
+
   test("exportImages: one zero-padded file per frame, manifest returned") {
     import spark.implicits._
     val dir = Files.createTempDirectory("render_export").toString
