@@ -146,6 +146,85 @@ object Multimodal {
       }
   }
 
+  /** REAL audio featurization for WAV/PCM payloads — the JDK ships the
+    * codec (`javax.sound.sampled`), so like stills (ImageIO) and GIF
+    * video ([[gifFrames]]) this is capability-proven, not a stub. The
+    * payload decodes to PCM samples; the feature is the per-window
+    * mean |amplitude| over `dim` equal time windows, normalized to
+    * [0,1] — the audio analogue of [[decodeOne]]'s grid luminance
+    * (energy envelope; a real model deployment swaps the fold for its
+    * frontend, the batching/schema stay). Multi-channel audio averages
+    * channels per sample frame. Returns
+    * `(path, n_samples, sample_rate, feature)`; non-WAV payloads fail
+    * loudly — the deterministic stub for truly codec-less modalities
+    * remains [[featurize]].
+    *
+    * Scale shape: one task per payload row; samples stream through the
+    * decoder (never fully materialized), integer accumulation per
+    * window, one divide per cell — same determinism discipline as the
+    * image path.
+    */
+  final case class AudioFeature(path: String, nSamples: Long, sampleRate: Int,
+                                feature: Array[Float])
+
+  def wavFeatures(media: DataFrame, dim: Int = 16): Dataset[AudioFeature] = {
+    require(dim > 0, s"wavFeatures: dim must be positive, got $dim")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("path", "content").as[(String, Array[Byte])]
+      .map { case (p, c) =>
+        require(c != null && c.length >= 12 && c(0) == 'R' && c(1) == 'I' &&
+          c(2) == 'F' && c(3) == 'F' && c(8) == 'W' && c(9) == 'A' && c(10) == 'V',
+          s"wavFeatures: not a WAV payload: $p")
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(c))
+        try {
+          val fmt = in.getFormat
+          require(fmt.getSampleSizeInBits == 16 || fmt.getSampleSizeInBits == 8,
+            s"wavFeatures: unsupported sample size ${fmt.getSampleSizeInBits} in $p")
+          val channels = fmt.getChannels
+          val bytesPerSample = fmt.getSampleSizeInBits / 8
+          val frameBytes = fmt.getFrameSize
+          val nFrames = in.getFrameLength
+          require(nFrames > 0, s"wavFeatures: empty audio stream in $p")
+          // per-window integer sums of mean-channel |amplitude|
+          val sums = Array.ofDim[Long](dim)
+          val counts = Array.ofDim[Long](dim)
+          val buf = Array.ofDim[Byte](frameBytes * 1024)
+          var frameIdx = 0L
+          var read = in.read(buf)
+          while (read > 0) {
+            var off = 0
+            while (off + frameBytes <= read) {
+              var chSum = 0L
+              var ch = 0
+              while (ch < channels) {
+                val base = off + ch * bytesPerSample
+                val amp =
+                  if (bytesPerSample == 2) {
+                    // WAV PCM16 is little-endian signed
+                    val v = ((buf(base + 1) << 8) | (buf(base) & 0xff)).toShort
+                    math.abs(v.toInt)
+                  } else math.abs((buf(base) & 0xff) - 128) * 256
+                chSum += amp
+                ch += 1
+              }
+              val w = ((frameIdx * dim) / nFrames).toInt
+              sums(w) += chSum / channels
+              counts(w) += 1
+              frameIdx += 1
+              off += frameBytes
+            }
+            read = in.read(buf)
+          }
+          val feat = Array.tabulate(dim)(i =>
+            if (counts(i) == 0) 0f
+            else (sums(i).toDouble / counts(i) / 32768.0).toFloat)
+          AudioFeature(p, frameIdx, fmt.getSampleRate.toInt, feat)
+        } finally in.close()
+      }
+  }
+
   /** Frame-sample stub for video payloads: emit every `stride`-th
     * "frame" as a (path, frameIdx, feature) row — the explode shape of
     * per-frame extraction with a byte-offset fake.

@@ -134,4 +134,47 @@ class IoSpec extends AnyFunSuite {
     val corrupt = png.take(10)
     assert(Multimodal.decodeOne(corrupt, 4).length == 4)
   }
+
+  test("real WAV decode: energy-envelope windows from PCM16/PCM8, mono and stereo") {
+    import spark.implicits._
+    import javax.sound.sampled._
+    def wav(fmt: AudioFormat, pcm: Array[Byte]): Array[Byte] = {
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, pcm.length / fmt.getFrameSize)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // mono PCM16 LE: 500 silent frames then 500 at +16384 -> [0,0,.5,.5]
+    val mono = Array.ofDim[Byte](1000 * 2)
+    for (i <- 500 until 1000) { mono(i * 2) = 0x00; mono(i * 2 + 1) = 0x40 }
+    val fmt16 = new AudioFormat(8000f, 16, 1, true, false)
+    val df = Seq(("a.wav", wav(fmt16, mono))).toDF("path", "content")
+    val f = Multimodal.wavFeatures(df, dim = 4).collect().head
+    assert(f.nSamples == 1000 && f.sampleRate == 8000)
+    assert(f.feature.toSeq == Seq(0f, 0f, 0.5f, 0.5f), f.feature.toSeq)
+    // stereo averages channels: ch0 +8192, ch1 +24576 -> mean 16384 -> 0.5
+    val st = Array.ofDim[Byte](100 * 4)
+    for (i <- 0 until 100) {
+      st(i * 4 + 1) = 0x20 // ch0 = 0x2000
+      st(i * 4 + 3) = 0x60 // ch1 = 0x6000
+    }
+    val fmtSt = new AudioFormat(8000f, 16, 2, true, false)
+    val s = Multimodal.wavFeatures(
+      Seq(("s.wav", wav(fmtSt, st))).toDF("path", "content"), dim = 2)
+      .collect().head
+    assert(s.feature.toSeq == Seq(0.5f, 0.5f), s.feature.toSeq)
+    // unsigned PCM8: 128+64 everywhere -> 64*256/32768 = 0.5
+    val u8 = Array.fill[Byte](64)((128 + 64).toByte)
+    val fmt8 = new AudioFormat(8000f, 8, 1, false, false)
+    val e = Multimodal.wavFeatures(
+      Seq(("e.wav", wav(fmt8, u8))).toDF("path", "content"), dim = 2)
+      .collect().head
+    assert(e.feature.toSeq == Seq(0.5f, 0.5f), e.feature.toSeq)
+    // non-WAV payload fails loudly
+    assertThrows[org.apache.spark.SparkException] {
+      Multimodal.wavFeatures(
+        Seq(("x.bin", Array[Byte](1, 2, 3))).toDF("path", "content"), 2).collect()
+    }
+  }
 }
