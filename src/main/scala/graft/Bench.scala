@@ -54,7 +54,10 @@ object Bench {
     }
     val qs = results.map { case (k, v, _) => s"\"" + shortName(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    // short ids here too: full names would re-grow the line exactly on
+    // the multi-failure runs where the tail window matters most, and a
+    // consumer cross-references errors against the queries keys
+    val errs = results.collect { case (k, _, false) => "\"" + shortName(k) + "\"" }
       .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")

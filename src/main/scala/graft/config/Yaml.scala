@@ -153,7 +153,12 @@ object Yaml {
       val c = line.charAt(i)
       if (quote != 0) { if (c == quote) quote = 0 }
       else if (c == '"' || c == '\'') quote = c
-      else if (c == ':') return i
+      else if (c == ':' &&
+        (i + 1 >= line.length || line.charAt(i + 1).isWhitespace))
+        // YAML's key rule: ':' ends a key only before whitespace/EOL —
+        // a bare ':' inside a plain scalar (http://x, 12:30) is data,
+        // and treating it as a key rejected valid list items
+        return i
       i += 1
     }
     -1

@@ -41,7 +41,11 @@ object TextAnalysis {
     val thr = thresholds.foldRight(lit(defaultThreshold): Column) {
       case ((k, t), acc) => when(keyCol === k, lit(t)).otherwise(acc)
     }
-    df.filter((idCol * lit(SampleLcgA) + lit(SampleLcgC)) % lit(SampleModulus) < thr)
+    // pmod, not %: Spark's % keeps the dividend's sign, so a NEGATIVE
+    // id would gate at a negative hash — below every threshold
+    // including 0, i.e. "drop this stratum" would still keep all its
+    // negative-id rows (oracle twin: ((x % M) + M) % M)
+    df.filter(pmod(idCol * lit(SampleLcgA) + lit(SampleLcgC), lit(SampleModulus)) < thr)
   }
 
   /** Token count (whitespace) and a BPE-ish subword proxy: count of
@@ -222,8 +226,8 @@ object TextAnalysis {
   def seededShuffle(df: DataFrame, idCol: Column, nShards: Int,
                     seed: Long = 0L): DataFrame = {
     require(nShards > 0, s"seededShuffle: nShards must be positive, got $nShards")
-    val skey = ((idCol + lit(seed)) * lit(SampleLcgA) + lit(SampleLcgC)) %
-      lit(SampleModulus)
+    val skey = pmod((idCol + lit(seed)) * lit(SampleLcgA) + lit(SampleLcgC),
+      lit(SampleModulus)) // pmod: sign-safe for negative ids/seeds
     val ranked = RangeRank.withGlobalRank(
       df.withColumn("shuffle_key", skey),
       col("shuffle_key"), idCol, descending = false, rnkName = "rnk")

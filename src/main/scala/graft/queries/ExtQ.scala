@@ -499,23 +499,10 @@ object ExtQ {
           s.table(name)
         } finally staticSide.unpersist()
       },
-      Some("""WITH toks AS (
-        |  SELECT DISTINCT doc_id, tok FROM (
-        |    SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS tok
-        |    FROM documents) t
-        |), per_seed AS (
-        |  SELECT doc_id, seed, min(md5('s' || CAST(seed AS VARCHAR) || '_' || tok)) AS mh
-        |  FROM toks, range(16) r(seed) GROUP BY doc_id, seed
-        |), banded AS (
-        |  SELECT doc_id, CAST(seed // 8 AS INT) AS band,
-        |    md5(string_agg(CAST(seed AS VARCHAR) || ':' || mh, '|'
-        |        ORDER BY CAST(seed AS VARCHAR) || ':' || mh)) AS band_sig
-        |  FROM per_seed GROUP BY doc_id, CAST(seed // 8 AS INT)
-        |), src AS (SELECT doc_id, source FROM documents),
-        |sets AS (
-        |  SELECT doc_id, list_distinct(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS gs
-        |  FROM documents
-        |)
+      // banding + gram-set text shared with d09's oracle (TextQ.BandCtes)
+      // so the two descriptions of the same artifact cannot drift
+      Some(s"""WITH ${TextQ.BandCtes},
+        |${TextQ.GramSetsCte}
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.band AS band,
         |  ROUND(CASE WHEN len(sa.gs) + len(sb.gs) - len(list_intersect(sa.gs, sb.gs)) = 0 THEN 0.0
         |    ELSE CAST(len(list_intersect(sa.gs, sb.gs)) AS DOUBLE)

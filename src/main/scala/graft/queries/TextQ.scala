@@ -40,6 +40,36 @@ object TextQ {
   // non-negative operands involved). The double ratio is an ORDER BY
   // key only; every decision and allocation is exact integer
   // arithmetic, so one shared text keeps both oracles honest.
+  /** Shared MinHash-banding oracle text — ONE copy of the signature
+    * formula for both its consumers (d09's batch incremental dedup and
+    * st6's streaming ingest probe in ExtQ): a formula edit that
+    * reached one oracle but not the other would make them silently
+    * disagree about the same artifact.
+    */
+  private[queries] val BandCtes: String =
+    """toks AS (
+      |  SELECT DISTINCT doc_id, tok FROM (
+      |    SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS tok
+      |    FROM documents) t
+      |), per_seed AS (
+      |  SELECT doc_id, seed, min(md5('s' || CAST(seed AS VARCHAR) || '_' || tok)) AS mh
+      |  FROM toks, range(16) r(seed) GROUP BY doc_id, seed
+      |), banded AS (
+      |  SELECT doc_id, CAST(seed // 8 AS INT) AS band,
+      |    md5(string_agg(CAST(seed AS VARCHAR) || ':' || mh, '|'
+      |        ORDER BY CAST(seed AS VARCHAR) || ':' || mh)) AS band_sig
+      |  FROM per_seed GROUP BY doc_id, CAST(seed // 8 AS INT)
+      |), src AS (SELECT doc_id, source FROM documents)""".stripMargin
+
+  /** Distinct-token sets for exact Jaccard verify — shared by the same
+    * two oracles as [[BandCtes]].
+    */
+  private[queries] val GramSetsCte: String =
+    """sets AS (
+      |  SELECT doc_id, list_distinct(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS gs
+      |  FROM documents
+      |)""".stripMargin
+
   private val MixAllocSql: String =
     """WITH tok AS (
       |  SELECT doc_id, source,
@@ -272,7 +302,7 @@ object TextQ {
       Some {
         val cases = mixThresholds.map { case (k, t) => s"WHEN '$k' THEN $t" }.mkString(" ")
         s"""SELECT doc_id, lang, source FROM documents
-           |WHERE (doc_id * ${TextAnalysis.SampleLcgA} + ${TextAnalysis.SampleLcgC}) % ${TextAnalysis.SampleModulus} <
+           |WHERE ((doc_id * ${TextAnalysis.SampleLcgA} + ${TextAnalysis.SampleLcgC}) % ${TextAnalysis.SampleModulus} + ${TextAnalysis.SampleModulus}) % ${TextAnalysis.SampleModulus} <
            |  CASE lang $cases ELSE $mixDefault END""".stripMargin
       }),
 
@@ -443,7 +473,7 @@ object TextQ {
         import TextAnalysis.{SampleLcgA, SampleLcgC, SampleModulus}
         s"""WITH keyed AS (
            |  SELECT doc_id,
-           |    (doc_id * $SampleLcgA + $SampleLcgC) % $SampleModulus AS shuffle_key
+           |    ((doc_id * $SampleLcgA + $SampleLcgC) % $SampleModulus + $SampleModulus) % $SampleModulus AS shuffle_key
            |  FROM documents
            |), ranked AS (
            |  SELECT doc_id, shuffle_key,
@@ -493,10 +523,14 @@ object TextQ {
       Some {
         import TextAnalysis.{SampleLcgA, SampleLcgC, SampleModulus}
         MixAllocSql +
+        // cap_tokens = 0 (an all-empty-text source) keeps everything in
+        // applyMixSample (thr = M); mirror the guard or this divides by
+        // zero on exactly the data the engine special-cases
         s"""SELECT d.doc_id, d.source
            |FROM documents d JOIN alloc a USING (source)
-           |WHERE (d.doc_id * $SampleLcgA + $SampleLcgC) % $SampleModulus
-           |      < (a.alloc_tokens * $SampleModulus) // a.cap_tokens""".stripMargin
+           |WHERE ((d.doc_id * $SampleLcgA + $SampleLcgC) % $SampleModulus + $SampleModulus) % $SampleModulus
+           |      < CASE WHEN a.cap_tokens = 0 THEN $SampleModulus
+           |             ELSE (a.alloc_tokens * $SampleModulus) // a.cap_tokens END""".stripMargin
       }),
 
     // Tokenizer vocab induction, step one: corpus-wide adjacent
@@ -763,28 +797,14 @@ object TextQ {
           .select(col("doc_id"), col("lang"), col("n_dups"),
             (col("n_dups") === 0).as("kept"))
       },
-      Some("""WITH toks AS (
-        |  SELECT DISTINCT doc_id, tok FROM (
-        |    SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS tok
-        |    FROM documents) t
-        |), per_seed AS (
-        |  SELECT doc_id, seed, min(md5('s' || CAST(seed AS VARCHAR) || '_' || tok)) AS mh
-        |  FROM toks, range(16) r(seed) GROUP BY doc_id, seed
-        |), banded AS (
-        |  SELECT doc_id, CAST(seed // 8 AS INT) AS band,
-        |    md5(string_agg(CAST(seed AS VARCHAR) || ':' || mh, '|'
-        |        ORDER BY CAST(seed AS VARCHAR) || ':' || mh)) AS band_sig
-        |  FROM per_seed GROUP BY doc_id, CAST(seed // 8 AS INT)
-        |), src AS (SELECT doc_id, source FROM documents),
+      Some(s"""WITH $BandCtes,
         |cands AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM banded a JOIN src sa ON sa.doc_id = a.doc_id AND sa.source = 'src0'
         |       JOIN banded b ON a.band = b.band AND a.band_sig = b.band_sig
         |       JOIN src sb ON sb.doc_id = b.doc_id AND sb.source <> 'src0'
-        |), sets AS (
-        |  SELECT doc_id, list_distinct(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS gs
-        |  FROM documents
-        |), scored AS (
+        |), $GramSetsCte,
+        |scored AS (
         |  SELECT c.doc_a,
         |    len(list_intersect(sa.gs, sb.gs)) AS inter,
         |    len(sa.gs) + len(sb.gs) - len(list_intersect(sa.gs, sb.gs)) AS usz

@@ -121,6 +121,24 @@ class ConfigSpec extends AnyFunSuite {
     assert(d.extras("num_epochs") == 4L) // training keys carried, not dropped
   }
 
+  test("plain scalars containing colons (URLs, times) parse as data, not keys") {
+    val m = Yaml.parse(
+      """urls:
+        |  - http://example.com/a
+        |  - https://x.org:8080/b
+        |times:
+        |  - 12:30
+        |endpoint: http://host:9000/path
+        |""".stripMargin)
+    assert(m("urls") == List("http://example.com/a", "https://x.org:8080/b"))
+    assert(m("times") == List("12:30"))
+    assert(m("endpoint") == "http://host:9000/path")
+    // a genuine nested mapping in a list is still rejected loudly
+    intercept[IllegalArgumentException] {
+      Yaml.parse("xs:\n  - key: val\n")
+    }
+  }
+
   test("visualize config: reference-shaped YAML, source validation, SAM keys rejected") {
     // mirrors cfgs/visualize.yaml (reference VisualizationConfig,
     // src/utils/visualize.py:157-180)

@@ -263,6 +263,20 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Dedup.spanDedup(docs.limit(0), 3).count() == 0)
   }
 
+  test("stratifiedSampleByHash: negative ids gate like positives (pmod, not %)") {
+    // threshold 0 must drop EVERYTHING — Spark's % would hand negative
+    // ids a negative hash, below 0, keeping them all
+    val docs = Seq((-5L, "a"), (-1L, "a"), (3L, "a")).toDF("doc_id", "k")
+    val kept = graft.operators.TextAnalysis.stratifiedSampleByHash(
+      docs, col("k"), col("doc_id"), Seq("a" -> 0L), defaultThreshold = 0L)
+    assert(kept.count() == 0)
+    // full threshold keeps everything, signs included
+    val all = graft.operators.TextAnalysis.stratifiedSampleByHash(
+      docs, col("k"), col("doc_id"),
+      Seq("a" -> graft.operators.TextAnalysis.SampleModulus), defaultThreshold = 0L)
+    assert(all.count() == 3)
+  }
+
   test("bigramLmScore: hand-computed add-one-smoothed conditionals") {
     // corpus: doc1 "a a b", doc2 "a b"; vocab(top-2) = {a, b}
     // bigrams: (^,a)x2, (a,a)x1, (a,b)x2; c(^)=2, c(a)=3; denom = V+2 = 4
