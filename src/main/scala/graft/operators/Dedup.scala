@@ -86,19 +86,22 @@ object Dedup {
     * quadratic.
     */
   /** Per-seed minhashes as COLUMNS `mh0..mh{n-1}`: min over tokens of
-    * md5("s{seed}_" + token). Column-wise (not seed-exploded) on
-    * purpose — the token table is shuffled once instead of once per
-    * seed, and `min` partial-aggregates map-side, so the shuffle
-    * carries |docs|×n minhashes rather than |tokens|×n rows. Values
-    * are identical to the seed-exploded form.
+    * md5("s{seed}_" + token). Computed as a PER-ROW projection
+    * (`array_min(transform(tokens, …))`) — zero shuffles: the earlier
+    * explode + groupBy form exchanged |tokens|×n rows to re-group what
+    * was already row-local. Token-less docs are dropped (the grouped
+    * form produced no group for them). Values are identical to the
+    * seed-exploded form: min over a doc's distinct tokens.
     */
   def minhashSignatures(docs: DataFrame, numHashes: Int,
                         textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(Text.distinctTokens(col(textCol))).as("tok"))
-    val aggs = (0 until numHashes).map(s =>
-      min(Text.md5s(concat(lit(s"s${s}_"), col("tok")))).as(s"mh$s"))
-    toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val withToks = docs
+      .withColumn("__mh_toks", Text.distinctTokens(col(textCol)))
+      .filter(size(col("__mh_toks")) > 0)
+    val mhCols = (0 until numHashes).map(s =>
+      array_min(transform(col("__mh_toks"),
+        t => Text.md5s(concat(lit(s"s${s}_"), t)))).as(s"mh$s"))
+    withToks.select(col("doc_id") +: mhCols: _*)
   }
 
   /** Per-doc band signatures `(doc_id, band, band_sig)` — the shared
@@ -322,7 +325,8 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, srcCol: String = "doc_a",
                           dstCol: String = "doc_b", maxIter: Int = 50,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None,
+                          distinctEdges: Boolean = true): DataFrame = {
     val sc = edges.sparkSession.sparkContext
     // reliable mode: track each generation's rdd-* dirs (a checkpoint
     // call adds exactly one, eagerly) so release() can delete a
@@ -338,6 +342,10 @@ object Dedup {
       case _ => Set.empty
     }
     val gen = new java.util.IdentityHashMap[DataFrame, Set[String]]
+    val ccT0 = System.nanoTime()
+    def dbg(msg: => String): Unit =
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(f"[cc] +${(System.nanoTime() - ccT0) / 1e9}%6.2fs $msg")
     val ckpt: DataFrame => DataFrame =
       if (ckptFs.isDefined) { df =>
         val before = listCkpts
@@ -354,20 +362,33 @@ object Dedup {
     }
     // The loop body deliberately contains NO Union — a Union duplicated
     // through iteration plans trips Spark 4.1's constraint rewrite
-    // (Derived.scala bug class). The one-time symmetric closure below is
-    // over a checkpointed plan, which is safe.
-    val e0 = ckpt(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .filter(col("src") =!= col("dst")))
-    var e = ckpt(e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct())
-    release(e0) // only needed to build the symmetric closure
+    // (Derived.scala bug class). The symmetric closure is built by
+    // EXPLODING each edge into both directions in one projection — one
+    // pass, one materialization, and no self-referencing Union at all
+    // (the earlier union-of-checkpoint form paid a second full-edge
+    // checkpoint job just to read the first one back). `distinctEdges`
+    // exists because dedup'ing the input costs a full-edge shuffle:
+    // callers whose edge table is already pair-distinct (every LSH
+    // pair table here — candidates end in `.distinct()`) skip it;
+    // duplicate edges would only inflate round-1 volume, never labels.
+    dbg("start")
+    val sym = edges
+      .filter(col(srcCol) =!= col(dstCol))
+      .select(explode(array(
+        struct(col(srcCol).as("src"), col(dstCol).as("dst")),
+        struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("se"))
+      .select(col("se.src").as("src"), col("se.dst").as("dst"))
+    var e = ckpt(if (distinctEdges) sym.distinct() else sym)
+    dbg("symmetric closure done")
     var labels = ckpt(e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")))
     var iter = 0
     // one emptiness job per round, shared by the loop guard and the
     // post-loop convergence check (isEmpty is a Spark action; testing it
     // twice per round doubled the per-iteration job count)
+    dbg("labels init done")
     var drained = e.isEmpty
+    dbg("initial isEmpty done")
     while (iter < maxIter && !drained) {
       // hook: every representative adopts min(self, neighbors) in the
       // CONTRACTED graph (e is in representative space from round 2 on)
@@ -390,6 +411,7 @@ object Dedup {
           col("a.label") === col("b.dn"), "left")
         .select(col("a.node").as("node"),
           coalesce(col("dl"), col("a.label")).as("label")))
+      dbg(s"round ${iter+1}: doubled ckpt done")
       release(labels)
       labels = doubled
       // contract: rewrite edges into new-representative space and drop
@@ -400,12 +422,12 @@ object Dedup {
         .join(labels.select(col("node").as("dst"), col("label").as("ld")), Seq("dst"))
         .select(col("ls").as("src"), col("ld").as("dst"))
         .filter(col("src") =!= col("dst")).distinct())
+      dbg(s"round ${iter+1}: relabeled ckpt done")
       release(e)
       e = relabeled
       iter += 1
       drained = e.isEmpty
-      if (sys.env.contains("GRAFT_CC_DEBUG"))
-        System.err.println(s"[cc] round $iter")
+      dbg(s"round $iter")
     }
     // a silent partial merge would be a wrong-but-plausible clustering;
     // with doubling+contraction, maxIter=50 covers graphs far beyond
@@ -428,8 +450,7 @@ object Dedup {
         .filter(col("n.label") < col("o.label")).isEmpty
       release(labels) // after the stable check, which reads the old labels
       labels = nxt
-      if (sys.env.contains("GRAFT_CC_DEBUG"))
-        System.err.println(s"[cc] compress stable=$stable")
+      dbg(s"compress stable=$stable")
     }
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }

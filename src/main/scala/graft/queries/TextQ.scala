@@ -675,7 +675,7 @@ object TextQ {
         import org.apache.spark.sql.expressions.Window
         val edges = scoredPairs(s, d)
           .filter(col("jaccard") >= 0.9).select("doc_a", "doc_b")
-        Dedup.connectedComponents(edges)
+        Dedup.connectedComponents(edges, distinctEdges = false)
           .withColumn("cluster_size",
             count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
           .withColumn("keep", col("doc_id") === col("cluster_id"))
@@ -740,7 +740,8 @@ object TextQ {
     Q("d08_neardup_keep_best",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val cc = Dedup.connectedComponents(ndPairs(s, d).select("doc_a", "doc_b"))
+        val cc = Dedup.connectedComponents(ndPairs(s, d).select("doc_a", "doc_b"),
+          distinctEdges = false)
         val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"), col("lang"))
         val w = Window.partitionBy("cluster_id")
           .orderBy(col("n_chars").desc, col("doc_id").asc)

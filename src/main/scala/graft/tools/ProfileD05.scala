@@ -19,6 +19,13 @@ object ProfileD05 {
       r
     }
     val docs = Tables.documents(spark, sfDir)
+    t("stage: minhashSignatures")(
+      Dedup.minhashSignatures(docs, 16).count())
+    t("stage: minhashCandidates")(
+      Dedup.minhashCandidates(docs, 16, 2).count())
+    t("stage: jaccardPairs")(
+      Dedup.jaccardPairs(docs, Dedup.minhashCandidates(docs, 16, 2),
+        n = 1, minJaccard = 0.5).count())
     // COLD first: exactly what the bench's first d05 execution pays
     // (scoredPairs = cache + count, then the query's own count).
     val cold = Dedup.jaccardPairs(docs,
