@@ -882,6 +882,59 @@ object TextQ {
         |FROM keep WHERE rn = 1
         |GROUP BY doc_id""".stripMargin)),
 
+    // Star-reduced LSH dedup clustering: the SCALE-SAFE dedup shape.
+    // The clique pair generator (d05/d07) is quadratic in duplicate-
+    // cluster size — this corpus's largest band bucket holds ~1/3 of
+    // all docs, so the clique form emits millions of pairs. Star edges
+    // (bucket hub = min doc_id → member) cap candidate volume at
+    // |docs| × bands while preserving bucket connectivity, which is
+    // all connected-components clustering needs. Hub–member edges are
+    // Jaccard-verified at 0.5 before clustering, so a bucket's false
+    // collisions don't fuse clusters. Cluster ids can differ from
+    // d07's (members verified only against the hub, not each other) —
+    // that approximation is the standard web-scale dedup trade; the
+    // oracle replays exactly this star chain.
+    Q("d12_star_dedup",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val stars = Dedup.minhashCandidatesStar(docs, numHashes = 16, bands = 2)
+        val edges = Dedup.jaccardPairs(docs, stars, n = 1, minJaccard = 0.5)
+          .select("doc_a", "doc_b")
+        Dedup.connectedComponents(edges, distinctEdges = false)
+          .withColumn("cluster_size",
+            count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
+          .withColumn("keep", col("doc_id") === col("cluster_id"))
+      },
+      Some(s"""WITH RECURSIVE $BandCtes, $GramSetsCte,
+        |hubs AS (
+        |  SELECT band, band_sig, min(doc_id) AS hub FROM banded GROUP BY band, band_sig
+        |), star AS (
+        |  SELECT DISTINCT h.hub AS doc_a, b.doc_id AS doc_b
+        |  FROM banded b JOIN hubs h ON h.band = b.band AND h.band_sig = b.band_sig
+        |  WHERE b.doc_id <> h.hub
+        |), ver AS MATERIALIZED (
+        |  SELECT s.doc_a, s.doc_b
+        |  FROM star s JOIN sets sa ON s.doc_a = sa.doc_id JOIN sets sb ON s.doc_b = sb.doc_id
+        |  WHERE CASE WHEN len(sa.gs) + len(sb.gs) - len(list_intersect(sa.gs, sb.gs)) = 0 THEN 0.0
+        |    ELSE CAST(len(list_intersect(sa.gs, sb.gs)) AS DOUBLE)
+        |      / (len(sa.gs) + len(sb.gs) - len(list_intersect(sa.gs, sb.gs))) END >= 0.5
+        |), star_e AS MATERIALIZED (
+        |  SELECT doc_a AS src, doc_b AS dst FROM ver
+        |  UNION ALL
+        |  SELECT doc_b AS src, doc_a AS dst FROM ver
+        |), star_reach(node, r) AS (
+        |  SELECT DISTINCT src, src FROM star_e
+        |  UNION
+        |  SELECT e.src, rc.r FROM star_e e JOIN star_reach rc ON rc.node = e.dst
+        |), star_cc AS (
+        |  SELECT node AS doc_id, min(r) AS cluster_id FROM star_reach GROUP BY node
+        |)
+        |SELECT doc_id, cluster_id,
+        |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+        |  doc_id = cluster_id AS keep
+        |FROM star_cc""".stripMargin)),
+
     // IVF-flat ANN: nlist=8 sampled centroids, corpus partitioned by
     // argmax-cosine cell, queries probe nprobe=2 cells, exact rerank
     // top-5 inside the probed cells. The cell assignment is the
