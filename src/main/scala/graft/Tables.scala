@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_millis, unix_millis}
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Table catalog over a driver-provided scale-factor directory.
   *
@@ -30,22 +32,43 @@ object Tables {
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
 
-  /** events with a BIGINT epoch-millis column `ms`. The driver's parquet
-    * carries TIMESTAMP(NANOS), which Spark only reads as a raw
-    * nanosecond LONG (`spark.sql.legacy.parquet.nanosAsLong`) — derive
-    * ms with integer division so the value matches DuckDB's
-    * `epoch_ms(ts)` exactly.
+  /** Event-time column (`TimestampType`, microsecond precision) for the
+    * events table's `ts`, tolerant to every physical encoding the driver
+    * has shipped:
+    *   - `LongType` — legacy TIMESTAMP(NANOS) parquet, which Spark reads
+    *     as a raw nanosecond LONG under
+    *     `spark.sql.legacy.parquet.nanosAsLong`;
+    *   - `TimestampNTZType` — `timestamp[us]` parquet with no UTC
+    *     adjustment flag. The session clock is pinned UTC
+    *     (LocalSession), so the NTZ→LTZ cast is value-preserving and
+    *     matches DuckDB's `epoch_ms` on the same naive timestamps;
+    *   - `TimestampType` — `timestamp[us]` with UTC adjustment.
     */
-  def eventsMs(s: SparkSession, d: String): DataFrame = {
-    val e = events(s, d)
-    e.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        e.withColumn("ms", org.apache.spark.sql.functions.expr("ts div 1000000"))
-      case _ =>
-        e.withColumn("ms", org.apache.spark.sql.functions.unix_millis(
-          org.apache.spark.sql.functions.col("ts")))
-    }
+  def eventTime(t: DataType): Column = t match {
+    case LongType         => expr("timestamp_micros(ts div 1000)")
+    case TimestampNTZType => col("ts").cast(TimestampType)
+    case _                => col("ts")
   }
+
+  /** [[eventTime]] floored to millisecond precision — for queries whose
+    * DuckDB oracle works on `epoch_ms(ts)` values, where a
+    * micro-precision boundary decision would diverge between engines.
+    */
+  def eventTimeMs(t: DataType): Column = t match {
+    case LongType => expr("timestamp_millis(ts div 1000000)")
+    case t2       => timestamp_millis(unix_millis(eventTime(t2)))
+  }
+
+  /** events with a BIGINT epoch-millis column `ms`, matching DuckDB's
+    * `epoch_ms(ts)` exactly for every encoding [[eventTime]] handles.
+    */
+  def withMs(e: DataFrame): DataFrame =
+    e.schema("ts").dataType match {
+      case LongType => e.withColumn("ms", expr("ts div 1000000"))
+      case t        => e.withColumn("ms", unix_millis(eventTime(t)))
+    }
+
+  def eventsMs(s: SparkSession, d: String): DataFrame = withMs(events(s, d))
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

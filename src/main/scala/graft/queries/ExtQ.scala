@@ -238,7 +238,7 @@ object ExtQ {
         val name = sinkName("st1_counts_", d)
         val stream = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(d)
-          .withColumn("et", expr("timestamp_micros(ts div 1000)"))
+          .withColumn("et", Tables.eventTime(schema("ts").dataType))
           .withWatermark("et", "1 hour")
           .groupBy(window(col("et"), "1 hour")).count()
         val q = stream.writeStream.format("memory").queryName(name)
@@ -275,7 +275,7 @@ object ExtQ {
           .option("pathGlobFilter", "events.parquet").parquet(d)
         val name = sinkName("st2_dedup_", d)
         val q = src.union(src)
-          .withColumn("et", expr("timestamp_micros(ts div 1000)"))
+          .withColumn("et", Tables.eventTime(schema("ts").dataType))
           .withWatermark("et", "1 hour")
           .dropDuplicatesWithinWatermark("event_id")
           .writeStream.format("memory").queryName(name)
@@ -304,7 +304,7 @@ object ExtQ {
           // floor event time to MILLISECONDS: the oracle sessionizes on
           // epoch_ms, and a micro-precision gap decision within 1 ms of
           // the 10-min boundary would split differently on each side
-          .withColumn("et", expr("timestamp_millis(ts div 1000000)"))
+          .withColumn("et", Tables.eventTimeMs(schema("ts").dataType))
           .withWatermark("et", "1 second")
           .groupBy(col("user_id"), session_window(col("et"), "10 minutes"))
           .agg(count(lit(1)).as("n_events"))
@@ -358,7 +358,7 @@ object ExtQ {
         val schema = Tables.events(s, d).schema
         def src = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(d)
-          .withColumn("et", expr("timestamp_millis(ts div 1000000)"))
+          .withColumn("et", Tables.eventTimeMs(schema("ts").dataType))
         val views = src.filter(col("event_type") === "view")
           .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
             col("et").as("v_et"))
