@@ -29,6 +29,15 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
+      // ISOLATION (untimed): drop every cross-query materialization —
+      // memoized derived/dedup tables and any stray cached relation —
+      // so each query pays its own first-touch cost. Without this a
+      // query's number depended on which neighbor ran first (round 10:
+      // 0.15×–4.6× swings on byte-identical code), and the per-round
+      // 2× regression gate read noise.
+      Derived.reset(spark)
+      graft.queries.TextQ.resetMaterializations(spark)
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       // A swallowed failure must not masquerade as a fast success:
       // record per-query ok and surface failures in an "errors" list.

@@ -172,4 +172,15 @@ object Derived {
       cached
     })
   }
+
+  /** Drop this session's memoized derived tables and unpersist their
+    * cached data — the bench isolation hook (see
+    * `TextQ.resetMaterializations`): each timed query then pays its own
+    * first-touch materialization, so per-query numbers don't depend on
+    * which neighbor ran first.
+    */
+  def reset(spark: SparkSession): Unit =
+    cache.keys.filter(_._1 == spark.sparkContext).foreach { k =>
+      cache.remove(k).foreach(_.unpersist())
+    }
 }

@@ -14,6 +14,12 @@ import graft.functions.{Text, Vectors}
   * band signature, simhash prefix), so the heavy step is always a hash
   * shuffle on a key with bounded fan-out. All hashing is portable MD5
   * (deterministic on any engine / partitioning — see functions.Text).
+  *
+  * The variants compose as a TIERED pipeline (PLANS.md "Dedup
+  * tiering"): exact (d01) → span (d11) → one persisted band-signature
+  * table feeding star+CC clustering (d12+d07, the scale path), the
+  * clique pair report (d05, audit tier — quadratic in cluster size by
+  * design), and incremental ingest probes (d09 batch / st6 streaming).
   */
 object Dedup {
 
@@ -132,8 +138,17 @@ object Dedup {
   }
 
   def minhashCandidates(docs: DataFrame, numHashes: Int, bands: Int,
-                        textCol: String = "text"): DataFrame = {
-    val banded = bandSignatures(docs, numHashes, bands, textCol)
+                        textCol: String = "text"): DataFrame =
+    minhashCandidatesFromBands(bandSignatures(docs, numHashes, bands, textCol))
+
+  /** Clique candidates from a PRECOMPUTED `(doc_id, band, band_sig)`
+    * table. At 100 TB the band table is a persisted artifact computed
+    * once per corpus (bandSignatures is deterministic), not re-derived
+    * from raw text by every consumer — callers that share one
+    * materialized band table (d05/d07/d09/d12/st6 here) tokenize and
+    * hash the corpus once instead of once per query.
+    */
+  def minhashCandidatesFromBands(banded: DataFrame): DataFrame = {
     val a = banded.select(col("band"), col("band_sig"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band"), col("band_sig"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "band_sig"))
@@ -155,11 +170,20 @@ object Dedup {
     */
   def minhashCandidatesAgainst(newDocs: DataFrame, corpus: DataFrame,
                                numHashes: Int, bands: Int,
-                               textCol: String = "text"): DataFrame = {
-    val bn = bandSignatures(newDocs, numHashes, bands, textCol)
-      .select(col("band"), col("band_sig"), col("doc_id").as("doc_a"))
-    val bc = bandSignatures(corpus, numHashes, bands, textCol)
-      .select(col("band"), col("band_sig"), col("doc_id").as("doc_b"))
+                               textCol: String = "text"): DataFrame =
+    minhashCandidatesAgainstFromBands(
+      bandSignatures(newDocs, numHashes, bands, textCol),
+      bandSignatures(corpus, numHashes, bands, textCol))
+
+  /** Asymmetric candidates from precomputed band tables — the persisted-
+    * artifact form of [[minhashCandidatesAgainst]] (band signatures are
+    * per-row projections, so slicing one shared corpus band table by
+    * doc set gives values identical to banding each slice separately).
+    */
+  def minhashCandidatesAgainstFromBands(bandedNew: DataFrame,
+                                        bandedCorpus: DataFrame): DataFrame = {
+    val bn = bandedNew.select(col("band"), col("band_sig"), col("doc_id").as("doc_a"))
+    val bc = bandedCorpus.select(col("band"), col("band_sig"), col("doc_id").as("doc_b"))
     bn.join(bc, Seq("band", "band_sig")).select("doc_a", "doc_b").distinct()
   }
 
@@ -178,8 +202,14 @@ object Dedup {
     * a pair report derived from star edges lists hub–member pairs only.
     */
   def minhashCandidatesStar(docs: DataFrame, numHashes: Int, bands: Int,
-                            textCol: String = "text"): DataFrame = {
-    val banded = bandSignatures(docs, numHashes, bands, textCol)
+                            textCol: String = "text"): DataFrame =
+    minhashCandidatesStarFromBands(
+      bandSignatures(docs, numHashes, bands, textCol))
+
+  /** Star candidates from a precomputed band table (see
+    * [[minhashCandidatesFromBands]] for why the band table is shared).
+    */
+  def minhashCandidatesStarFromBands(banded: DataFrame): DataFrame = {
     val hubs = banded.groupBy("band", "band_sig").agg(min("doc_id").as("doc_a"))
     banded.join(hubs, Seq("band", "band_sig"))
       .filter(col("doc_id") =!= col("doc_a"))

@@ -272,51 +272,71 @@ object TextAnalysis {
     * rational `budgetNum/budgetDen` of the corpus's total tokens,
     * kept exact as `(total · num) div den`.
     */
+  /** The DISTRIBUTED half of the allocation: per-source token capacity
+    * + doc count + weight — the only corpus-side work (one groupBy
+    * with map-side partial aggregation; PlanShapeSpec pins that
+    * shape). Exposed so the plan can be asserted independently of the
+    * driver-side solver below.
+    */
+  private[graft] def perSourceCaps(docs: DataFrame, sourceCol: String,
+                                   weightExpr: Column,
+                                   textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(col(sourceCol))
+      .agg(sum(size(Text.tokens(col(textCol)))).cast("long").as("cap_tokens"),
+        count(lit(1)).as("n_docs"))
+      .withColumn("weight", weightExpr.cast("long"))
+
   def domainMixAllocation(docs: DataFrame, sourceCol: String,
                           weightExpr: Column, budgetNum: Long, budgetDen: Long,
                           textCol: String = "text"): DataFrame = {
     require(budgetNum >= 0 && budgetDen > 0,
       s"domainMixAllocation: bad budget fraction $budgetNum/$budgetDen")
-    val perSrc = docs
-      .groupBy(col(sourceCol))
-      .agg(sum(size(Text.tokens(col(textCol)))).cast("long").as("cap_tokens"),
-        count(lit(1)).as("n_docs"))
-      .withColumn("weight", weightExpr.cast("long"))
-    val tot = perSrc.agg(
-      sum("cap_tokens").cast("long").as("total_tokens"),
-      sum("weight").cast("long").as("total_weight"))
-    // Ratio orders by capacity-per-weight; the DECISION below is pure
-    // integer — the double is an ordering key only (ties → source).
-    val ord = Window.orderBy(
-      (col("cap_tokens").cast("double") / col("weight")).as("ratio"),
-      col(sourceCol))
-    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val flagged = perSrc.crossJoin(broadcast(tot))
-      .withColumn("budget", expr(s"(total_tokens * $budgetNum) div $budgetDen"))
-      .withColumn("cum_cap", sum("cap_tokens").over(cum))
-      .withColumn("cum_w", sum("weight").over(cum))
-      // Prefix-monotone capped flag: a source is capped iff every
-      // source up to and including it (in ratio order) satisfies the
-      // water-filling test. min-over-prefix makes ties safe.
-      .withColumn("capped", min(
-        when(col("cap_tokens") * (col("total_weight") - col("cum_w")) <=
-          (col("budget") - col("cum_cap")) * col("weight"), lit(1))
-          .otherwise(lit(0))).over(cum))
-    val cappedTot = flagged.agg(
-      coalesce(sum(when(col("capped") === 1, col("cap_tokens"))), lit(0L))
-        .cast("long").as("capped_cap"),
-      coalesce(sum(when(col("capped") === 1, col("weight"))), lit(0L))
-        .cast("long").as("capped_w"))
-    flagged.crossJoin(broadcast(cappedTot))
-      .withColumn("alloc_tokens",
-        when(col("capped") === 1, col("cap_tokens"))
-          .otherwise(expr(
-            "((budget - capped_cap) * weight) div (total_weight - capped_w)")))
-      .withColumn("rate",
-        col("alloc_tokens").cast("double") / col("cap_tokens").cast("double"))
-      .select(col(sourceCol), col("weight"), col("cap_tokens"), col("n_docs"),
-        col("capped").cast("long").as("capped"), col("alloc_tokens"),
-        col("rate"))
+    val perSrc = perSourceCaps(docs, sourceCol, weightExpr, textCol)
+    // The per-source aggregate is a BOUNDED model artifact (≤ |source
+    // vocabulary| rows — the same collect class as RangeRank's bucket
+    // offsets and IVF's centroids), so the water-filling solver runs
+    // on the DRIVER over the collected rows: the corpus-side plan is
+    // the one distributed groupBy above, and no partition-less
+    // WindowExec exists anywhere (the earlier global-window chain
+    // logged spurious single-partition warnings on every run). The
+    // arithmetic is bit-compatible with the SQL form the oracle
+    // replays: Long division truncates toward zero exactly like SQL
+    // `div` on the non-negative operands this solver produces, and the
+    // ratio double is an ORDERING key only (ties → source).
+    val srcRows = perSrc
+      .select(col(sourceCol).cast("string"), col("cap_tokens"),
+        col("n_docs"), col("weight"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val totalTokens = srcRows.map(_._2).sum
+    val totalWeight = srcRows.map(_._4).sum
+    val budget = totalTokens * budgetNum / budgetDen
+    val ordered = srcRows.sortBy { case (src, cap, _, w) =>
+      (cap.toDouble / w.toDouble, src)
+    }(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.String))
+    // Prefix-monotone capped flag: a source is capped iff every source
+    // up to and including it (in ratio order) satisfies the
+    // water-filling test. Prefix-AND makes ties safe.
+    var cumCap = 0L; var cumW = 0L; var prefixOk = true
+    val flagged = ordered.map { case s @ (_, cap, _, w) =>
+      cumCap += cap; cumW += w
+      prefixOk &&= cap * (totalWeight - cumW) <= (budget - cumCap) * w
+      (s, prefixOk)
+    }
+    val cappedCap = flagged.collect { case ((_, cap, _, _), true) => cap }.sum
+    val cappedW = flagged.collect { case ((_, _, _, w), true) => w }.sum
+    val result = flagged.toSeq.map { case ((src, cap, nDocs, w), capped) =>
+      val alloc =
+        if (capped) cap
+        else ((budget - cappedCap) * w) / (totalWeight - cappedW)
+      (src, w, cap, nDocs, if (capped) 1L else 0L, alloc,
+        alloc.toDouble / cap.toDouble)
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    result.toDF(sourceCol, "weight", "cap_tokens", "n_docs", "capped",
+      "alloc_tokens", "rate")
   }
 
   /** Tokenizer vocabulary induction, step one: the corpus-wide
@@ -481,5 +501,35 @@ object TextAnalysis {
       .withColumn("n_contaminated_grams",
         coalesce(col("n_contaminated_grams"), lit(0L)))
       .withColumn("contaminated", col("n_contaminated_grams") > 0)
+  }
+
+  /** Decontamination PROVENANCE: per-(train doc, eval doc) shared
+    * distinct-n-gram counts — the audit companion to
+    * [[decontaminate]]'s per-train-doc flag. Answers "WHICH eval doc
+    * leaked into this train doc, and how much" (what you need to
+    * adjudicate borderline hits or trace a leaked benchmark split).
+    *
+    * Same scale shape as decontaminate: the eval side broadcasts (now
+    * carrying its doc_id alongside each gram hash — eval sets are
+    * benchmark-sized, so the doc_id adds nothing material to the
+    * broadcast), train grams never shuffle before the hit join, and
+    * the only exchange is the pair-keyed count with map-side partial
+    * aggregation. Output contains contaminated pairs only.
+    */
+  def decontaminationProvenance(train: DataFrame, evalSet: DataFrame,
+                                n: Int = 5, textCol: String = "text"): DataFrame = {
+    val toks = Text.tokens(col(textCol))
+    def gramHashes(df: DataFrame) = df
+      .filter(size(toks) >= n)
+      .select(col("doc_id"),
+        explode(array_distinct(Text.shingles(toks, n))).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("g"))
+    val evalGrams = broadcast(gramHashes(evalSet)
+      .select(col("doc_id").as("eval_doc_id"), col("g")))
+    gramHashes(train)
+      .withColumnRenamed("doc_id", "train_doc_id")
+      .join(evalGrams, Seq("g"))
+      .groupBy("train_doc_id", "eval_doc_id")
+      .agg(count(lit(1)).as("n_shared_grams"))
   }
 }

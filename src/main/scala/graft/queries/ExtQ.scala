@@ -465,7 +465,8 @@ object ExtQ {
         val corpus = docs.filter(col("source") =!= "src0")
         val fp = (t: org.apache.spark.sql.Column) =>
           sort_array(transform(Text.distinctTokens(t), g => xxhash64(g)))
-        val staticSide = Dedup.bandSignatures(corpus, 16, 2, "text")
+        val staticSide = TextQ.bandSigs(s, d).filter(col("source") =!= "src0")
+          .drop("source")
           .join(corpus.select(col("doc_id"), fp(col("text")).as("grams_b")), Seq("doc_id"))
           .select(col("band"), col("band_sig"),
             col("doc_id").as("doc_b"), col("grams_b"))
@@ -625,10 +626,17 @@ object ExtQ {
         // coalesce: sum over an empty table is NULL — degrade to 0, not NPE
         val total = counts.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
         val top = counts.orderBy(col("cnt").desc, col("user_id").asc).limit(10)
-          .withColumn("rnk",
-            row_number().over(Window.orderBy(col("cnt").desc, col("user_id").asc)))
+        // Rank WITHOUT a window: rnk = #rows sorting at-or-before each
+        // row, via a broadcast self-join over the BOUNDED top-10 set —
+        // no partition-less WindowExec in the plan (its warning would
+        // mask real unbounded single-partition regressions elsewhere).
+        val other = top.select(col("user_id").as("o_uid"), col("cnt").as("o_cnt"))
+        val ranked = top.join(broadcast(other),
+            col("o_cnt") > col("cnt") ||
+              (col("o_cnt") === col("cnt") && col("o_uid") <= col("user_id")))
+          .groupBy("user_id", "cnt").agg(count(lit(1)).as("rnk"))
         val est = udf((uid: Long) => cms.estimateCount(uid))
-        top.withColumn("e", est(col("user_id")))
+        ranked.withColumn("e", est(col("user_id")))
           .select(col("user_id"), col("cnt"), col("rnk").cast("long").as("rnk"),
             (col("e") >= col("cnt") && col("e") <= col("cnt") + lit(eps * total))
               .as("in_bound"))

@@ -264,7 +264,23 @@ object KernelQ {
     */
   private def D(v: Double): String = s"CAST($v AS DOUBLE)"
 
-  private def k08Sim(t: String, d: String, c: TrackerConfig): String = {
+  /** Center distance between a track struct `t` and det struct `d` —
+    * shared by the similarity's Euclidean terms and the k11 radius
+    * gate, so both sides of the gate boundary use the identical IEEE
+    * expression.
+    */
+  private def k08Dist(t: String, d: String): String =
+    s"sqrt((($t.x + $t.w / 2) - ($d.x + $d.w / 2)) * (($t.x + $t.w / 2) - ($d.x + $d.w / 2)) " +
+      s"+ (($t.y + $t.h / 2) - ($d.y + $d.h / 2)) * (($t.y + $t.h / 2) - ($d.y + $d.h / 2)))"
+
+  /** Gated no-Kalman similarity. With `radiusGated` the spatial-index
+    * distance gate rides as the FIRST NULL branch of the SAME flat CASE
+    * chain the ungated replay uses (k09's 14/14-stable shape) — NOT a
+    * nested CASE around it, which re-trips the DuckDB 1.0
+    * nondeterministic-evaluation bug the k04 note documents.
+    */
+  private def k08Sim(t: String, d: String, c: TrackerConfig,
+                     radiusGated: Boolean = false): String = {
     // Config constants are interpolated from the SAME TrackerConfig the
     // Spark query runs (Double.toString of the defaults renders the
     // exact literals this text was validated with), so a config change
@@ -275,9 +291,12 @@ object KernelQ {
       s"OR $d.e1 * $d.e1 + $d.e2 * $d.e2 = 0.0 THEN 0.5 " +
       s"ELSE (($t.e1 * $d.e1 + $t.e2 * $d.e2) / " +
       s"(sqrt($t.e1 * $t.e1 + $t.e2 * $t.e2) * sqrt($d.e1 * $d.e1 + $d.e2 * $d.e2)) + 1.0) / 2.0 END)"
-    val dist = s"sqrt((($t.x + $t.w / 2) - ($d.x + $d.w / 2)) * (($t.x + $t.w / 2) - ($d.x + $d.w / 2)) " +
-      s"+ (($t.y + $t.h / 2) - ($d.y + $d.h / 2)) * (($t.y + $t.h / 2) - ($d.y + $d.h / 2)))"
-    s"(CASE WHEN $sizeS < ${D(c.thresholdSize)} * (1 - ${D(c.tolerance)}) THEN NULL " +
+    val dist = k08Dist(t, d)
+    val gate =
+      if (radiusGated)
+        s"WHEN $dist > ${D(c.thresholdDistance)} * (1 + ${D(c.tolerance)}) THEN NULL "
+      else ""
+    s"(CASE ${gate}WHEN $sizeS < ${D(c.thresholdSize)} * (1 - ${D(c.tolerance)}) THEN NULL " +
       s"WHEN $appS < ${D(c.thresholdAppearance)} * (1 - ${D(c.tolerance)}) THEN NULL " +
       s"ELSE (($appS - ${D(c.thresholdAppearance)}) / (1.0 - ${D(c.thresholdAppearance)}) * ${D(c.wAppearance)} " +
       s"+ (1 - $dist / ${D(c.thresholdDistance)}) * ${D(c.wEuclidean)} + (1 - $dist / ${D(c.thresholdDistance)}) * ${D(c.wKalman)} " +
@@ -311,12 +330,28 @@ object KernelQ {
     * (step), 983-1011 (mutual best), 1037-1133 (greedy).
     */
   private def trackOracle(greedy: Boolean, cfg: TrackerConfig): String = {
-    // this replay models predicted == lastBbox and NO radius gate
-    require(!cfg.useKalman && !cfg.useSpatialIndex,
-      "trackOracle replays the no-Kalman, no-spatial-index kernel only")
+    // this replay models predicted == lastBbox; without Kalman the
+    // spatial-index radius is the CONSTANT thresholdDistance*(1+tol)
+    // (operators/Tracker.scala candidatesFor), so the gate is replayed
+    // as a NULL'd sort key — supported for the greedy matcher (k11)
+    require(!cfg.useKalman,
+      "trackOracle replays the no-Kalman kernel only")
+    require(!cfg.useSpatialIndex || greedy,
+      "the radius-gate replay covers the greedy matcher only")
     require(greedy == !cfg.bidirectional,
       "matcher replay must follow the config: greedy <=> !bidirectional")
     val simTD = k08Sim("t", "d", cfg)
+    // Radius gate: pairs are built with separate sim ('k') and distance
+    // ('g') fields in an INNER projection, and the gate runs as a plain
+    // field comparison in the outer list_filter — the filtered struct
+    // is then re-projected to the exact {k, ti, dj} shape the ungated
+    // fold sorts (so similarity-tie breaks are unchanged). Gating
+    // INSIDE the similarity CASE — nested or flattened — trips the
+    // DuckDB 1.0 nondeterministic-evaluation bug (sweep-verified: 3
+    // distinct results in 30 runs); this two-stage form is the one
+    // that sweeps clean.
+    val keyExpr = s"-($simTD)"
+    val gateRadius = s"${D(cfg.thresholdDistance)} * (1 + ${D(cfg.tolerance)})"
     // the aged-tracks source both matchers read (already stripped of
     // margins — embedded verbatim inside the template below)
     val agedSrc =
@@ -372,35 +407,43 @@ object KernelQ {
       |                  'dj': CAST(string_split(x, ':')[2] AS INT)}) END AS mt
       |      FROM (
       |        SELECT seq, fidx, frameIdx, nid, ds, aged,
-      |          list_filter(
+      |          ${if (cfg.useSpatialIndex)
+                   s"""list_transform(
+      |            list_filter(
+      |              flatten(list_transform(aged, (t, ti) ->
+      |                list_transform(ds, (d, dj) ->
+      |                  {'k': $keyExpr, 'g': ${k08Dist("t", "d")}, 'ti': CAST(ti AS INT), 'dj': CAST(dj AS INT)}))),
+      |              p -> p.k IS NOT NULL AND p.g <= $gateRadius),
+      |            p -> {'k': p.k, 'ti': p.ti, 'dj': p.dj}) AS allp"""
+                 else
+                   s"""list_filter(
       |            flatten(list_transform(aged, (t, ti) ->
       |              list_transform(ds, (d, dj) ->
-      |                {'k': -($simTD), 'ti': CAST(ti AS INT), 'dj': CAST(dj AS INT)}))),
-      |            p -> p.k IS NOT NULL) AS allp
+      |                {'k': $keyExpr, 'ti': CAST(ti AS INT), 'dj': CAST(dj AS INT)}))),
+      |            p -> p.k IS NOT NULL) AS allp"""}
       |        FROM AGED_SRC
       |      )""".stripMargin
-    s"""WITH RECURSIVE ${Derived.gtCtes},
-      |din AS (
-      |  SELECT g.seq, g.frameIdx, g.id, g.x, g.y, g.w, g.h,
-      |         CAST(e.embedding[1] AS DOUBLE) AS e1,
-      |         CAST(e.embedding[2] AS DOUBLE) AS e2
-      |  FROM gt g JOIN embeddings e ON e.vec_id = (g.id * 7 + g.frameIdx) % 500
-      |),
-      |fr2 AS MATERIALIZED (
-      |  SELECT seq, frameIdx, ds,
-      |    CAST(row_number() OVER (PARTITION BY seq ORDER BY frameIdx) AS INT) AS fidx
-      |  FROM (
-      |    SELECT seq, frameIdx,
-      |      list({'id': id, 'x': x, 'y': y, 'w': w, 'h': h, 'e1': e1, 'e2': e2} ORDER BY id) AS ds
-      |    FROM din GROUP BY seq, frameIdx)
-      |),
-      |step(seq, fidx, frameIdx, tks, nid, emit) AS (
+    // One recursive step CTE, parameterized by name + sequence filter.
+    // The recursion runs ONCE PER SEQUENCE with a single-row working
+    // table: with both sequences in one working table, DuckDB 1.0
+    // mis-evaluates the matcher fold — for the gated greedy config,
+    // threads=1 is stable but WRONG (3496 rows vs the per-seq truth
+    // 1748+1753=3501 at sf0.1) and default threads flip between
+    // several wrong answers; the ungated fold hits the same bug rarely
+    // (the r10→r11 k09 one-off parity flake). Each single-row
+    // recursion sweeps clean, and the union equals the kernel output
+    // exactly (the kernel resets state per sequence — T6 — so the
+    // split is the MORE faithful replay). The sequence set is fixed by
+    // construction (seq = 's' || l_orderkey % 2 — Derived.gtCtes), so
+    // the two anchors are exhaustive.
+    def stepCte(name: String, seqPred: String): String =
+      s"""$name(seq, fidx, frameIdx, tks, nid, emit) AS (
       |  SELECT seq, 0, -1,
       |    CAST([] AS STRUCT(tid INT, x DOUBLE, y DOUBLE, w DOUBLE, h DOUBLE,
       |                      e1 DOUBLE, e2 DOUBLE, did INT, tsu INT)[]),
       |    1,
       |    CAST([] AS STRUCT(tid INT, did INT, x DOUBLE, y DOUBLE, w DOUBLE, h DOUBLE)[])
-      |  FROM (SELECT DISTINCT seq FROM din)
+      |  FROM (SELECT DISTINCT seq FROM din$seqPred)
       |  UNION ALL
       |  SELECT seq, fidx, frameIdx,
       |    list_concat(kept, created) AS tks,
@@ -430,13 +473,32 @@ object KernelQ {
       |              'w': p.d.w, 'h': p.d.h, 'e1': p.d.e1,
       |              'e2': p.d.e2, 'did': p.d.id, 'tsu': 0}) AS created
       |    FROM (
-${matchLayers.replace("AGED_SRC", agedSrc)}
+${matchLayers.replace("AGED_SRC", agedSrc.replace("FROM step s", s"FROM $name s"))}
       |    )
       |  )
-      |)
+      |)"""
+    val stepCtes =
+      s"${stepCte("step_s0", " WHERE seq = 's0'")},\n${stepCte("step_s1", " WHERE seq = 's1'")}"
+    val stepSrc = "(SELECT * FROM step_s0 UNION ALL SELECT * FROM step_s1)"
+    s"""WITH RECURSIVE ${Derived.gtCtes},
+      |din AS (
+      |  SELECT g.seq, g.frameIdx, g.id, g.x, g.y, g.w, g.h,
+      |         CAST(e.embedding[1] AS DOUBLE) AS e1,
+      |         CAST(e.embedding[2] AS DOUBLE) AS e2
+      |  FROM gt g JOIN embeddings e ON e.vec_id = (g.id * 7 + g.frameIdx) % 500
+      |),
+      |fr2 AS MATERIALIZED (
+      |  SELECT seq, frameIdx, ds,
+      |    CAST(row_number() OVER (PARTITION BY seq ORDER BY frameIdx) AS INT) AS fidx
+      |  FROM (
+      |    SELECT seq, frameIdx,
+      |      list({'id': id, 'x': x, 'y': y, 'w': w, 'h': h, 'e1': e1, 'e2': e2} ORDER BY id) AS ds
+      |    FROM din GROUP BY seq, frameIdx)
+      |),
+      |$stepCtes
       |SELECT seq, frameIdx AS frame, u.tid AS trackId, u.did AS detId,
       |       u.x AS x, u.y AS y, u.w AS w, u.h AS h
-      |FROM (SELECT seq, frameIdx, unnest(emit) AS u FROM step WHERE fidx > 0)${
+      |FROM (SELECT seq, frameIdx, unnest(emit) AS u FROM $stepSrc WHERE fidx > 0)${
         if (cfg.minTrackLength > 1)
           s"\n      |QUALIFY count(*) OVER (PARTITION BY seq, trackId) >= ${cfg.minTrackLength}"
         else ""}""".stripMargin
@@ -604,22 +666,12 @@ ${matchLayers.replace("AGED_SRC", agedSrc)}
       |        FROM AGED_SRC
       |      )
       |      )""".stripMargin
-    s"""WITH RECURSIVE ${Derived.gtCtes},
-      |din AS (
-      |  SELECT g.seq, g.frameIdx, g.id, g.x, g.y, g.w, g.h,
-      |         CAST(e.embedding[1] AS DOUBLE) AS e1,
-      |         CAST(e.embedding[2] AS DOUBLE) AS e2
-      |  FROM gt g JOIN embeddings e ON e.vec_id = (g.id * 7 + g.frameIdx) % 500$dinWhere
-      |),
-      |fr2 AS MATERIALIZED (
-      |  SELECT seq, frameIdx, ds,
-      |    CAST(row_number() OVER (PARTITION BY seq ORDER BY frameIdx) AS INT) AS fidx
-      |  FROM (
-      |    SELECT seq, frameIdx,
-      |      list({'id': id, 'x': x, 'y': y, 'w': w, 'h': h, 'e1': e1, 'e2': e2} ORDER BY id) AS ds
-      |    FROM din GROUP BY seq, frameIdx)
-      |),
-      |step(seq, fidx, frameIdx, tks, nid, emit) AS (
+    // Per-sequence recursion split — same DuckDB multi-row working
+    // table dodge as trackOracle (see its stepCte comment): each
+    // sequence recurses alone, and the union equals the kernel's
+    // per-sequence-reset semantics (T6) exactly.
+    def stepCte(name: String, seqPred: String): String =
+      s"""$name(seq, fidx, frameIdx, tks, nid, emit) AS (
       |  SELECT seq, 0, -1,
       |    CAST([] AS STRUCT(tid INT, did INT, tsu INT,
       |                      lx DOUBLE, ly DOUBLE, lw DOUBLE, lh DOUBLE,
@@ -631,7 +683,7 @@ ${matchLayers.replace("AGED_SRC", agedSrc)}
       |                      kw DOUBLE, wp DOUBLE, kh DOUBLE, hp DOUBLE)[]),
       |    1,
       |    CAST([] AS STRUCT(tid INT, did INT, x DOUBLE, y DOUBLE, w DOUBLE, h DOUBLE)[])
-      |  FROM (SELECT DISTINCT seq FROM din)
+      |  FROM (SELECT DISTINCT seq FROM din$seqPred)
       |  UNION ALL
       |  SELECT seq, fidx, frameIdx,
       |    list_concat(kept, created) AS tks,
@@ -693,13 +745,30 @@ ${matchLayers.replace("AGED_SRC", agedSrc)}
       |              'kw': p.d.w, 'wp': 100.0,
       |              'kh': p.d.h, 'hp': 100.0}) AS created
       |    FROM (
-${matchLayers.replace("AGED_SRC", agedSrc)}
+${matchLayers.replace("AGED_SRC", agedSrc.replace("FROM step s", s"FROM $name s"))}
       |    )
       |  )
-      |)
+      |)"""
+    s"""WITH RECURSIVE ${Derived.gtCtes},
+      |din AS (
+      |  SELECT g.seq, g.frameIdx, g.id, g.x, g.y, g.w, g.h,
+      |         CAST(e.embedding[1] AS DOUBLE) AS e1,
+      |         CAST(e.embedding[2] AS DOUBLE) AS e2
+      |  FROM gt g JOIN embeddings e ON e.vec_id = (g.id * 7 + g.frameIdx) % 500$dinWhere
+      |),
+      |fr2 AS MATERIALIZED (
+      |  SELECT seq, frameIdx, ds,
+      |    CAST(row_number() OVER (PARTITION BY seq ORDER BY frameIdx) AS INT) AS fidx
+      |  FROM (
+      |    SELECT seq, frameIdx,
+      |      list({'id': id, 'x': x, 'y': y, 'w': w, 'h': h, 'e1': e1, 'e2': e2} ORDER BY id) AS ds
+      |    FROM din GROUP BY seq, frameIdx)
+      |),
+      |${stepCte("step_s0", " WHERE seq = 's0'")},
+      |${stepCte("step_s1", " WHERE seq = 's1'")}
       |SELECT seq, frameIdx AS frame, u.tid AS trackId, u.did AS detId,
       |       u.x AS x, u.y AS y, u.w AS w, u.h AS h
-      |FROM (SELECT seq, frameIdx, unnest(emit) AS u FROM step WHERE fidx > 0)""".stripMargin
+      |FROM (SELECT seq, frameIdx, unnest(emit) AS u FROM (SELECT * FROM step_s0 UNION ALL SELECT * FROM step_s1) WHERE fidx > 0)""".stripMargin
   }
 
   /** BASELINE.md anchor derivation ("1000 frames × 50 objects" ≈ 50k gt
@@ -846,16 +915,24 @@ ${matchLayers.replace("AGED_SRC", agedSrc)}
   // ONE config instance per tracker query, shared between the Spark
   // run and its oracle text so constants can never drift apart.
   private val k03Cfg = TrackerConfig()
-  // NO spatial index for the greedy config: its oracle's radius-gated
-  // similarity inside the sort+fold chain trips a DuckDB 1.0
-  // nondeterministic-evaluation bug (~1 run in 5 diverges; see
-  // PLANS.md); the ungated greedy replay is stable, the radius gate
-  // stays oracle-covered by k03/k05, and index-off is the reference's
-  // own fallback path (src/tracking.py:973-975).
-  private val k04Cfg = TrackerConfig(bidirectional = false, useSpatialIndex = false)
+  // Spatial index RESTORED for the greedy config (the reference's
+  // primary path, src/tracking.py:442-554 + 1037-1133): the DuckDB
+  // nondeterministic-evaluation bug that forced index-off in round 7
+  // turned out to be a MULTI-ROW recursive-working-table defect, dodged
+  // for good by the per-sequence recursion split (see trackOracle's
+  // stepCte comment; round-11 sweeps: gated greedy 30/30 at sf0.1).
+  private val k04Cfg = TrackerConfig(bidirectional = false)
   private val k08Cfg = TrackerConfig(useKalman = false, useSpatialIndex = false,
     minTrackLength = 2)
   private val k09Cfg = TrackerConfig(useKalman = false, useSpatialIndex = false,
+    bidirectional = false, minTrackLength = 2)
+  // Greedy WITH the spatial-index radius gate (useSpatialIndex = true
+  // default): without Kalman the radius is constant, and the gate
+  // replays as a NULL'd sort key inside the greedy fold — the
+  // combination (greedy matcher + radius gate) that k04's Kalman
+  // oracle cannot cover (DuckDB nondeterministic-evaluation bug, see
+  // PLANS.md; this simpler gated fold is sweep-verified stable).
+  private val k11Cfg = TrackerConfig(useKalman = false,
     bidirectional = false, minTrackLength = 2)
 
   val defs: Seq[Q] = Seq(
@@ -909,6 +986,17 @@ ${matchLayers.replace("AGED_SRC", agedSrc)}
     Q("k09_track_greedy_nokalman",
       (s, d) => trackRows(Tracker.track(trackerInput(s, d), k09Cfg)),
       Some(trackOracle(greedy = true, k09Cfg))),
+
+    // J4 + E12/F7 — greedy matching WITH the spatial-index radius gate
+    // (reference src/tracking.py:1037-1133 + 442-554): the candidate
+    // set per track is distance-bounded before the global greedy fold.
+    // Restores driver-oracle coverage for the gate+greedy combination
+    // k04 had to drop (its Kalman-gated oracle trips a DuckDB
+    // nondeterministic-evaluation bug; this constant-radius fold is
+    // stable — see PLANS.md).
+    Q("k11_track_greedy_gated",
+      (s, d) => trackRows(Tracker.track(trackerInput(s, d), k11Cfg)),
+      Some(trackOracle(greedy = true, k11Cfg))),
 
     // M1 — multi-scale tile merge: per-tile detections in tile-local
     // scaled coords (derived from the dets table: each det assigned a

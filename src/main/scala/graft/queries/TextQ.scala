@@ -205,13 +205,43 @@ object TextQ {
     })
   }
 
+  /** The corpus's MinHash band-signature table `(doc_id, band,
+    * band_sig, source)`, materialized ONCE per (context, dir) — at
+    * 100 TB this is a persisted artifact computed once per corpus (it
+    * is deterministic), so every dedup consumer (d05/d07 via
+    * scoredPairs, d09's asymmetric probe, d12's star edges, st6's
+    * static side) reads the SAME table instead of re-tokenizing and
+    * re-hashing the raw text. `source` rides along so the incremental
+    * consumers can slice batch vs corpus without a second join.
+    */
+  private val bandCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.SparkContext, String), org.apache.spark.sql.DataFrame]
+  private[graft] def bandSigs(s: org.apache.spark.sql.SparkSession, d: String) =
+    memoized(bandCache, s, d) {
+      val docs = Tables.documents(s, d)
+      Dedup.bandSignatures(docs, 16, 2, "text")
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    }
+
   private val pairCache =
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.SparkContext, String), org.apache.spark.sql.DataFrame]
   private def scoredPairs(s: org.apache.spark.sql.SparkSession, d: String) =
     memoized(pairCache, s, d) {
       val docs = Tables.documents(s, d)
-      val cands = Dedup.minhashCandidates(docs, numHashes = 16, bands = 2)
+      val cands = Dedup.minhashCandidatesFromBands(bandSigs(s, d))
       Dedup.jaccardPairs(docs, cands, n = 1, minJaccard = 0.5)
+    }
+
+  /** Drop every memoized materialization owned by `s` (band table,
+    * scored pairs, embedding near-dup pairs) and unpersist their cached
+    * data — the bench isolation hook: each timed query then pays its
+    * own first-touch cost, so per-query numbers are order-independent.
+    */
+  def resetMaterializations(s: org.apache.spark.sql.SparkSession): Unit =
+    Seq(bandCache, pairCache, ndPairCache).foreach { c =>
+      c.keys.filter(_._1 == s.sparkContext).foreach { k =>
+        c.remove(k).foreach(_.unpersist())
+      }
     }
 
   val defs: Seq[Q] = Seq(
@@ -787,9 +817,10 @@ object TextQ {
       (s, d) => {
         val docs = Tables.documents(s, d)
         val fresh = docs.filter(col("source") === "src0")
-        val corpus = docs.filter(col("source") =!= "src0")
-        val cands = Dedup.minhashCandidatesAgainst(fresh, corpus,
-          numHashes = 16, bands = 2)
+        val banded = bandSigs(s, d)
+        val cands = Dedup.minhashCandidatesAgainstFromBands(
+          banded.filter(col("source") === "src0"),
+          banded.filter(col("source") =!= "src0"))
         val nDups = Dedup.jaccardPairs(docs, cands, n = 1, minJaccard = 0.5)
           .groupBy(col("doc_a").as("doc_id"))
           .agg(count(lit(1)).as("n_dups"))
@@ -855,6 +886,36 @@ object TextQ {
         |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
         |WHERE d.source <> 'src19'""".stripMargin)),
 
+    // Decontamination provenance: WHICH eval doc each contaminated
+    // train doc shares 5-grams with, and how many — the audit
+    // companion to d10 (adjudicating borderline hits / tracing a
+    // leaked split). Same broadcast-eval shape; output is the
+    // contaminated (train, eval) pair table.
+    Q("d13_decontamination_spans",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        TextAnalysis.decontaminationProvenance(
+          train = docs.filter(col("source") =!= "src19"),
+          evalSet = docs.filter(col("source") === "src19"), n = 5)
+      },
+      Some("""WITH toked AS (
+        |  SELECT doc_id, source, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS toks
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, source, list_distinct(
+        |    list_transform(range(1, len(toks) - 3),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS gs
+        |  FROM toked WHERE len(toks) >= 5
+        |), evalg AS (
+        |  SELECT doc_id AS eval_doc_id, unnest(gs) AS g FROM grams WHERE source = 'src19'
+        |), traing AS (
+        |  SELECT doc_id AS train_doc_id, unnest(gs) AS g FROM grams WHERE source <> 'src19'
+        |)
+        |SELECT t.train_doc_id, e.eval_doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_shared_grams
+        |FROM traing t JOIN evalg e ON t.g = e.g
+        |GROUP BY t.train_doc_id, e.eval_doc_id""".stripMargin)),
+
     // Span-level exact dedup (the C4/RefinedWeb line-dedup shape):
     // 10-word spans, global first-occurrence keep, documents
     // reassembled from their surviving spans — see Dedup.spanDedup.
@@ -898,7 +959,7 @@ object TextQ {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables.documents(s, d)
-        val stars = Dedup.minhashCandidatesStar(docs, numHashes = 16, bands = 2)
+        val stars = Dedup.minhashCandidatesStarFromBands(bandSigs(s, d))
         val edges = Dedup.jaccardPairs(docs, stars, n = 1, minJaccard = 0.5)
           .select("doc_a", "doc_b")
         Dedup.connectedComponents(edges, distinctEdges = false)

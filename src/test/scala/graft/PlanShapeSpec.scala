@@ -62,15 +62,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Filter"), p)
   }
 
-  test("t11_domain_mix: corpus shuffles only per-source partials; windows on the aggregate") {
+  test("t11_domain_mix: corpus shuffles only per-source partials; solver output is local") {
+    // The distributed half: the per-source capacity aggregate must
+    // map-side combine (the corpus never shuffles raw rows).
+    val agg = graft.operators.TextAnalysis.perSourceCaps(
+      graft.Tables.documents(spark, dir), "source",
+      org.apache.spark.sql.functions.expr("cast(substring(source, 4) as bigint) % 3 + 1"))
+    val ap = agg.queryExecution.executedPlan.toString
+    assert(ap.contains("partial_sum") || ap.contains("partial_count"),
+      s"per-source agg must map-side combine:\n$ap")
+    // The returned allocation is a driver-solved BOUNDED model artifact
+    // (≤ |sources| rows): a local relation, with no WindowExec anywhere
+    // (the r10-era window chain logged partition-less window warnings).
     val p = plan("t11_domain_mix")
-    // one partial_sum-fed exchange for the per-source agg; the window
-    // machinery operates on the 20-row aggregate (plus the two scalar
-    // broadcast joins), never on the corpus
-    assert(p.contains("partial_sum") || p.contains("partial_count"),
-      s"per-source agg must map-side combine:\n$p")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
-      s"totals must broadcast back:\n$p")
+    assert(p.contains("LocalTableScan"), s"allocation must be local:\n$p")
+    assert(!p.contains("Window"), s"no window machinery in the result plan:\n$p")
   }
 
   test("t13_bpe_pairs: top-k plans as TakeOrderedAndProject, counts partial-aggregate") {
