@@ -1,13 +1,8 @@
 package graft
 object Explain {
   def main(args: Array[String]): Unit = {
-    val spark = org.apache.spark.sql.SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    GraftExtensions.register(spark)
-    spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.01"
+    val spark = LocalSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"), "ERROR")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     for (name <- args) {
       println(s"========== $name ==========")
       SparkEntry.queries(name)(spark, d).explain("formatted")

