@@ -41,7 +41,16 @@ object Bench {
       val t0 = System.nanoTime()
       // A swallowed failure must not masquerade as a fast success:
       // record per-query ok and surface failures in an "errors" list.
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      // The NOOP SINK (not count()) forces full evaluation of every
+      // output column: under count() Catalyst legally eliminates
+      // whole subtrees — a left join against a unique-keyed aggregate
+      // drops its entire right side (d10's gram pipeline benched at
+      // 0.2 s while its real evaluation costs ~10× more) and final
+      // projections prune — so count() timings measured a DIFFERENT,
+      // smaller query than the one Verify checks and users run.
+      val ok = try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true
+      } catch { case _: Throwable => false }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
     // The driver keeps only the last 2000 chars of the run's output
