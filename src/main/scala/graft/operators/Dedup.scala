@@ -360,10 +360,26 @@ object Dedup {
     * with the result. Note `setCheckpointDir` is context-global and
     * stays set after the call.
     */
+  /** `localSolveThreshold`: once the CONTRACTED edge fringe shrinks to
+    * at most this many edges (and node ids are integral), the
+    * remaining components are solved in one pass on the driver
+    * (union-find over the collected fringe — a bounded model-artifact
+    * collect, ≤ threshold × 16 bytes) instead of running more
+    * distributed rounds. The geometric contraction means the LAST
+    * rounds of distributed CC always degenerate into many tiny
+    * latency-bound jobs over a vanishing fringe — the standard
+    * production mitigation is exactly this hybrid tail (large graph:
+    * distributed rounds shrink the fringe under the threshold, then
+    * one driver pass finishes; small graph: the driver pass runs
+    * immediately). The fixpoint (component-min label) is identical —
+    * CcSpec checks the hybrid against reference union-find. Set 0 to
+    * force the fully-distributed loop.
+    */
   def connectedComponents(edges: DataFrame, srcCol: String = "doc_a",
                           dstCol: String = "doc_b", maxIter: Int = 50,
                           checkpointDir: Option[String] = None,
-                          distinctEdges: Boolean = true): DataFrame = {
+                          distinctEdges: Boolean = true,
+                          localSolveThreshold: Long = 1L << 20): DataFrame = {
     val sc = edges.sparkSession.sparkContext
     // reliable mode: track each generation's rdd-* dirs (a checkpoint
     // call adds exactly one, eagerly) so release() can delete a
@@ -420,13 +436,56 @@ object Dedup {
     var labels = ckpt(e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")))
     var iter = 0
-    // one emptiness job per round, shared by the loop guard and the
-    // post-loop convergence check (isEmpty is a Spark action; testing it
-    // twice per round doubled the per-iteration job count)
+    // one size job per round, shared by the loop guard, the tail-solve
+    // threshold test, and the post-loop convergence check (an action;
+    // testing emptiness and size separately would double the
+    // per-iteration job count — the df is checkpoint-materialized, so
+    // count is a cheap metadata-ish scan)
     dbg("labels init done")
-    var drained = e.isEmpty
-    dbg("initial isEmpty done")
+    val spark = edges.sparkSession
+    val nodeType = e.schema("src").dataType
+    val tailSolvable = nodeType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType => localSolveThreshold > 0
+      case _ => false
+    }
+    var eCnt = e.count()
+    var drained = eCnt == 0
+    dbg("initial count done")
     while (iter < maxIter && !drained) {
+      if (tailSolvable && eCnt <= localSolveThreshold) {
+        // HYBRID TAIL: the fringe is bounded — finish on the driver.
+        // Union-find with component-min roots over the contracted
+        // edges, then one broadcast join rewrites every label whose
+        // rep merged. Values identical to more distributed rounds
+        // (both compute min reachable id); the compress loop below
+        // still runs and independently verifies the fixpoint.
+        val fringe = e.select(col("src").cast("long"), col("dst").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        fringe.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val repMap = parent.keys.map(k => (k, find(k))).toSeq
+        dbg(s"tail solve: ${fringe.length} edges, ${repMap.size} reps merged")
+        import spark.implicits._
+        val repDf = broadcast(repMap.toDF("__rep", "__cmin")
+          .select(col("__rep").cast(nodeType), col("__cmin").cast(nodeType).as("__cmin")))
+        val solved = ckpt(labels
+          .join(repDf, labels("label") === repDf("__rep"), "left")
+          .select(col("node"), coalesce(col("__cmin"), col("label")).as("label")))
+        release(labels)
+        labels = solved
+        drained = true
+      } else {
       // hook: every representative adopts min(self, neighbors) in the
       // CONTRACTED graph (e is in representative space from round 2 on)
       // not materialized: recomputing this one groupBy inside the
@@ -463,8 +522,10 @@ object Dedup {
       release(e)
       e = relabeled
       iter += 1
-      drained = e.isEmpty
-      dbg(s"round $iter")
+      eCnt = e.count()
+      drained = eCnt == 0
+      dbg(s"round $iter: $eCnt edges remain")
+      }
     }
     // a silent partial merge would be a wrong-but-plausible clustering;
     // with doubling+contraction, maxIter=50 covers graphs far beyond

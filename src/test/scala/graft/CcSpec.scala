@@ -56,6 +56,26 @@ class CcSpec extends AnyFunSuite {
     assert(a == Set((5L, 5L), (9L, 5L), (7L, 5L)))
   }
 
+  test("hybrid tail solve matches the fully-distributed loop") {
+    val edges = (0L until 30L).map(i => (i, i + 1)) ++
+      Seq((100L, 105L), (105L, 110L), (200L, 201L), (7L, 100L))
+    val df = edges.toDF("doc_a", "doc_b")
+    val expect = unionFind(edges)
+    // fully distributed (tail solve disabled)
+    val dist = Dedup.connectedComponents(df, localSolveThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // immediate tail solve (default threshold covers everything)
+    val tail = Dedup.connectedComponents(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // MID-LOOP handoff: threshold small enough that the first rounds
+    // run distributed and the contracted fringe then drops under it
+    val mid = Dedup.connectedComponents(df, localSolveThreshold = 10L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == expect)
+    assert(tail == expect)
+    assert(mid == expect)
+  }
+
   test("reliable-checkpoint path (checkpointDir) matches the local path") {
     // the executor-loss-tolerant variant a real cluster should use:
     // same fixpoint, and checkpoint files actually land in the dir
