@@ -126,6 +126,14 @@ class EdgeCaseSpec extends AnyFunSuite {
       docs(Seq(1000)), "source", lit(7L), 4L, 5L).collect()
     assert(one.length == 1 && one.head.getAs[Long]("alloc_tokens") == 800L)
 
+    // empty corpus: empty allocation (and applyMixSample passes it
+    // through to an empty keep-set without dividing by zero)
+    val noDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
+    val noAlloc = TextAnalysis.domainMixAllocation(noDocs, "source", lit(1L), 1L, 2L)
+    assert(noAlloc.count() == 0)
+    assert(TextAnalysis.applyMixSample(
+      noDocs.select("doc_id", "source"), noAlloc).count() == 0)
+
     // partitioning invariance: identical allocation on any layout
     val base = docs(Seq(100, 1000, 1000))
     val p1 = TextAnalysis.domainMixAllocation(base.repartition(7), "source",
