@@ -461,6 +461,38 @@ object TextAnalysis {
       thresholds, defaultThreshold = 0L)
   }
 
+  /** PII scrubbing (the C4-style cleanup stage): count and redact
+    * email addresses, dotted-quad IPs, and plus-prefixed international
+    * phone numbers. Patterns deliberately use only the regex subset
+    * with identical semantics in Java regex (Spark codegen) and RE2
+    * (DuckDB oracle): character classes, bounded repetition, ASCII
+    * `\b` — no backrefs, no lookaround. Counts come from the ORIGINAL
+    * text; `clean_text` applies the replacements in a fixed order
+    * (email → ip → phone) so later patterns can't match fragments of
+    * earlier redactions. A pure per-row projection — codegen'd, no
+    * shuffle; at 100 TB this runs inside the ingest scan.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\+[0-9]{7,15}"
+
+  def scrubPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_emails",
+        size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long"))
+      .withColumn("n_ips",
+        size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long"))
+      .withColumn("clean_text",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailRe, "<EMAIL>"),
+            Ipv4Re, "<IP>"),
+          PhoneRe, "<PHONE>"))
+  }
+
   /** Benchmark decontamination: flag every training document that
     * shares at least one word n-gram with a held-out evaluation set —
     * the standard pre-training hygiene pass (n-gram overlap against

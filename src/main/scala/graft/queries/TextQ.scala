@@ -1279,6 +1279,48 @@ object TextQ {
           |WHERE q.vec_id < 50""".stripMargin
       }),
 
+    // PII scrubbing (C4-style cleanup). The synthetic corpus carries no
+    // PII, so the query INJECTS deterministic emails/IPs/phones from
+    // doc_id via SHARED expression text (both engines run the same
+    // concat), then counts and redacts with TextAnalysis.scrubPii —
+    // conservative patterns valid in both Java regex and RE2. Docs
+    // divisible by 3 get a second email so counts are non-constant.
+    Q("t15_pii_scrub",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val injected = docs.select(col("doc_id"), expr(
+          """concat(text, ' contact user', CAST(doc_id AS STRING),
+            |'@mail.example.com',
+            |CASE WHEN doc_id % 3 = 0
+            |  THEN concat(' cc admin', CAST(doc_id AS STRING), '@example.org') ELSE '' END,
+            |' from 10.', CAST(doc_id % 256 AS STRING), '.0.', CAST(doc_id % 100 AS STRING),
+            |' call +1555', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))"""
+            .stripMargin.replaceAll("\n", " ")).as("text"))
+        TextAnalysis.scrubPii(injected)
+          .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+            md5(col("clean_text")).as("clean_hash"))
+      },
+      Some(s"""WITH injected AS (
+        |  SELECT doc_id,
+        |    concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+        |      '@mail.example.com',
+        |      CASE WHEN doc_id % 3 = 0
+        |        THEN concat(' cc admin', CAST(doc_id AS VARCHAR), '@example.org') ELSE '' END,
+        |      ' from 10.', CAST(doc_id % 256 AS VARCHAR), '.0.', CAST(doc_id % 100 AS VARCHAR),
+        |      ' call +1555', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS text
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '${TextAnalysis.Ipv4Re}')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(text, '${TextAnalysis.PhoneRe}')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text, '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+        |      '${TextAnalysis.Ipv4Re}', '<IP>', 'g'),
+        |    '${TextAnalysis.PhoneRe}', '<PHONE>', 'g')) AS clean_hash
+        |FROM injected""".stripMargin)),
+
     // SimHash 16-bit fingerprints from per-token hash votes.
     Q("d03_simhash",
       (s, d) => Dedup.simhash(Tables.documents(s, d)),

@@ -87,6 +87,23 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("scrubPii: counts + redaction order, no-PII text passes through") {
+    val df = Seq(
+      (1L, "reach me at a.b+c@x-mail.co.uk or +123456789 from 192.168.0.1"),
+      (2L, "no pii here at all"),
+      (3L, "two mails x@y.io and z@w.dev, bare 12345 is not a phone"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.scrubPii(df).orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_emails") == 1L)
+    assert(out(0).getAs[Long]("n_ips") == 1L)
+    assert(out(0).getAs[Long]("n_phones") == 1L)
+    assert(out(0).getAs[String]("clean_text") ==
+      "reach me at <EMAIL> or <PHONE> from <IP>")
+    assert(out(1).getAs[String]("clean_text") == "no pii here at all")
+    assert(out(2).getAs[Long]("n_emails") == 2L)
+    assert(out(2).getAs[Long]("n_phones") == 0L)
+  }
+
   test("domainMixAllocation: water-filling invariants, saturation, degenerate budgets") {
     // 3 sources: caps 100/1000/1000 tokens, weights 1/1/2. Budget =
     // 80% of 2100 = 1680. Fair shares 420/420/840: src0 saturates
