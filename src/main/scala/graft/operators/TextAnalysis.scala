@@ -202,6 +202,53 @@ object TextAnalysis {
       .withColumn("n_oov", size(filter(toksCol, t => !t.isin(vocab: _*))))
   }
 
+  /** TF-IDF top-terms (keyword extraction) over a BOUNDED vocabulary:
+    * the `vocabSize` terms with the highest document frequency form
+    * the model vocabulary (collected once — the IVF-centroid /
+    * vocabCoverage bounded-artifact class — with N = |docs| and per-
+    * term df), each document's term frequencies over that vocab are
+    * scored tf·idf, and the top `k` terms per document are emitted.
+    *
+    * Scale shape: the corpus sees two passes — one distinct-term
+    * explode for df (bounded output: |vocab candidates|), one token
+    * explode joined BROADCAST against the tiny vocab table — and the
+    * ranking window partitions by doc_id (never global). idf is
+    * QUANTIZED to an integer (`round(ln(N/df)·1e9)`), so scores are
+    * exact integer products and the (score desc, term asc) order is
+    * engine-independent — an unrounded double idf would make top-k
+    * boundaries depend on libm's last ulp.
+    */
+  def tfidfTopTerms(docs: DataFrame, vocabSize: Int = 100, k: Int = 3,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(vocabSize > 0 && k > 0, s"tfidfTopTerms: bad vocabSize=$vocabSize k=$k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toksCol = Text.tokens(col(textCol))
+    val n = docs.count()
+    val vocab: Seq[(String, Long, Long)] = docs
+      .select(col(idCol), explode(array_distinct(toksCol)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term").asc).limit(vocabSize)
+      .collect().toSeq
+      .map { r =>
+        val df = r.getLong(1)
+        (r.getString(0), df,
+          math.round(math.log(n.toDouble / df.toDouble) * 1e9))
+      }
+    val vocabDf = broadcast(vocab.toDF("term", "df", "idf_q"))
+    docs
+      .select(col(idCol), explode(toksCol).as("term"))
+      .join(vocabDf, Seq("term"))
+      .groupBy(idCol, "term", "idf_q")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("score", col("tf") * col("idf_q"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(idCol)
+          .orderBy(col("score").desc, col("term").asc)).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("score"), col("rnk"))
+  }
+
   /** Deterministic global training shuffle + shard assignment — the
     * "shuffle then shard" stage that precedes writing training data as
     * fixed-count shard files. Each row gets a pseudo-random-but-

@@ -1321,6 +1321,40 @@ object TextQ {
         |    '${TextAnalysis.PhoneRe}', '<PHONE>', 'g')) AS clean_hash
         |FROM injected""".stripMargin)),
 
+    // TF-IDF keyword extraction: top-3 terms per document over the
+    // 100-term highest-df vocabulary. idf is quantized to an integer
+    // (round(ln(N/df)*1e9)) so scores are exact integer products and
+    // the per-doc ranking is engine-independent; the corpus-side plan
+    // is two explodes (df pass bounded, tf pass broadcast-joined
+    // against the tiny vocab) with a doc-partitioned ranking window.
+    Q("t16_tfidf_terms",
+      (s, d) => TextAnalysis.tfidfTopTerms(
+        Tables.documents(s, d), vocabSize = 100, k = 3),
+      Some("""WITH toked AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS toks
+        |  FROM documents
+        |), dfs AS (
+        |  SELECT term, count(*) AS df
+        |  FROM (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM toked)
+        |  GROUP BY term
+        |), vocab AS (
+        |  SELECT term, df,
+        |    CAST(ROUND(ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df) * 1e9) AS BIGINT) AS idf_q
+        |  FROM dfs ORDER BY df DESC, term ASC LIMIT 100
+        |), tf AS (
+        |  SELECT e.doc_id, e.term, v.idf_q, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM toked) e
+        |  JOIN vocab v USING (term)
+        |  GROUP BY e.doc_id, e.term, v.idf_q
+        |)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+        |  CAST(tf * idf_q AS BIGINT) AS score, CAST(rnk AS BIGINT) AS rnk
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tf * idf_q DESC, term ASC) AS rnk
+        |  FROM tf) t
+        |WHERE rnk <= 3""".stripMargin)),
+
     // SimHash 16-bit fingerprints from per-token hash votes.
     Q("d03_simhash",
       (s, d) => Dedup.simhash(Tables.documents(s, d)),
