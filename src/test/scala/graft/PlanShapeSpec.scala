@@ -79,6 +79,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"no window machinery in the result plan:\n$p")
   }
 
+  test("t15_pii_scrub: scrub is a pure scan + projection — zero exchanges") {
+    // the operator itself (not the oracle's injection wrapper): counts
+    // + redaction must stay inside the scan's codegen stage
+    val p = graft.operators.TextAnalysis.scrubPii(
+      graft.Tables.documents(spark, dir)).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"PII scrub must not shuffle:\n$p")
+    assert(p.contains("Scan parquet"), p)
+  }
+
+  test("t16_tfidf_terms: vocab broadcasts, per-doc rank-limit pushes down") {
+    val p = plan("t16_tfidf_terms")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab must broadcast into the tf explode:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-doc top-k must push a group limit below the exchange:\n$p")
+  }
+
+  test("s06_ann_recall: exact side broadcasts the query sample; top-k pushes down") {
+    val p = plan("s06_ann_recall")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"exact ground truth must broadcast the bounded query sample:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query top-3 must push a group limit below the exchange:\n$p")
+  }
+
   test("t13_bpe_pairs: top-k plans as TakeOrderedAndProject, counts partial-aggregate") {
     val p = plan("t13_bpe_pairs")
     assert(p.contains("TakeOrderedAndProject"),
