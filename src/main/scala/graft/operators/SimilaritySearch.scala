@@ -20,6 +20,41 @@ import graft.functions.{Text, Vectors}
   */
 object SimilaritySearch {
 
+  /** Symmetric int8 quantization QA for an embedding store: per
+    * vector, the max-abs scale (`max|x| / 127`), the quantized-int8
+    * reconstruction of every dimension, and the reconstruction error —
+    * the storage audit run before shrinking a 100 TB float32 embedding
+    * store 4× to int8. A pure per-row projection (codegen lambdas over
+    * the array — no shuffle, no UDF); the caller aggregates the error
+    * columns if corpus-level QA is wanted.
+    *
+    * Determinism: the error is quantized PER TERM
+    * (`round(err² · 1e12)` summed as BIGINT) so the per-vector sum is
+    * integer and engine/partition-independent; `q = round(x / scale)`
+    * uses the half-away-from-zero rule both Spark and the DuckDB
+    * oracle implement for doubles. All-zero vectors quantize to zeros
+    * with scale 0 and error 0 (guarded division).
+    */
+  def quantizeInt8Stats(emb: DataFrame, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol)
+    val maxAbs = array_max(transform(v, x => abs(x.cast("double"))))
+    emb
+      .withColumn("max_abs", maxAbs)
+      .withColumn("scale", col("max_abs") / 127.0)
+      .withColumn("err_q",
+        when(col("max_abs") === 0.0, lit(0L)).otherwise(
+          aggregate(v, lit(0L), (acc, x) => {
+            val xd = x.cast("double")
+            val q = round(xd / col("scale"))
+            val err = xd - q * col("scale")
+            acc + round(err * err * 1e12).cast("long")
+          })))
+      .select(col(idCol), size(v).cast("long").as("n_dims"),
+        round(col("max_abs"), 9).as("max_abs"),
+        round(col("scale"), 9).as("scale"), col("err_q"))
+  }
+
   /** Exact cosine top-k per query. `queries`/`corpus` need (`idCol`,
     * `vecCol`). Keep |queries| modest — the plan broadcasts it.
     */

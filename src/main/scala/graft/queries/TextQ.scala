@@ -1279,6 +1279,33 @@ object TextQ {
           |WHERE q.vec_id < 50""".stripMargin
       }),
 
+    // int8 embedding quantization QA: per-vector max-abs scale and the
+    // integer-quantized reconstruction error — the audit run before
+    // shrinking a float32 embedding store 4x to int8. Error terms are
+    // quantized per dimension (round(err^2 * 1e12) summed as BIGINT)
+    // so the per-vector sum is exact and partition-independent.
+    Q("s07_embedding_quantize",
+      (s, d) => SimilaritySearch.quantizeInt8Stats(Tables.embeddings(s, d)),
+      Some("""WITH base AS (
+        |  SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+        |    embedding
+        |  FROM embeddings
+        |), errs AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CAST(ROUND(
+        |      (CAST(x AS DOUBLE) - ROUND(CAST(x AS DOUBLE) / scale) * scale) *
+        |      (CAST(x AS DOUBLE) - ROUND(CAST(x AS DOUBLE) / scale) * scale) * 1e12)
+        |      AS BIGINT)) AS BIGINT) AS err_q
+        |  FROM (SELECT vec_id, scale, unnest(embedding) AS x FROM base WHERE max_abs <> 0)
+        |  GROUP BY vec_id
+        |)
+        |SELECT b.vec_id, b.n_dims, ROUND(b.max_abs, 9) AS max_abs,
+        |  ROUND(b.scale, 9) AS scale,
+        |  CAST(coalesce(e.err_q, 0) AS BIGINT) AS err_q
+        |FROM base b LEFT JOIN errs e ON e.vec_id = b.vec_id""".stripMargin)),
+
     // PII scrubbing (C4-style cleanup). The synthetic corpus carries no
     // PII, so the query INJECTS deterministic emails/IPs/phones from
     // doc_id via SHARED expression text (both engines run the same
