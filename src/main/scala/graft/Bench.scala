@@ -14,8 +14,39 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = LocalSession.build(cpus)
+    // The emitted line must land inside the driver's 2000-char output
+    // window together with sbt's ~74-char "[success]" suffix; suppress
+    // WARN/INFO log noise so nothing else competes for the window.
+    spark.sparkContext.setLogLevel("ERROR")
     // Warm the JVM, codegen, and shuffle machinery outside the timings.
-    spark.range(1000000).selectExpr("sum(id % 7)").collect()
+    def warmupKernel(): Unit =
+      spark.range(1000000).selectExpr("sum(id % 7)").collect()
+    warmupKernel()
+    // CALIBRATION CANARY: the same fixed kernel re-timed before each
+    // query group (and once after the last). The kernel's cost is
+    // data-independent and, after the warmup above, JIT-stable — so any
+    // drift across the canary sequence measures the ENVIRONMENT (sandbox
+    // CPU contention, noisy neighbors), not the engine. Round 11's
+    // driver record totaled 432 s vs 195 s for a byte-identical
+    // canonical run, with 5-8x non-uniform inflation on st2-st4/m09/d07;
+    // nothing in that record let a reader prove the gap was contention.
+    // Normalization: wall_normalized(q) ~= wall(q) * canary_baseline /
+    // canary(group(q)), with canary_baseline the committed canonical
+    // run's median canary (see PLANS.md "Bench calibration").
+    def canary(): Double = {
+      val t0 = System.nanoTime(); warmupKernel(); (System.nanoTime() - t0) / 1e9
+    }
+    // Whole-JVM CPU seconds around each query. getProcessCpuTime is used
+    // rather than summing ThreadMXBean per-thread times: it is one
+    // monotone counter that also charges GC and JIT-compiler threads
+    // (cold-JIT dominates several isolated first-touch numbers, e.g.
+    // d07's CC loop: 37 s cold vs 12 s warm), and it cannot lose the CPU
+    // of task threads that die between samples. Under a CPU-starved
+    // sandbox, wall inflates while cpu stays ~flat — so cpu/wall exposes
+    // contention per query from the artifact alone.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def cpuSec(): Double = osBean.getProcessCpuTime / 1e9
     // Optional comma-separated allowlist for local bisection runs; the
     // driver never sets it, so round benches always cover the catalog.
     val only = sys.env.get("GRAFT_BENCH_ONLY").map(_.split(',').toSet)
@@ -26,33 +57,41 @@ object Bench {
       require(unknown.isEmpty,
         s"GRAFT_BENCH_ONLY names match no catalog query: ${unknown.mkString(",")}")
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
-      // ISOLATION (untimed): drop every cross-query materialization —
-      // memoized derived/dedup tables and any stray cached relation —
-      // so each query pays its own first-touch cost. Without this a
-      // query's number depended on which neighbor ran first (round 10:
-      // 0.15×–4.6× swings on byte-identical code), and the per-round
-      // 2× regression gate read noise.
-      Derived.reset(spark)
-      graft.queries.TextQ.resetMaterializations(spark)
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      // A swallowed failure must not masquerade as a fast success:
-      // record per-query ok and surface failures in an "errors" list.
-      // The NOOP SINK (not count()) forces full evaluation of every
-      // output column: under count() Catalyst legally eliminates
-      // whole subtrees — a left join against a unique-keyed aggregate
-      // drops its entire right side (d10's gram pipeline benched at
-      // 0.2 s while its real evaluation costs ~10× more) and final
-      // projections prune — so count() timings measured a DIFFERENT,
-      // smaller query than the one Verify checks and users run.
-      val ok = try {
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true
-      } catch { case _: Throwable => false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+    // ~5 contiguous groups of the sorted catalog, a canary before each.
+    val groupSize = math.max(1, math.ceil(sorted.size / 5.0).toInt)
+    val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val results = sorted.grouped(groupSize).toSeq.flatMap { group =>
+      canaries += canary()
+      group.map { case (name, fn) =>
+        // ISOLATION (untimed): drop every cross-query materialization —
+        // memoized derived/dedup tables and any stray cached relation —
+        // so each query pays its own first-touch cost. Without this a
+        // query's number depended on which neighbor ran first (round 10:
+        // 0.15×–4.6× swings on byte-identical code), and the per-round
+        // 2× regression gate read noise.
+        Derived.reset(spark)
+        graft.queries.TextQ.resetMaterializations(spark)
+        spark.catalog.clearCache()
+        val c0 = cpuSec()
+        val t0 = System.nanoTime()
+        // A swallowed failure must not masquerade as a fast success:
+        // record per-query ok and surface failures in an "errors" list.
+        // The NOOP SINK (not count()) forces full evaluation of every
+        // output column: under count() Catalyst legally eliminates
+        // whole subtrees — a left join against a unique-keyed aggregate
+        // drops its entire right side (d10's gram pipeline benched at
+        // 0.2 s while its real evaluation costs ~10× more) and final
+        // projections prune — so count() timings measured a DIFFERENT,
+        // smaller query than the one Verify checks and users run.
+        val ok = try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true
+        } catch { case _: Throwable => false }
+        (name, (System.nanoTime() - t0) / 1e9, ok, cpuSec() - c0)
+      }
     }
+    canaries += canary()
     // The driver keeps only the last 2000 chars of the run's output
     // (observed in round 7: the 70-query line was 1778 chars, with
     // ~150 chars of Spark log noise before it and ~75 after inside the
@@ -70,15 +109,34 @@ object Bench {
       val p = n.takeWhile(_ != '_')
       if (prefixGroups(p).size == 1) p else n
     }
-    val qs = results.map { case (k, v, _) => s"\"" + shortName(k) + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _, _) => s"\"" + shortName(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // short ids here too: full names would re-grow the line exactly on
     // the multi-failure runs where the tail window matters most, and a
     // consumer cross-references errors against the queries keys
-    val errs = results.collect { case (k, _, false) => "\"" + shortName(k) + "\"" }
+    val errs = results.collect { case (k, _, false, _) => "\"" + shortName(k) + "\"" }
       .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // "cpu" is POSITIONAL (line-length budget: a second keyed map would
+    // push the line past the driver's 2000-char window): cpu[i] is the
+    // JVM CPU seconds of the i-th key of "queries" in emission order.
+    // 1-decimal precision — contention shows up as whole-second gaps.
+    def fmt1(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    def fmt3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val cpu = results.map { case (_, _, _, c) => fmt1(c) }.mkString("[", ",", "]")
+    // canary[g] precedes query group g (groups of `groupSize` in
+    // emission order); the last entry is re-timed after the final group.
+    val can = canaries.map(fmt3).mkString("[", ",", "]")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cpu":$cpu,"canary":$can,"errors":$errs,"sf":"$sfDir"}"""
+    // Hard guard on the driver's 2000-char tail window (sbt appends a
+    // ~74-char "[success]" suffix after us): degrade by dropping the cpu
+    // array rather than letting the window clip the JSON head.
+    if (line.length <= 1900) println(line)
+    else println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"canary":$can,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
