@@ -776,10 +776,14 @@ ${matchLayers.replace("AGED_SRC", agedSrc.replace("FROM step s", s"FROM $name s"
     * (nested subqueries — see Derived for why not WITH) and the oracle
     * embeds the same text as gt/tracks CTEs.
     */
-  def anchorSql(jitter: Boolean, frames: Int = 1000): String =
-    s"""SELECT seq, frameIdx, id,
-       |  x${if (jitter) " + CAST(l_orderkey % 7 AS DOUBLE) - 3.0" else ""} AS x,
-       |  y${if (jitter) " + CAST(l_suppkey % 7 AS DOUBLE) - 3.0" else ""} AS y, w, h
+  /** The shared deduped anchor base (one lineitem scan + one dedup
+    * window), keeping the jitter key columns so BOTH gt and tracks
+    * derive from it — gt is a plain projection, tracks adds the jitter
+    * offsets and drops every 9th row. Spark caches ONE materialization
+    * of this; the oracle embeds the same text under both CTEs.
+    */
+  def anchorBaseSql(frames: Int = 1000): String =
+    s"""SELECT seq, frameIdx, id, x, y, w, h, l_orderkey, l_suppkey
        |FROM (
        |  SELECT *, row_number() OVER (PARTITION BY frameIdx, id ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) AS rn
        |  FROM (
@@ -792,7 +796,15 @@ ${matchLayers.replace("AGED_SRC", agedSrc.replace("FROM step s", s"FROM $name s"
        |      CAST(20 + (l_suppkey % 40) AS DOUBLE) AS h,
        |      l_orderkey, l_linenumber, l_partkey, l_suppkey
        |    FROM lineitem) raw) t
-       |WHERE rn = 1${if (jitter) " AND (l_orderkey + l_suppkey) % 9 <> 0" else ""}""".stripMargin
+       |WHERE rn = 1""".stripMargin
+
+  def anchorSql(jitter: Boolean, frames: Int = 1000): String =
+    s"""SELECT seq, frameIdx, id,
+       |  x${if (jitter) " + CAST(l_orderkey % 7 AS DOUBLE) - 3.0" else ""} AS x,
+       |  y${if (jitter) " + CAST(l_suppkey % 7 AS DOUBLE) - 3.0" else ""} AS y, w, h
+       |FROM (
+       |${anchorBaseSql(frames)}
+       |) base${if (jitter) "\nWHERE (l_orderkey + l_suppkey) % 9 <> 0" else ""}""".stripMargin
 
   /** The m11 anchor pipeline (shared with `graft.Anchor`'s scaling
     * sweep): CLEAR/Identity metrics over the anchor derivation at any
@@ -806,9 +818,23 @@ ${matchLayers.replace("AGED_SRC", agedSrc.replace("FROM step s", s"FROM $name s"
   def anchorMetrics(s: org.apache.spark.sql.SparkSession, d: String,
                     frames: Int = 1000): org.apache.spark.sql.DataFrame = {
     graft.Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
-    val m = graft.operators.MotEval.metrics(
-      s.sql(anchorSql(jitter = false, frames)).cache(),
-      s.sql(anchorSql(jitter = true, frames)).cache(), 0.3)
+    // ONE cached dedup of lineitem (anchorBaseSql) feeds both sides:
+    // gt/tracks as separate spark.sql(anchorSql(..)) each cached their
+    // own copy, paying the 600k-row scan + dedup window TWICE on every
+    // first touch (the bench isolation reset makes every bench run a
+    // first touch). The jitter projection and %9 drop are exact integer
+    // arithmetic on DOUBLE columns, so results are bit-identical to the
+    // oracle's standalone gt/tracks derivations.
+    val base = s.sql(anchorBaseSql(frames)).cache()
+    val gt = base.select(col("seq"), col("frameIdx"), col("id"),
+      col("x"), col("y"), col("w"), col("h"))
+    val tracks = base
+      .filter((col("l_orderkey") + col("l_suppkey")) % 9 =!= 0)
+      .select(col("seq"), col("frameIdx"), col("id"),
+        (col("x") + (col("l_orderkey") % 7).cast("double") - 3.0).as("x"),
+        (col("y") + (col("l_suppkey") % 7).cast("double") - 3.0).as("y"),
+        col("w"), col("h"))
+    val m = graft.operators.MotEval.metrics(gt, tracks, 0.3)
     m.select(col("seq"),
       col("Dets").cast("long").as("Dets"),
       col("GT_Dets").cast("long").as("GT_Dets"),
