@@ -283,8 +283,8 @@ object Dedup {
   }
 
   /** SimHash: 16-bit fingerprint from per-token hash16 bit votes.
-    * Documents with identical simhash are near-dup candidates; a
-    * hamming-ball variant would join on rotated prefixes.
+    * Documents with identical simhash are near-dup candidates; see
+    * [[simhashBallPairs]] for the hamming-ball (distance 1..3) tier.
     */
   def simhash(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val toks = docs.select(col("doc_id"),
@@ -298,6 +298,55 @@ object Dedup {
     val sim = (0 until 16).map(b =>
       when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
     votes.withColumn("simhash", sim).select("doc_id", "simhash")
+  }
+
+  /** SimHash hamming-ball near-dup pairs: every doc pair whose 16-bit
+    * fingerprints differ in 1..maxHamming bits (distance-0 pairs are
+    * the existing exact-equality tier, [[simhash]] groupBy — kept
+    * separate so each tier's output is its own report).
+    *
+    * Candidate generation is the Manku-style masked-chunk pigeonhole
+    * (ref near-dup posture: /root/reference/README.md dedup notes): the
+    * fingerprint splits into maxHamming+1 disjoint chunks, and any pair
+    * within the ball must agree EXACTLY on at least one chunk — so
+    * candidates come from an equi-join on (chunk, chunkValue), never a
+    * cross product. Scale posture: the join runs over DISTINCT
+    * fingerprints (≤ 2^16 rows regardless of corpus size), so candidate
+    * cost is bounded by the fingerprint space, and only verified ball
+    * pairs expand back to doc pairs (answer-sized — quadratic only in
+    * genuine near-dup cluster sizes, same audit-tier caveat as
+    * [[lshCandidatePairs]]). A 64-bit fingerprint would make the
+    * chunk buckets sparser still; 16-bit mirrors [[simhash]].
+    */
+  def simhashBallPairs(docs: DataFrame, maxHamming: Int = 3,
+                       textCol: String = "text"): DataFrame = {
+    val nChunks = maxHamming + 1
+    require(16 % nChunks == 0,
+      s"maxHamming+1 must divide the 16-bit fingerprint, got $maxHamming")
+    val width = 16 / nChunks
+    // Three consumers (distinct-fp derivation + both doc expansions)
+    // would each re-run the tokenize + md5 + vote aggregation without
+    // this; one cache entry, CacheManager-deduped across calls (the
+    // m02 match-table pattern).
+    val sh = simhash(docs, textCol).cache()
+    val fp = sh.select("simhash").distinct()
+    val chunks = fp.select(col("simhash"),
+        explode(array((0 until nChunks).map(c =>
+          struct(lit(c).as("chunk"),
+            shiftright(col("simhash"), c * width)
+              .bitwiseAND((1 << width) - 1).as("ckey"))): _*)).as("ck"))
+      .select(col("simhash"), col("ck.chunk").as("chunk"), col("ck.ckey").as("ckey"))
+    val fpPairs = chunks.select(col("simhash").as("fp_a"), col("chunk"), col("ckey"))
+      .join(chunks.select(col("simhash").as("fp_b"), col("chunk"), col("ckey")),
+        Seq("chunk", "ckey"))
+      .filter(col("fp_a") < col("fp_b"))
+      .select("fp_a", "fp_b").distinct()
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+    fpPairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("simhash").as("fp_a")), Seq("fp_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("simhash").as("fp_b")), Seq("fp_b"))
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
   }
 
   /** Embedding near-dup end-to-end: multi-table sign-bit LSH candidate

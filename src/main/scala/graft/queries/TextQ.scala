@@ -40,6 +40,35 @@ object TextQ {
   // non-negative operands involved). The double ratio is an ORDER BY
   // key only; every decision and allocation is exact integer
   // arithmetic, so one shared text keeps both oracles honest.
+  /** Shared simhash oracle text (d03's fingerprint derivation, reused
+    * verbatim by d14's hamming-ball tier): ends in a CTE `sh(doc_id,
+    * simhash)`. One copy so a vote-formula edit cannot reach one
+    * consumer and not the other.
+    */
+  private val SimhashCtes: String = {
+    val votes = (0 until 16).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b").mkString(",\n    ")
+    val bits = (0 until 16).map(b =>
+      s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"""toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS tok
+      |  FROM documents
+      |), h16 AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN ascii(substr(md5(tok), 1, 1)) <= 57 THEN ascii(substr(md5(tok), 1, 1)) - 48 ELSE ascii(substr(md5(tok), 1, 1)) - 87 END) * 4096 +
+      |    (CASE WHEN ascii(substr(md5(tok), 2, 1)) <= 57 THEN ascii(substr(md5(tok), 2, 1)) - 48 ELSE ascii(substr(md5(tok), 2, 1)) - 87 END) * 256 +
+      |    (CASE WHEN ascii(substr(md5(tok), 3, 1)) <= 57 THEN ascii(substr(md5(tok), 3, 1)) - 48 ELSE ascii(substr(md5(tok), 3, 1)) - 87 END) * 16 +
+      |    (CASE WHEN ascii(substr(md5(tok), 4, 1)) <= 57 THEN ascii(substr(md5(tok), 4, 1)) - 48 ELSE ascii(substr(md5(tok), 4, 1)) - 87 END) AS h
+      |  FROM toks
+      |), votes AS (
+      |  SELECT doc_id,
+      |    $votes
+      |  FROM h16 GROUP BY doc_id
+      |), sh AS (
+      |  SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM votes
+      |)""".stripMargin
+  }
+
   /** Shared MinHash-banding oracle text — ONE copy of the signature
     * formula for both its consumers (d09's batch incremental dedup and
     * st6's streaming ingest probe in ExtQ): a formula edit that
@@ -1385,28 +1414,34 @@ object TextQ {
     // SimHash 16-bit fingerprints from per-token hash votes.
     Q("d03_simhash",
       (s, d) => Dedup.simhash(Tables.documents(s, d)),
-      Some {
-        val votes = (0 until 16).map(b =>
-          s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b").mkString(",\n    ")
-        val bits = (0 until 16).map(b =>
-          s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
-        s"""WITH toks AS (
-          |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS tok
-          |  FROM documents
-          |), h16 AS (
-          |  SELECT doc_id,
-          |    (CASE WHEN ascii(substr(md5(tok), 1, 1)) <= 57 THEN ascii(substr(md5(tok), 1, 1)) - 48 ELSE ascii(substr(md5(tok), 1, 1)) - 87 END) * 4096 +
-          |    (CASE WHEN ascii(substr(md5(tok), 2, 1)) <= 57 THEN ascii(substr(md5(tok), 2, 1)) - 48 ELSE ascii(substr(md5(tok), 2, 1)) - 87 END) * 256 +
-          |    (CASE WHEN ascii(substr(md5(tok), 3, 1)) <= 57 THEN ascii(substr(md5(tok), 3, 1)) - 48 ELSE ascii(substr(md5(tok), 3, 1)) - 87 END) * 16 +
-          |    (CASE WHEN ascii(substr(md5(tok), 4, 1)) <= 57 THEN ascii(substr(md5(tok), 4, 1)) - 48 ELSE ascii(substr(md5(tok), 4, 1)) - 87 END) AS h
-          |  FROM toks
-          |), votes AS (
-          |  SELECT doc_id,
-          |    $votes
-          |  FROM h16 GROUP BY doc_id
-          |)
-          |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM votes""".stripMargin
-      }),
+      Some(s"""WITH $SimhashCtes
+        |SELECT doc_id, simhash FROM sh""".stripMargin)),
+
+    // SimHash hamming-ball tier: doc pairs whose fingerprints differ in
+    // 1..3 bits. The oracle replays the SAME masked-chunk pigeonhole
+    // equi-join over distinct fingerprints (4 disjoint 4-bit chunks —
+    // any pair within hamming 3 agrees exactly on >= 1 chunk), then the
+    // exact bit_count verify, then the answer-sized doc expansion.
+    Q("d14_simhash_ball",
+      (s, d) => Dedup.simhashBallPairs(Tables.documents(s, d), maxHamming = 3),
+      Some(s"""WITH $SimhashCtes,
+        |fp AS (SELECT DISTINCT simhash FROM sh),
+        |chunks AS (
+        |  SELECT simhash, c.c AS chunk, (simhash >> (c.c * 4)) & 15 AS ckey
+        |  FROM fp, range(4) c(c)
+        |), fppairs AS (
+        |  SELECT DISTINCT a.simhash AS fp_a, b.simhash AS fp_b
+        |  FROM chunks a JOIN chunks b
+        |    ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.simhash < b.simhash
+        |), ball AS (
+        |  SELECT fp_a, fp_b, bit_count(xor(fp_a, fp_b)) AS hamming
+        |  FROM fppairs WHERE bit_count(xor(fp_a, fp_b)) <= 3
+        |)
+        |SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+        |  CAST(ball.hamming AS BIGINT) AS hamming
+        |FROM ball
+        |JOIN sh sa ON sa.simhash = ball.fp_a
+        |JOIN sh sb ON sb.simhash = ball.fp_b""".stripMargin)),
 
     // N-gram Jaccard similarity for a deterministic candidate pair set
     // (adjacent doc ids) — the verify stage of near-dup detection.

@@ -30,6 +30,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"as-of must not plan a join:\n$p")
   }
 
+  test("d14_simhash_ball: chunk candidate join is equi-keyed, never a cross product") {
+    val p = plan("d14_simhash_ball")
+    // Pigeonhole candidate generation must plan as an equi-join on
+    // (chunk, ckey) — a BroadcastNestedLoopJoin/CartesianProduct here
+    // would mean the fingerprint pairing degenerated to all-pairs.
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"hamming-ball candidates must come from an equi-join:\n$p")
+    assert(p.contains("chunk") && p.contains("ckey"),
+      s"candidate join should key on (chunk, ckey):\n$p")
+  }
+
   test("m01_iou_match: broadcast equi-join with IoU residual + rank-limit pushdown") {
     val p = plan("m01_iou_match")
     assert(p.contains("BroadcastHashJoin"), p)
