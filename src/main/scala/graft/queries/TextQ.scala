@@ -252,6 +252,73 @@ object TextQ {
         .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
     }
 
+  /** ON-DISK form of [[bandSigs]] — the cross-session artifact the
+    * incremental-dedup docs promise: written ONCE per distinct
+    * source-data generation, then probed by later ingests that never
+    * re-band the corpus. The artifact directory is keyed by the source
+    * file's (length, mtime), so a regenerated documents.parquet at the
+    * same path invalidates the artifact instead of silently serving
+    * stale signatures (the driver DOES regenerate testdata between
+    * rounds). Returns the artifact path; `_SUCCESS` gates readiness
+    * (a torn write is rewritten, never read).
+    */
+  private[graft] def bandArtifact(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val src = new java.io.File(d, "documents.parquet")
+    val tag = java.lang.Long.toHexString(src.length() * 1000003L + src.lastModified())
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_band_artifact/$tag"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")))
+      bandSigs(s, d).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** Shared tail of the incremental-dedup queries (d09 memoized / d15
+    * artifact): exact-Jaccard verify of the asymmetric candidates at
+    * 0.5, per-new-doc match count, kept = no verified corpus near-dup.
+    */
+  private def incrementalDedup(s: org.apache.spark.sql.SparkSession, d: String,
+                               cands: org.apache.spark.sql.DataFrame) = {
+    val docs = Tables.documents(s, d)
+    val fresh = docs.filter(col("source") === "src0")
+    val nDups = Dedup.jaccardPairs(docs, cands, n = 1, minJaccard = 0.5)
+      .groupBy(col("doc_a").as("doc_id"))
+      .agg(count(lit(1)).as("n_dups"))
+    fresh.join(nDups, Seq("doc_id"), "left")
+      .withColumn("n_dups", coalesce(col("n_dups"), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_dups"),
+        (col("n_dups") === 0).as("kept"))
+  }
+
+  /** ONE oracle text for both incremental-dedup forms: d15's artifact
+    * is deterministic band signatures, so DuckDB recomputing them from
+    * raw text must agree with the artifact byte-for-byte — a d09/d15
+    * divergence would mean the artifact served stale or corrupt rows.
+    */
+  private lazy val IncrementalDedupSql: String =
+    s"""WITH $BandCtes,
+      |cands AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM banded a JOIN src sa ON sa.doc_id = a.doc_id AND sa.source = 'src0'
+      |       JOIN banded b ON a.band = b.band AND a.band_sig = b.band_sig
+      |       JOIN src sb ON sb.doc_id = b.doc_id AND sb.source <> 'src0'
+      |), $GramSetsCte,
+      |scored AS (
+      |  SELECT c.doc_a,
+      |    len(list_intersect(sa.gs, sb.gs)) AS inter,
+      |    len(sa.gs) + len(sb.gs) - len(list_intersect(sa.gs, sb.gs)) AS usz
+      |  FROM cands c JOIN sets sa ON c.doc_a = sa.doc_id JOIN sets sb ON c.doc_b = sb.doc_id
+      |), dupc AS (
+      |  SELECT doc_a AS doc_id, count(*) AS n_dups FROM scored
+      |  WHERE usz > 0 AND CAST(inter AS DOUBLE) / usz >= CAST(0.5 AS DOUBLE)
+      |  GROUP BY doc_a
+      |)
+      |SELECT d.doc_id AS doc_id, d.lang AS lang,
+      |  CAST(coalesce(dupc.n_dups, 0) AS BIGINT) AS n_dups,
+      |  coalesce(dupc.n_dups, 0) = 0 AS kept
+      |FROM documents d LEFT JOIN dupc ON dupc.doc_id = d.doc_id
+      |WHERE d.source = 'src0'""".stripMargin
+
   private val pairCache =
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.SparkContext, String), org.apache.spark.sql.DataFrame]
   private def scoredPairs(s: org.apache.spark.sql.SparkSession, d: String) =
@@ -844,42 +911,36 @@ object TextQ {
     // kept = no verified corpus near-dup.
     Q("d09_incremental_dedup",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        val fresh = docs.filter(col("source") === "src0")
         val banded = bandSigs(s, d)
-        val cands = Dedup.minhashCandidatesAgainstFromBands(
-          banded.filter(col("source") === "src0"),
-          banded.filter(col("source") =!= "src0"))
-        val nDups = Dedup.jaccardPairs(docs, cands, n = 1, minJaccard = 0.5)
-          .groupBy(col("doc_a").as("doc_id"))
-          .agg(count(lit(1)).as("n_dups"))
-        fresh.join(nDups, Seq("doc_id"), "left")
-          .withColumn("n_dups", coalesce(col("n_dups"), lit(0L)))
-          .select(col("doc_id"), col("lang"), col("n_dups"),
-            (col("n_dups") === 0).as("kept"))
+        incrementalDedup(s, d,
+          Dedup.minhashCandidatesAgainstFromBands(
+            banded.filter(col("source") === "src0"),
+            banded.filter(col("source") =!= "src0")))
       },
-      Some(s"""WITH $BandCtes,
-        |cands AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM banded a JOIN src sa ON sa.doc_id = a.doc_id AND sa.source = 'src0'
-        |       JOIN banded b ON a.band = b.band AND a.band_sig = b.band_sig
-        |       JOIN src sb ON sb.doc_id = b.doc_id AND sb.source <> 'src0'
-        |), $GramSetsCte,
-        |scored AS (
-        |  SELECT c.doc_a,
-        |    len(list_intersect(sa.gs, sb.gs)) AS inter,
-        |    len(sa.gs) + len(sb.gs) - len(list_intersect(sa.gs, sb.gs)) AS usz
-        |  FROM cands c JOIN sets sa ON c.doc_a = sa.doc_id JOIN sets sb ON c.doc_b = sb.doc_id
-        |), dupc AS (
-        |  SELECT doc_a AS doc_id, count(*) AS n_dups FROM scored
-        |  WHERE usz > 0 AND CAST(inter AS DOUBLE) / usz >= CAST(0.5 AS DOUBLE)
-        |  GROUP BY doc_a
-        |)
-        |SELECT d.doc_id AS doc_id, d.lang AS lang,
-        |  CAST(coalesce(dupc.n_dups, 0) AS BIGINT) AS n_dups,
-        |  coalesce(dupc.n_dups, 0) = 0 AS kept
-        |FROM documents d LEFT JOIN dupc ON dupc.doc_id = d.doc_id
-        |WHERE d.source = 'src0'""".stripMargin)),
+      Some(IncrementalDedupSql)),
+
+    // d09's cross-SESSION form: the corpus band table is read back from
+    // an ON-DISK parquet artifact (written once per source-data
+    // generation — see bandArtifact) instead of the per-session
+    // memoized DataFrame, proving the maintenance story the docs claim:
+    // an ingest probes a persisted artifact it did not compute. Same
+    // verify chain, same oracle — the artifact path must answer
+    // identically to the recompute path (PlanShapeSpec additionally
+    // pins the corpus side to a FileScan of the artifact).
+    Q("d15_band_artifact",
+      (s, d) => {
+        val corpusBands = s.read.parquet(bandArtifact(s, d))
+          .filter(col("source") =!= "src0")
+        // The ingest bands ITS slice only — the whole point of the
+        // artifact is that batch cost never includes re-banding the
+        // corpus (same 16-hash/2-band config as bandSigs).
+        val bandedNew = Dedup.bandSignatures(
+          Tables.documents(s, d).filter(col("source") === "src0"),
+          numHashes = 16, bands = 2, textCol = "text")
+        incrementalDedup(s, d,
+          Dedup.minhashCandidatesAgainstFromBands(bandedNew, corpusBands))
+      },
+      Some(IncrementalDedupSql)),
 
     // Benchmark decontamination: the 'src19' slice plays the held-out
     // eval set; every other document is flagged when it shares any

@@ -41,6 +41,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"candidate join should key on (chunk, ckey):\n$p")
   }
 
+  test("d15_band_artifact: corpus band table scans the on-disk artifact, not raw text") {
+    val p = plan("d15_band_artifact")
+    assert(p.contains("graft_band_artifact"),
+      s"corpus candidates must come from a FileScan of the persisted artifact:\n$p")
+    // The batch side still reads documents (it bands its own slice and
+    // the Jaccard verify needs text) — but the candidate join must be
+    // equi-keyed, never a cross product.
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("m01_iou_match: broadcast equi-join with IoU residual + rank-limit pushdown") {
     val p = plan("m01_iou_match")
     assert(p.contains("BroadcastHashJoin"), p)
