@@ -186,21 +186,54 @@ object TextAnalysis {
     *
     * Vocab build: map-side-combined token counts + `TakeOrdered` top-k
     * (never a global sort), collected as a bounded model artifact like
-    * IVF's centroids and scored as a literal IN-list inside codegen.
-    * For 100k+-word vocabs swap the literal for a broadcast join (or
-    * bloom filter) against the exploded tokens — same two-stage shape.
+    * IVF's centroids. Scoring is two-tier on the REQUESTED vocab size:
+    * below `broadcastThreshold` a literal IN-list inside codegen
+    * (zero-shuffle, the tiny-vocab fast path); at or above it, the
+    * exploded tokens anti-join a broadcast vocab table (t16's shape) —
+    * a 100k-term IN-list would blow past JIT method limits.
     */
   def vocabCoverage(docs: DataFrame, vocabSize: Int = 32,
-                    textCol: String = "text"): DataFrame = {
+                    textCol: String = "text", idCol: String = "doc_id",
+                    broadcastThreshold: Int = VocabBroadcastThreshold): DataFrame = {
     val toksCol = Text.tokens(col(textCol))
     val vocab: Seq[String] = docs.select(explode(toksCol).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tok").asc).limit(vocabSize)
       .select("tok").collect().toSeq.map(_.getString(0))
-    docs
-      .withColumn("n_tokens", size(toksCol))
-      .withColumn("n_oov", size(filter(toksCol, t => !t.isin(vocab: _*))))
+    // Gate on the REQUESTED size, not the collected one: a 100k-vocab
+    // config must plan scale-safe even on a corpus whose distinct
+    // tokens happen to be few today (plans should not flip shape with
+    // the data).
+    if (vocabSize < broadcastThreshold)
+      docs
+        .withColumn("n_tokens", size(toksCol))
+        .withColumn("n_oov", size(filter(toksCol, t => !t.isin(vocab: _*))))
+    else {
+      // Large-vocab form (t16's broadcast shape): a 100k-term IN-list
+      // would bloat every generated filter past JIT limits, so the
+      // exploded tokens anti-join the broadcast vocab table instead —
+      // multiset semantics identical to the literal filter (duplicate
+      // OOV tokens each count), empty-token docs keep n_oov = 0 via
+      // the left join + coalesce. n_oov casts to int to match the
+      // literal path's size() type exactly.
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val vocabDf = broadcast(vocab.toDF("tok"))
+      val oov = docs.select(col(idCol), explode(toksCol).as("tok"))
+        .join(vocabDf, Seq("tok"), "left_anti")
+        .groupBy(idCol).agg(count(lit(1)).as("__n_oov"))
+      docs
+        .withColumn("n_tokens", size(toksCol))
+        .join(oov, Seq(idCol), "left")
+        .withColumn("n_oov", coalesce(col("__n_oov"), lit(0L)).cast("int"))
+        .drop("__n_oov")
+    }
   }
+
+  /** Vocab size at which [[vocabCoverage]] switches from the codegen
+    * IN-list to the broadcast anti-join (t16's shape).
+    */
+  val VocabBroadcastThreshold: Int = 256
 
   /** TF-IDF top-terms (keyword extraction) over a BOUNDED vocabulary:
     * the `vocabSize` terms with the highest document frequency form

@@ -209,6 +209,23 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(got(2L) == ((4, 3)))
   }
 
+  test("vocabCoverage: broadcast anti-join path matches the literal IN-list path") {
+    val docs = Seq(
+      (1L, "common common common rare1"),
+      (2L, "common rare2 rare3 rare4"),
+      (3L, "")).toDF("doc_id", "text")
+    // Same vocab, both paths (threshold 1 forces the join form): every
+    // (n_tokens, n_oov) must agree, including the zero-token doc.
+    val literal = TextAnalysis.vocabCoverage(docs, vocabSize = 2, broadcastThreshold = 100)
+      .select("doc_id", "n_tokens", "n_oov").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    val joined = TextAnalysis.vocabCoverage(docs, vocabSize = 2, broadcastThreshold = 1)
+      .select("doc_id", "n_tokens", "n_oov").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(literal == joined, s"literal=$literal joined=$joined")
+    assert(joined(3L) == ((0, 0)))
+  }
+
   test("repetitionStats: short docs, empty text, and a pure repetition loop") {
     val docs = Seq(
       (1L, "solo"),                 // 1 token: no grams at all

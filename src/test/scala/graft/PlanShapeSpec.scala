@@ -51,6 +51,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("vocabCoverage at 10k terms: broadcast anti-join, no literal IN-list") {
+    val docs = graft.Tables.documents(spark, dir)
+    val p = graft.operators.TextAnalysis
+      .vocabCoverage(docs, vocabSize = 10000)
+      .queryExecution.executedPlan.toString
+    // A 10k-term vocab must never be inlined into the generated filter
+    // (JIT method-size limits); the corpus's distinct tokens at
+    // sf0.001 exceed the old IN-list's tokens, so any isin residue
+    // would show as a giant literal list in the plan.
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"expected broadcast anti-join for the 10k vocab:\n${p.take(4000)}")
+    assert(!p.contains(" INSET ") && !p.contains("isin"),
+      s"vocab must not plan as a literal IN-list:\n${p.take(4000)}")
+  }
+
   test("m01_iou_match: broadcast equi-join with IoU residual + rank-limit pushdown") {
     val p = plan("m01_iou_match")
     assert(p.contains("BroadcastHashJoin"), p)
