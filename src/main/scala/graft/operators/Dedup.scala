@@ -413,7 +413,11 @@ object Dedup {
     * at most this many edges (and node ids are integral), the
     * remaining components are solved in one pass on the driver
     * (union-find over the collected fringe — a bounded model-artifact
-    * collect, ≤ threshold × 16 bytes) instead of running more
+    * collect through the primitive tuple encoder: specialized
+    * Tuple2[Long,Long] holds unboxed longs, so the transient driver
+    * footprint is ~threshold × 32 B incl. object headers — ≈32 MB at
+    * the 2²⁰ default, vs ~100 MB for a GenericRow collect) instead of
+    * running more
     * distributed rounds. The geometric contraction means the LAST
     * rounds of distributed CC always degenerate into many tiny
     * latency-bound jobs over a vanishing fringe — the standard
@@ -509,8 +513,14 @@ object Dedup {
         // rep merged. Values identical to more distributed rounds
         // (both compute min reachable id); the compress loop below
         // still runs and independently verifies the fixpoint.
-        val fringe = e.select(col("src").cast("long"), col("dst").cast("long"))
-          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        // collect through the tuple encoder, not Row: Tuple2[Long,Long]
+        // is @specialized so the fringe lands as unboxed longs (~32 B/
+        // edge incl. headers) instead of GenericRow + boxed Longs (~100 B)
+        val fringe: Array[(Long, Long)] = {
+          import spark.implicits._
+          e.select(col("src").cast("long"), col("dst").cast("long"))
+            .as[(Long, Long)].collect()
+        }
         val parent = scala.collection.mutable.HashMap.empty[Long, Long]
         def find(x: Long): Long = {
           var r = x

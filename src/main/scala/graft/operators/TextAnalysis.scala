@@ -254,11 +254,22 @@ object TextAnalysis {
   def tfidfTopTerms(docs: DataFrame, vocabSize: Int = 100, k: Int = 3,
                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(vocabSize > 0 && k > 0, s"tfidfTopTerms: bad vocabSize=$vocabSize k=$k")
-    val spark = docs.sparkSession
-    import spark.implicits._
+    tfidfScore(docs, tfidfVocab(docs, vocabSize, textCol, idCol), k, textCol, idCol)
+  }
+
+  /** The collected-vocab driver pass of [[tfidfTopTerms]]: (term, df,
+    * idf_q) for the `vocabSize` highest-df terms. Exposed so the t16
+    * oracle can interpolate EXACTLY these integers into its SQL —
+    * idf_q is derived on one engine only (JVM StrictMath.log, which is
+    * reproducible across JVMs by spec), never re-derived by DuckDB's
+    * ln: two libms are not bit-identical, and a last-ulp difference
+    * landing on a .5 quantization boundary would flip idf_q by 1.
+    */
+  def tfidfVocab(docs: DataFrame, vocabSize: Int,
+                 textCol: String = "text", idCol: String = "doc_id"): Seq[(String, Long, Long)] = {
     val toksCol = Text.tokens(col(textCol))
     val n = docs.count()
-    val vocab: Seq[(String, Long, Long)] = docs
+    docs
       .select(col(idCol), explode(array_distinct(toksCol)).as("term"))
       .groupBy("term").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("term").asc).limit(vocabSize)
@@ -266,8 +277,16 @@ object TextAnalysis {
       .map { r =>
         val df = r.getLong(1)
         (r.getString(0), df,
-          math.round(math.log(n.toDouble / df.toDouble) * 1e9))
+          math.round(StrictMath.log(n.toDouble / df.toDouble) * 1e9))
       }
+  }
+
+  /** Scoring half of [[tfidfTopTerms]] over an already-derived vocab. */
+  def tfidfScore(docs: DataFrame, vocab: Seq[(String, Long, Long)], k: Int,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toksCol = Text.tokens(col(textCol))
     val vocabDf = broadcast(vocab.toDF("term", "df", "idf_q"))
     docs
       .select(col(idCol), explode(toksCol).as("term"))

@@ -312,8 +312,16 @@ object Tracker {
     }
 
     /** J4 — global greedy: all candidate pairs sorted by similarity desc,
-      * assigned one-to-one (reference src/tracking.py:1037-1133). Sort is
-      * stable on similarity only, mirroring Python's `list.sort`.
+      * assigned one-to-one (reference src/tracking.py:1037-1133).
+      *
+      * Exact-similarity ties break by (trackId, detId) ascending — both
+      * ids ascend with list position, so this equals the (ti, dj) build
+      * order of the reference's non-indexed loop AND the DuckDB oracle's
+      * `list_sort` over {k:-sim, ti, dj} structs. Without the explicit
+      * key, a stable sort would tie-break by CANDIDATE BUILD ORDER,
+      * which under the spatial index is grid-cell hash-iteration order —
+      * a latent kernel/oracle divergence on exactly-equal doubles (no
+      * tie exists in current data; the key makes that a non-assumption).
       */
     private def matchGreedy(candidatesFor: Trk => Iterator[TrackerIn])
         : (Seq[(Trk, TrackerIn)], Set[Int], Set[Int]) = {
@@ -324,7 +332,7 @@ object Tracker {
           if (!sim.isNaN) cands += ((sim, t, d))
         }
       }
-      val sorted = cands.sortBy(-_._1) // stable: preserves build order on ties
+      val sorted = cands.sortBy(c => (-c._1, c._2.trackId, c._3.id))
       val mT = mutable.HashSet.empty[Int]
       val mD = mutable.HashSet.empty[Int]
       val out = mutable.ArrayBuffer.empty[(Trk, TrackerIn)]

