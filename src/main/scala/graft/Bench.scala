@@ -18,6 +18,13 @@ object Bench {
     // window together with sbt's ~74-char "[success]" suffix; suppress
     // WARN/INFO log noise so nothing else competes for the window.
     spark.sparkContext.setLogLevel("ERROR")
+    // Noise control: the state-store maintenance tick (default 60 s)
+    // snapshots every loaded provider on a background thread — a tick
+    // landing mid-query adds sporadic multi-second spikes to whichever
+    // streaming query it hits. Drain-once benches never need snapshot
+    // compaction, so push the tick past the run. (Must be set before
+    // the first stream starts — the maintenance task latches it.)
+    spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1h")
     // Warm the JVM, codegen, and shuffle machinery outside the timings.
     def warmupKernel(): Unit =
       spark.range(1000000).selectExpr("sum(id % 7)").collect()
@@ -59,6 +66,49 @@ object Bench {
     }
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // STREAMING WARMUP (untimed, like the batch kernel above): the
+    // first streaming query of a session pays ~2 s of one-time
+    // micro-batch-engine/state-store class loading + JIT that the batch
+    // warmup kernel cannot touch — measured with ProfileStream at
+    // sf0.1, the identical st2 shape runs 3.4 s on first touch and
+    // 1.2-1.7 s on every later run regardless of partition count or
+    // checkpoint filesystem. Draining one tiny stream per stateful
+    // operator shape (windowed agg, watermarked dedup, session window,
+    // stream-stream interval join) moves that constant out of the
+    // first st-family timing, so per-query numbers measure the plan.
+    if (sorted.exists { case (n, _) => n.startsWith("st") || n.startsWith("k10") }) {
+      import org.apache.spark.sql.functions._
+      val dir = java.nio.file.Files.createTempDirectory("graft_stwarm")
+      val ev = dir.resolve("ev").toString
+      spark.range(200)
+        .selectExpr("id", "timestamp_micros(id * 1000000) AS et", "id % 7 AS k")
+        .write.mode("overwrite").parquet(ev)
+      val schema = spark.read.parquet(ev).schema
+      def src = spark.readStream.schema(schema).parquet(ev)
+      def drain(df: org.apache.spark.sql.DataFrame, mode: String, name: String): Unit = {
+        val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        spark.catalog.dropTempView(name)
+      }
+      graft.queries.ExtQ.withStreamShuffle(spark) {
+        drain(src.withWatermark("et", "1 hour")
+          .groupBy(window(col("et"), "1 hour")).count(), "complete", "stwarm1")
+        drain(src.withWatermark("et", "1 hour")
+          .dropDuplicatesWithinWatermark("id"), "append", "stwarm2")
+        drain(src.withWatermark("et", "1 second")
+          .groupBy(col("k"), session_window(col("et"), "10 minutes"))
+          .agg(count(lit(1)).as("n")), "append", "stwarm3")
+        val a = src.select(col("id").as("aid"), col("et").as("aet"))
+          .withWatermark("aet", "1 hour")
+        val b = src.select(col("id").as("bid"), col("et").as("bet"))
+          .withWatermark("bet", "1 hour")
+        drain(a.join(b, col("aid") === col("bid") &&
+            col("bet") >= col("aet") &&
+            col("bet") <= col("aet") + expr("interval 1 hour"))
+          .select(col("aid"), col("bid")), "append", "stwarm4")
+      }
+    }
     // ~5 contiguous groups of the sorted catalog, a canary before each.
     val groupSize = math.max(1, math.ceil(sorted.size / 5.0).toInt)
     val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -74,6 +124,10 @@ object Bench {
         Derived.reset(spark)
         graft.queries.TextQ.resetMaterializations(spark)
         spark.catalog.clearCache()
+        // drained streams leave memory-sink views + loaded state-store
+        // providers on the heap; across ~100 queries that accumulation
+        // inflates later streaming numbers ~3x (see StreamHygiene)
+        streaming.StreamHygiene.reset(spark)
         val c0 = cpuSec()
         val t0 = System.nanoTime()
         // A swallowed failure must not masquerade as a fast success:

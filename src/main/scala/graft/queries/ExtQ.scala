@@ -45,8 +45,8 @@ object ExtQ {
     * real cluster a continuous job would size this to its executor
     * count instead.
     */
-  private[queries] def withStreamShuffle[T](s: org.apache.spark.sql.SparkSession,
-                                            parts: Int = 4)(body: => T): T = {
+  private[graft] def withStreamShuffle[T](s: org.apache.spark.sql.SparkSession,
+                                          parts: Int = 4)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     s.conf.set(key, parts.toString)
