@@ -465,7 +465,13 @@ object ExtQ {
         val corpus = docs.filter(col("source") =!= "src0")
         val fp = (t: org.apache.spark.sql.Column) =>
           sort_array(transform(Text.distinctTokens(t), g => xxhash64(g)))
-        val staticSide = TextQ.bandSigs(s, d).filter(col("source") =!= "src0")
+        // corpus bands come from the PERSISTED artifact (d15's
+        // write-once-per-data-generation parquet), not an in-session
+        // re-banding: a production ingest stream probes the stored
+        // table, so the FileScan is the faithful steady-state shape —
+        // and d15's oracle proves artifact rows ≡ recomputed rows
+        val staticSide = s.read.parquet(TextQ.bandArtifact(s, d))
+          .filter(col("source") =!= "src0")
           .drop("source")
           .join(corpus.select(col("doc_id"), fp(col("text")).as("grams_b")), Seq("doc_id"))
           .select(col("band"), col("band_sig"),
