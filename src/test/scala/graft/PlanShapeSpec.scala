@@ -41,6 +41,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"candidate join should key on (chunk, ckey):\n$p")
   }
 
+  test("d16_simhash64_ball: chunk candidate join is equi-keyed, never a cross product") {
+    val p = plan("d16_simhash64_ball")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"64-bit hamming-ball candidates must come from an equi-join:\n$p")
+    assert(p.contains("chunk") && p.contains("ckey"),
+      s"candidate join should key on (chunk, ckey):\n$p")
+  }
+
   test("d15_band_artifact: corpus band table scans the on-disk artifact, not raw text") {
     val p = plan("d15_band_artifact")
     assert(p.contains("graft_band_artifact"),
@@ -49,6 +57,33 @@ class PlanShapeSpec extends AnyFunSuite {
     // the Jaccard verify needs text) — but the candidate join must be
     // equi-keyed, never a cross product.
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("band consumers FileScan the persisted artifact — none re-bands the corpus") {
+    // The steady-state production shape: band signatures are computed
+    // once per corpus generation and persisted; every dedup consumer
+    // probes the parquet artifact. A regression that silently
+    // re-derives bands from raw text (tokenize + md5 per consumer, the
+    // top bench cost through round 12) would replace the artifact
+    // FileScan with a documents scan in these plans. The shared source
+    // (bandSigs — feeds d05/d07 via scoredPairs and d12's star edges)
+    // is pinned directly; d05 and d09 are pinned end-to-end (their
+    // cached inputs print the build plan under InMemoryRelation).
+    // d07/d12 checkpoint mid-query (lineage truncation hides the scan
+    // from their FINAL plans) but consume the pinned sources.
+    graft.queries.TextQ.resetMaterializations(spark)
+    val src = graft.queries.TextQ.bandSigs(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(src.contains("graft_band_artifact"),
+      s"bandSigs must read the persisted artifact:\n${src.take(4000)}")
+    assert(!src.contains("documents.parquet"),
+      s"bandSigs must not re-band raw documents text:\n${src.take(4000)}")
+    for (q <- Seq("d05_minhash_lsh_pairs", "d09_incremental_dedup")) {
+      graft.queries.TextQ.resetMaterializations(spark)
+      val p = plan(q)
+      assert(p.contains("graft_band_artifact"),
+        s"$q must FileScan the band artifact, not re-band raw text:\n${p.take(4000)}")
+    }
   }
 
   test("vocabCoverage at 10k terms: broadcast anti-join, no literal IN-list") {
