@@ -54,6 +54,17 @@ object Bench {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     def cpuSec(): Double = osBean.getProcessCpuTime / 1e9
+    // Cumulative stop-the-world GC seconds across all collectors — the
+    // second contention axis the artifact must expose: a query whose
+    // wall AND cpu both inflate while the canary stays flat is usually
+    // paying a GC storm (GC worker threads burn real process CPU), not
+    // running a worse plan. Round 12's one unexplained number (f02
+    // 7.91 s / 31 CPU-s vs ~1.7 s canonical) reproduced locally only
+    // when a heavy-allocation query block preceded it and vanished on
+    // re-runs — classic inherited-heap-pressure noise.
+    import scala.jdk.CollectionConverters._
+    def gcSec(): Double = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum / 1e3
     // Optional comma-separated allowlist for local bisection runs; the
     // driver never sets it, so round benches always cover the catalog.
     val only = sys.env.get("GRAFT_BENCH_ONLY").map(_.split(',').toSet)
@@ -135,9 +146,15 @@ object Bench {
     // ~5 contiguous groups of the sorted catalog, a canary before each.
     val groupSize = math.max(1, math.ceil(sorted.size / 5.0).toInt)
     val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // gcg[g] = STW GC seconds accumulated during query group g (the
+    // System.gc() isolation calls included — they're the cleanup being
+    // attributed); read next to canary[g] it separates "sandbox CPU
+    // contention" (canary up) from "GC storm" (gcg up, canary flat).
+    val gcGroups = scala.collection.mutable.ArrayBuffer.empty[Double]
     val results = sorted.grouped(groupSize).toSeq.flatMap { group =>
       canaries += canary()
-      group.map { case (name, fn) =>
+      val g0 = gcSec()
+      val rs = group.map { case (name, fn) =>
         // ISOLATION (untimed): drop every cross-query materialization —
         // memoized derived/dedup tables and any stray cached relation —
         // so each query pays its own first-touch cost. Without this a
@@ -151,6 +168,14 @@ object Bench {
         // providers on the heap; across ~100 queries that accumulation
         // inflates later streaming numbers ~3x (see StreamHygiene)
         streaming.StreamHygiene.reset(spark)
+        // Collect the PREVIOUS query's garbage here, untimed: a heavy
+        // allocator (the d-block shuffles GBs) otherwise leaves the
+        // heap primed so the NEXT query's allocations trigger the
+        // mixed-GC storm mid-timing — wall and cpu both inflate while
+        // the (pre-group) canary stays flat. Same isolation principle
+        // as the cache resets above: each query pays its own costs,
+        // not its neighbor's cleanup.
+        System.gc()
         val c0 = cpuSec()
         val t0 = System.nanoTime()
         // A swallowed failure must not masquerade as a fast success:
@@ -167,6 +192,8 @@ object Bench {
         } catch { case _: Throwable => false }
         (name, (System.nanoTime() - t0) / 1e9, ok, cpuSec() - c0)
       }
+      gcGroups += gcSec() - g0
+      rs
     }
     canaries += canary()
     // The driver keeps only the last 2000 chars of the run's output
@@ -206,14 +233,17 @@ object Bench {
     // canary[g] precedes query group g (groups of `groupSize` in
     // emission order); the last entry is re-timed after the final group.
     val can = canaries.map(fmt3).mkString("[", ",", "]")
+    // gcg[g] = GC seconds during group g (6 entries — cheap on the
+    // line budget, and the second contention axis next to canary)
+    val gcg = gcGroups.map(fmt1).mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cpu":$cpu,"canary":$can,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cpu":$cpu,"canary":$can,"gcg":$gcg,"errors":$errs,"sf":"$sfDir"}"""
     // Hard guard on the driver's 2000-char tail window (sbt appends a
     // ~74-char "[success]" suffix after us): degrade by dropping the cpu
     // array rather than letting the window clip the JSON head.
     if (line.length <= 1900) println(line)
     else println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"canary":$can,"errors":$errs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"canary":$can,"gcg":$gcg,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
