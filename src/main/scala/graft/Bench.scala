@@ -143,6 +143,17 @@ object Bench {
         Seq("d05", "d07", "d09", "d12", "d15", "st6").exists(n.startsWith) })
       try graft.queries.TextQ.bandArtifact(spark, sfDir)
       catch { case _: Throwable => () }
+    // Same posture for the MOT-shaped input tables: gt/tracks/gt_emb/
+    // dets are the engine's INPUT data (the reference reads them from
+    // disk as MOT CSVs) — the once-per-generation derivation from the
+    // synthetic fact table is data maintenance. Build the artifacts
+    // untimed so each consumer's number measures its FileScan + the
+    // operator, not the 600k-row derivation.
+    if (sorted.exists { case (n, _) =>
+        Seq("f0", "k0", "k1", "m0", "m1", "s03_mot", "v01").exists(n.startsWith) })
+      try Seq("gt", "tracks", "gt_emb", "dets")
+        .foreach(t => Derived.artifact(spark, sfDir, t))
+      catch { case _: Throwable => () }
     // ~5 contiguous groups of the sorted catalog, a canary before each.
     val groupSize = math.max(1, math.ceil(sorted.size / 5.0).toInt)
     val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
