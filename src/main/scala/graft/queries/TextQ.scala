@@ -324,6 +324,33 @@ object TextQ {
       s.read.parquet(bandArtifact(s, d))
     }
 
+  /** The persisted gram-fingerprint artifact `(doc_id, grams)` — the
+    * signature-store companion to [[bandArtifact]]: the Jaccard verify
+    * stage's per-doc sorted 64-bit token fingerprints, a deterministic
+    * per-row projection computed once per corpus generation and
+    * FileScanned by every verify consumer (scoredPairs for d05/d07,
+    * d09/d15's incremental verify, d12's star verify) instead of
+    * re-running tokenize + xxhash64 + sort over the corpus per query.
+    * Same (length, mtime) keying and `_SUCCESS` gating as the bands.
+    */
+  private[graft] def gramArtifact(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val src = new java.io.File(d, "documents.parquet")
+    val tag = java.lang.Long.toHexString(src.length() * 1000003L + src.lastModified())
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gram_artifact/$tag"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")))
+      Dedup.gramSets(Tables.documents(s, d)).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private val gramCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.SparkContext, String), org.apache.spark.sql.DataFrame]
+  private[graft] def gramSetsOf(s: org.apache.spark.sql.SparkSession, d: String) =
+    memoized(gramCache, s, d) {
+      s.read.parquet(gramArtifact(s, d))
+    }
+
   /** Shared tail of the incremental-dedup queries (d09 memoized / d15
     * artifact): exact-Jaccard verify of the asymmetric candidates at
     * 0.5, per-new-doc match count, kept = no verified corpus near-dup.
@@ -332,7 +359,7 @@ object TextQ {
                                cands: org.apache.spark.sql.DataFrame) = {
     val docs = Tables.documents(s, d)
     val fresh = docs.filter(col("source") === "src0")
-    val nDups = Dedup.jaccardPairs(docs, cands, n = 1, minJaccard = 0.5)
+    val nDups = Dedup.jaccardPairsFromSets(gramSetsOf(s, d), cands, minJaccard = 0.5)
       .groupBy(col("doc_a").as("doc_id"))
       .agg(count(lit(1)).as("n_dups"))
     fresh.join(nDups, Seq("doc_id"), "left")
@@ -374,9 +401,8 @@ object TextQ {
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.SparkContext, String), org.apache.spark.sql.DataFrame]
   private def scoredPairs(s: org.apache.spark.sql.SparkSession, d: String) =
     memoized(pairCache, s, d) {
-      val docs = Tables.documents(s, d)
       val cands = Dedup.minhashCandidatesFromBands(bandSigs(s, d))
-      Dedup.jaccardPairs(docs, cands, n = 1, minJaccard = 0.5)
+      Dedup.jaccardPairsFromSets(gramSetsOf(s, d), cands, minJaccard = 0.5)
     }
 
   /** Drop every memoized materialization owned by `s` (band table,
@@ -385,7 +411,7 @@ object TextQ {
     * own first-touch cost, so per-query numbers are order-independent.
     */
   def resetMaterializations(s: org.apache.spark.sql.SparkSession): Unit =
-    Seq(bandCache, pairCache, ndPairCache).foreach { c =>
+    Seq(bandCache, gramCache, pairCache, ndPairCache).foreach { c =>
       c.keys.filter(_._1 == s.sparkContext).foreach { k =>
         c.remove(k).foreach(_.unpersist())
       }
@@ -1162,9 +1188,8 @@ object TextQ {
     Q("d12_star_dedup",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val docs = Tables.documents(s, d)
         val stars = Dedup.minhashCandidatesStarFromBands(bandSigs(s, d))
-        val edges = Dedup.jaccardPairs(docs, stars, n = 1, minJaccard = 0.5)
+        val edges = Dedup.jaccardPairsFromSets(gramSetsOf(s, d), stars, minJaccard = 0.5)
           .select("doc_a", "doc_b")
         Dedup.connectedComponents(edges, distinctEdges = false)
           .withColumn("cluster_size",

@@ -83,6 +83,10 @@ class PlanShapeSpec extends AnyFunSuite {
       val p = plan(q)
       assert(p.contains("graft_band_artifact"),
         s"$q must FileScan the band artifact, not re-band raw text:\n${p.take(4000)}")
+      // the Jaccard verify's gram sets come from the signature-store
+      // artifact too — no per-consumer tokenize+hash+sort of the corpus
+      assert(p.contains("graft_gram_artifact"),
+        s"$q must FileScan the gram artifact, not re-tokenize raw text:\n${p.take(4000)}")
     }
   }
 
