@@ -115,27 +115,17 @@ object Derived {
     * invalidates the artifact instead of serving stale rows; `_SUCCESS`
     * gates readiness (a torn write is rewritten, never read).
     */
-  private def artifactDir(dir: String, name: String): String = {
-    val tag = Seq("lineitem.parquet", "embeddings.parquet").map { f =>
-      val src = new java.io.File(dir, f)
-      src.length() * 1000003L + src.lastModified()
-    }.reduce(_ * 998244353L + _)
-    s"${System.getProperty("java.io.tmpdir")}/graft_derived_artifact/${java.lang.Long.toHexString(tag)}/$name"
-  }
-
   /** Builds (once per source-data generation) and returns the artifact
     * path for a derived table. Exposed so Bench can pre-touch the
     * once-per-generation build OUTSIDE the timed region — build cost
     * is data maintenance, not query cost.
     */
-  def artifact(spark: SparkSession, dir: String, name: String): String = {
-    val adir = artifactDir(dir, name)
-    val fs = new org.apache.hadoop.fs.Path(adir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(adir, "_SUCCESS")))
+  def artifact(spark: SparkSession, dir: String, name: String): String =
+    sources.ArtifactStore.resolve(spark, "graft_derived_artifact",
+      Seq("lineitem.parquet", "embeddings.parquet").map(new java.io.File(dir, _)),
+      sub = name) { adir =>
       derive(spark, dir, name).write.mode("overwrite").parquet(adir)
-    adir
-  }
+    }
 
   /** Session view of a derived table: a memoized cached FileScan of
     * [[artifact]] (building it first if this data generation was never

@@ -825,18 +825,12 @@ ${matchLayers.replace("AGED_SRC", agedSrc.replace("FROM step s", s"FROM $name s"
     * (length, mtime) and the frame count; `_SUCCESS` gates readiness.
     */
   private[graft] def anchorArtifact(s: org.apache.spark.sql.SparkSession, d: String,
-                                    frames: Int): String = {
-    val src = new java.io.File(d, "lineitem.parquet")
-    val tag = java.lang.Long.toHexString(src.length() * 1000003L + src.lastModified())
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_anchor_artifact/$tag/f$frames"
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) {
+                                    frames: Int): String =
+    graft.sources.ArtifactStore.resolve(s, "graft_anchor_artifact",
+      Seq(new java.io.File(d, "lineitem.parquet")), sub = s"f$frames") { dir =>
       graft.Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
       s.sql(anchorBaseSql(frames)).write.mode("overwrite").parquet(dir)
     }
-    dir
-  }
 
   def anchorMetrics(s: org.apache.spark.sql.SparkSession, d: String,
                     frames: Int = 1000): org.apache.spark.sql.DataFrame = {

@@ -299,16 +299,11 @@ object TextQ {
     * Returns the artifact path; `_SUCCESS` gates readiness (a torn
     * write is rewritten, never read).
     */
-  private[graft] def bandArtifact(s: org.apache.spark.sql.SparkSession, d: String): String = {
-    val src = new java.io.File(d, "documents.parquet")
-    val tag = java.lang.Long.toHexString(src.length() * 1000003L + src.lastModified())
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_band_artifact/$tag"
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")))
+  private[graft] def bandArtifact(s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.sources.ArtifactStore.resolve(s, "graft_band_artifact",
+      Seq(new java.io.File(d, "documents.parquet"))) { dir =>
       bandSigsCompute(s, d).write.mode("overwrite").parquet(dir)
-    dir
-  }
+    }
 
   /** Session view of the band artifact: a memoized cached read of
     * [[bandArtifact]] (building it first if this corpus generation has
@@ -333,16 +328,11 @@ object TextQ {
     * re-running tokenize + xxhash64 + sort over the corpus per query.
     * Same (length, mtime) keying and `_SUCCESS` gating as the bands.
     */
-  private[graft] def gramArtifact(s: org.apache.spark.sql.SparkSession, d: String): String = {
-    val src = new java.io.File(d, "documents.parquet")
-    val tag = java.lang.Long.toHexString(src.length() * 1000003L + src.lastModified())
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gram_artifact/$tag"
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")))
+  private[graft] def gramArtifact(s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.sources.ArtifactStore.resolve(s, "graft_gram_artifact",
+      Seq(new java.io.File(d, "documents.parquet"))) { dir =>
       Dedup.gramSets(Tables.documents(s, d)).write.mode("overwrite").parquet(dir)
-    dir
-  }
+    }
 
   private val gramCache =
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.SparkContext, String), org.apache.spark.sql.DataFrame]

@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared resolver for persisted DERIVED-DATA artifacts (band
+  * signatures, gram fingerprints, MOT input tables, the m11 anchor
+  * base): deterministic functions of source data, computed once per
+  * source-data GENERATION and FileScanned by every consumer thereafter
+  * — the steady-state production posture (compute-once maintenance vs
+  * per-query recompute).
+  *
+  * Layout: `<tmp>/<kind>/<datasetHash>/<sub?>/<genTag>` where
+  * `datasetHash` identifies WHICH dataset (md5 of the source paths —
+  * sf0.01 and sf0.1 artifacts must coexist) and `genTag` identifies
+  * the data generation (fold of each source file's length + mtime — a
+  * regenerated file at the same path gets a new tag, so stale
+  * signatures are never served). `_SUCCESS` gates readiness: a torn
+  * write is rebuilt, never read.
+  *
+  * STALE-GENERATION GC: when a new generation's artifact is built, the
+  * SAME dataset's superseded generation directories are deleted — the
+  * driver regenerates testdata between rounds, and without this every
+  * generation's artifacts accumulate in the store forever. Other
+  * datasets' artifacts (different `datasetHash`) are never touched, so
+  * concurrent sessions on different SF dirs can't thrash each other.
+  * On a real cluster this directory lives on shared storage and the
+  * same writer-GCs-its-own-dataset rule applies.
+  */
+object ArtifactStore {
+
+  /** Returns the artifact directory, building it via `build(dir)` if
+    * this generation has not been (fully) written yet.
+    */
+  def resolve(spark: SparkSession, kind: String, sources: Seq[java.io.File],
+              sub: String = "")(build: String => Unit): String = {
+    val dsHash = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      sources.foreach(f => md.update(f.getAbsolutePath.getBytes("UTF-8")))
+      md.digest().take(6).map("%02x".format(_)).mkString
+    }
+    val genTag = java.lang.Long.toHexString(
+      sources.map(f => f.length() * 1000003L + f.lastModified())
+        .reduce(_ * 998244353L + _))
+    val base = s"${System.getProperty("java.io.tmpdir")}/$kind/$dsHash" +
+      (if (sub.nonEmpty) s"/$sub" else "")
+    val dir = s"$base/$genTag"
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) {
+      // GC superseded generations of THIS dataset before building the
+      // new one (never after: a concurrent reader of the old artifact
+      // finishes its FileScan off already-open handles either way, but
+      // deleting first keeps peak disk at ~one generation)
+      if (fs.exists(basePath))
+        fs.listStatus(basePath).map(_.getPath)
+          .filter(_.getName != genTag)
+          .foreach(p => fs.delete(p, true))
+      build(dir)
+    }
+    dir
+  }
+}
