@@ -596,6 +596,12 @@ object Dedup {
     }
     var eCnt = e.count()
     var drained = eCnt == 0
+    // When the tail solve runs on the FIRST iteration, labels are still
+    // the identity map, so coalesce(find(node), node) IS the union-find
+    // fixpoint — the post-loop compress pass would be a provable no-op
+    // (one join + one stability check of pure overhead on the common
+    // small-graph path; the sf0.1 dedup edge sets all take this route).
+    var fixpointProven = false
     dbg("initial count done")
     while (iter < maxIter && !drained) {
       if (tailSolvable && eCnt <= localSolveThreshold) {
@@ -635,6 +641,7 @@ object Dedup {
           .select(col("node"), coalesce(col("__cmin"), col("label")).as("label")))
         release(labels)
         labels = solved
+        fixpointProven = iter == 0
         drained = true
       } else {
       // hook: every representative adopts min(self, neighbors) in the
@@ -686,8 +693,9 @@ object Dedup {
     release(e) // the drained edge table is never read again
     // the edge set can empty while the label forest still has depth > 1
     // (a cluster's rep was itself relabeled in a later round): compress
-    // to the fixpoint with doubling — depth halves per pass
-    var stable = false
+    // to the fixpoint with doubling — depth halves per pass. Skipped
+    // when the iter-0 tail solve already proved the fixpoint (above).
+    var stable = fixpointProven
     while (!stable) {
       val nxt = ckpt(labels.as("a")
         .join(labels.select(col("node").as("dn"), col("label").as("dl")).as("b"),
