@@ -149,9 +149,11 @@ object Derived {
 
   /** Raw recompute of a derived table via the shared CTE text — used
     * only to build the on-disk artifact. gt derives from lineitem;
-    * tracks/gt_emb derive from the gt ARTIFACT (registered as the `gt`
-    * view) — same text, and the artifact is bit-identical to the
-    * derivation by construction.
+    * tracks/gt_emb derive from the gt ARTIFACT read DIRECTLY from its
+    * path (never via the session memo: a live session whose memo still
+    * holds a previous generation's gt must not persist those stale
+    * rows under the NEW generation's tag) — same text, and the
+    * artifact is bit-identical to the derivation by construction.
     */
   private def derive(spark: SparkSession, dir: String, name: String): DataFrame = {
     registerBase(spark, dir)
@@ -176,7 +178,7 @@ object Derived {
              |           l_orderkey, l_linenumber, l_suppkey, l_partkey
              |    FROM lineitem) gt_raw) t WHERE rn = 1""".stripMargin)
         case "tracks" =>
-          table(spark, dir, "gt").createOrReplaceTempView("gt")
+          spark.read.parquet(artifact(spark, dir, "gt")).createOrReplaceTempView("gt")
           spark.sql(
             s"""SELECT seq, frameIdx, id, x, y, w, h, conf FROM (
                |  SELECT *, row_number() OVER (PARTITION BY seq, frameIdx, id ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) AS rn2
@@ -191,7 +193,7 @@ object Derived {
                |    FROM gt
                |    WHERE (l_orderkey + l_suppkey) % 9 <> 0) tr_raw) t WHERE rn2 = 1""".stripMargin)
         case "gt_emb" =>
-          table(spark, dir, "gt").createOrReplaceTempView("gt")
+          spark.read.parquet(artifact(spark, dir, "gt")).createOrReplaceTempView("gt")
           spark.sql("""SELECT g.*, e.embedding AS emb
             |FROM gt g JOIN embeddings e ON e.vec_id = (g.id * 7 + g.frameIdx) % 500""".stripMargin)
         case "dets" => spark.sql(

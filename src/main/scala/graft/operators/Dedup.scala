@@ -609,8 +609,12 @@ object Dedup {
         // Union-find with component-min roots over the contracted
         // edges, then one broadcast join rewrites every label whose
         // rep merged. Values identical to more distributed rounds
-        // (both compute min reachable id); the compress loop below
-        // still runs and independently verifies the fixpoint.
+        // (both compute min reachable id); on a MID-LOOP handoff
+        // (iter > 0) the compress loop below still runs and
+        // independently verifies the fixpoint — at iter 0 labels are
+        // the identity map, the union-find result IS the fixpoint,
+        // and the compress pass is skipped as a proven no-op (the
+        // CcSpec hybrid-vs-distributed parity covers both routes).
         // collect through the tuple encoder, not Row: Tuple2[Long,Long]
         // is @specialized so the fringe lands as unboxed longs (~32 B/
         // edge incl. headers) instead of GenericRow + boxed Longs (~100 B)

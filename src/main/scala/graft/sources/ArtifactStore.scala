@@ -25,6 +25,14 @@ import org.apache.spark.sql.SparkSession
   * concurrent sessions on different SF dirs can't thrash each other.
   * On a real cluster this directory lives on shared storage and the
   * same writer-GCs-its-own-dataset rule applies.
+  *
+  * Mid-SESSION source regeneration (source file rewritten while a
+  * session still holds memoized DataFrames over the old generation) is
+  * deliberately a LOUD failure, not a silent one: the next resolve GCs
+  * the old directory, so a later action on a stale memoized relation
+  * fails with a missing-file error instead of serving rows from data
+  * that no longer exists. Sessions are expected to be restarted across
+  * data generations (the driver always is).
   */
 object ArtifactStore {
 
@@ -54,6 +62,19 @@ object ArtifactStore {
       if (fs.exists(basePath))
         fs.listStatus(basePath).map(_.getPath)
           .filter(_.getName != genTag)
+          .foreach(p => fs.delete(p, true))
+      // one-time migration sweep: the pre-store flat layout wrote
+      // <kind>/<genTag> directly (no datasetHash level); those legacy
+      // dirs are siblings of dsHash and would otherwise never be GC'd.
+      // dsHash is always 12 hex chars, legacy tags almost never are —
+      // a length-12 legacy tag survives, which is merely bounded waste.
+      // (base may include a sub level, so derive the kind root from
+      // the tmp dir + kind, not from basePath's parent.)
+      val kindRoot = new org.apache.hadoop.fs.Path(
+        s"${System.getProperty("java.io.tmpdir")}/$kind")
+      if (fs.exists(kindRoot))
+        fs.listStatus(kindRoot).map(_.getPath)
+          .filter(p => p.getName.length != 12)
           .foreach(p => fs.delete(p, true))
       build(dir)
     }
