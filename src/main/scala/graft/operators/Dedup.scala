@@ -716,4 +716,45 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** INCREMENTAL connected components — the maintenance form of
+    * [[connectedComponents]] for a corpus whose duplicate clusters are
+    * already computed: merge a new batch's edges into the existing
+    * clustering WITHOUT re-clustering the corpus.
+    *
+    * Correctness: the batch fixpoint (min reachable id) is a pure
+    * function of the graph, and an existing clustering is equivalent
+    * to its STAR graph (node → cluster representative) — every
+    * component of (star ∪ newEdges) has exactly the node set of the
+    * corresponding merged component in (oldEdges ∪ newEdges), so
+    * running the same min-label CC over the star union reaches the
+    * identical fixpoint. Cost: the star edge table is |corpus| rows
+    * regardless of how many pair edges produced it, and only
+    * components actually TOUCHED by new edges do any label movement —
+    * the CC rounds over everything else contract immediately. This is
+    * how a 100 TB dedup keeps cluster ids stable across daily
+    * ingests: batch CC once, then star-merge each increment.
+    *
+    * `prevLabels`: `(doc_id, cluster_id)` from a previous run (any
+    * clustering whose representative is the component min). Nodes that
+    * appear only in `prevLabels` keep their cluster; nodes only in
+    * `newEdges` form/join clusters as usual.
+    */
+  def ccIncremental(prevLabels: DataFrame, newEdges: DataFrame,
+                    srcCol: String = "doc_a", dstCol: String = "doc_b",
+                    checkpointDir: Option[String] = None): DataFrame = {
+    val star = prevLabels
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(srcCol), col("cluster_id").as(dstCol))
+    // singleton clusters (doc == rep, no star edge) must survive even
+    // if untouched by new edges: CC only emits nodes that occur in
+    // some edge, so re-attach them after the merge
+    val merged = connectedComponents(
+      star.unionByName(newEdges.select(col(srcCol), col(dstCol))),
+      srcCol, dstCol, checkpointDir = checkpointDir)
+    val singletons = prevLabels
+      .join(merged, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    merged.unionByName(singletons)
+  }
+
 }

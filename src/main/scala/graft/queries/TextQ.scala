@@ -470,6 +470,53 @@ object TextQ {
       |WHERE rnk <= 3""".stripMargin
   }
 
+  /** d07's full-graph clustering oracle — recursive-CTE transitive
+    * closure + component-min over the J>=0.9 clique edges. Shared
+    * verbatim by d17: the incremental star-merge must reach the
+    * identical fixpoint as batch CC over the full edge set.
+    */
+  private lazy val ClusterOracleSql: String =
+    """WITH RECURSIVE toks AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS tok
+        |    FROM documents) t
+        |), per_seed AS (
+        |  SELECT doc_id, seed, min(md5('s' || CAST(seed AS VARCHAR) || '_' || tok)) AS mh
+        |  FROM toks, range(16) r(seed) GROUP BY doc_id, seed
+        |), banded AS (
+        |  SELECT doc_id, CAST(seed // 8 AS INT) AS band,
+        |    md5(string_agg(CAST(seed AS VARCHAR) || ':' || mh, '|'
+        |        ORDER BY CAST(seed AS VARCHAR) || ':' || mh)) AS band_sig
+        |  FROM per_seed GROUP BY doc_id, CAST(seed // 8 AS INT)
+        |), cands AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.band_sig = b.band_sig
+        |  WHERE a.doc_id < b.doc_id
+        |), sets AS (
+        |  SELECT doc_id, list_distinct(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS gs
+        |  FROM documents
+        |), thr AS MATERIALIZED (
+        |  SELECT c.doc_a, c.doc_b
+        |  FROM cands c JOIN sets sa ON c.doc_a = sa.doc_id JOIN sets sb ON c.doc_b = sb.doc_id
+        |  WHERE CASE WHEN len(sa.gs) + len(sb.gs) - len(list_intersect(sa.gs, sb.gs)) = 0 THEN 0.0
+        |    ELSE CAST(len(list_intersect(sa.gs, sb.gs)) AS DOUBLE)
+        |      / (len(sa.gs) + len(sb.gs) - len(list_intersect(sa.gs, sb.gs))) END >= 0.9
+        |), edges AS MATERIALIZED (
+        |  SELECT doc_a AS src, doc_b AS dst FROM thr
+        |  UNION ALL
+        |  SELECT doc_b AS src, doc_a AS dst FROM thr
+        |), reach(node, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, rc.r FROM edges e JOIN reach rc ON rc.node = e.dst
+        |), cc AS (
+        |  SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+        |)
+        |SELECT doc_id, cluster_id,
+        |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+        |  doc_id = cluster_id AS keep
+        |FROM cc""".stripMargin
+
   val defs: Seq[Q] = Seq(
 
     // Language-ID confusion matrix: label vs stopword-argmax prediction.
@@ -936,46 +983,36 @@ object TextQ {
             count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
           .withColumn("keep", col("doc_id") === col("cluster_id"))
       },
-      Some("""WITH RECURSIVE toks AS (
-        |  SELECT DISTINCT doc_id, tok FROM (
-        |    SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS tok
-        |    FROM documents) t
-        |), per_seed AS (
-        |  SELECT doc_id, seed, min(md5('s' || CAST(seed AS VARCHAR) || '_' || tok)) AS mh
-        |  FROM toks, range(16) r(seed) GROUP BY doc_id, seed
-        |), banded AS (
-        |  SELECT doc_id, CAST(seed // 8 AS INT) AS band,
-        |    md5(string_agg(CAST(seed AS VARCHAR) || ':' || mh, '|'
-        |        ORDER BY CAST(seed AS VARCHAR) || ':' || mh)) AS band_sig
-        |  FROM per_seed GROUP BY doc_id, CAST(seed // 8 AS INT)
-        |), cands AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM banded a JOIN banded b ON a.band = b.band AND a.band_sig = b.band_sig
-        |  WHERE a.doc_id < b.doc_id
-        |), sets AS (
-        |  SELECT doc_id, list_distinct(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS gs
-        |  FROM documents
-        |), thr AS MATERIALIZED (
-        |  SELECT c.doc_a, c.doc_b
-        |  FROM cands c JOIN sets sa ON c.doc_a = sa.doc_id JOIN sets sb ON c.doc_b = sb.doc_id
-        |  WHERE CASE WHEN len(sa.gs) + len(sb.gs) - len(list_intersect(sa.gs, sb.gs)) = 0 THEN 0.0
-        |    ELSE CAST(len(list_intersect(sa.gs, sb.gs)) AS DOUBLE)
-        |      / (len(sa.gs) + len(sb.gs) - len(list_intersect(sa.gs, sb.gs))) END >= 0.9
-        |), edges AS MATERIALIZED (
-        |  SELECT doc_a AS src, doc_b AS dst FROM thr
-        |  UNION ALL
-        |  SELECT doc_b AS src, doc_a AS dst FROM thr
-        |), reach(node, r) AS (
-        |  SELECT DISTINCT src, src FROM edges
-        |  UNION
-        |  SELECT e.src, rc.r FROM edges e JOIN reach rc ON rc.node = e.dst
-        |), cc AS (
-        |  SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
-        |)
-        |SELECT doc_id, cluster_id,
-        |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
-        |  doc_id = cluster_id AS keep
-        |FROM cc""".stripMargin)),
+      Some(ClusterOracleSql)),
+
+    // INCREMENTAL dedup clustering: the corpus slice (source<>'src0')
+    // is clustered first, then the src0 batch's edges are star-merged
+    // into the existing labels (Dedup.ccIncremental) WITHOUT
+    // re-clustering the corpus — the maintenance shape a 100 TB dedup
+    // runs on every ingest. The oracle is d07's FULL-graph recursive
+    // closure verbatim: the incremental fixpoint must be bit-identical
+    // to batch CC over all edges, which is exactly the correctness
+    // claim that makes incremental maintenance trustworthy.
+    Q("d17_incremental_cc",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val edges = scoredPairs(s, d)
+          .filter(col("jaccard") >= 0.9).select("doc_a", "doc_b")
+        val srcs = Tables.documents(s, d)
+          .select(col("doc_id"), (col("source") === "src0").as("is_new"))
+        val tagged = edges
+          .join(srcs.select(col("doc_id").as("doc_a"), col("is_new").as("na")), Seq("doc_a"))
+          .join(srcs.select(col("doc_id").as("doc_b"), col("is_new").as("nb")), Seq("doc_b"))
+        val prev = Dedup.connectedComponents(
+          tagged.filter(!col("na") && !col("nb")).select("doc_a", "doc_b"),
+          distinctEdges = false)
+        Dedup.ccIncremental(prev,
+            tagged.filter(col("na") || col("nb")).select("doc_a", "doc_b"))
+          .withColumn("cluster_size",
+            count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
+          .withColumn("keep", col("doc_id") === col("cluster_id"))
+      },
+      Some(ClusterOracleSql)),
 
     // Embedding-cosine near-dup END-TO-END: 2-table × 6-bit sign-LSH
     // candidates (pair survives when ANY table's bucket agrees —

@@ -76,6 +76,27 @@ class CcSpec extends AnyFunSuite {
     assert(mid == expect)
   }
 
+  test("ccIncremental == batch CC over the combined edge set") {
+    val oldEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+    val newEdges = Seq((3L, 10L), (30L, 31L), (11L, 40L))
+    val prev = Dedup.connectedComponents(oldEdges.toDF("doc_a", "doc_b"))
+    val inc = Dedup.ccIncremental(prev, newEdges.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == unionFind(oldEdges ++ newEdges))
+    // untouched cluster (20,21) kept its id; merged chain collapsed to 1
+    assert(inc(21L) == 20L && inc(40L) == 1L && inc(30L) == 30L)
+  }
+
+  test("ccIncremental keeps singleton prev clusters that no new edge touches") {
+    // prevLabels containing isolated docs (cluster of one — e.g. a
+    // catalog where every doc gets a row): they have no star edge and
+    // appear in no new edge, so only the singleton re-attach keeps them
+    val prev = Seq((1L, 1L), (2L, 1L), (99L, 99L)).toDF("doc_id", "cluster_id")
+    val inc = Dedup.ccIncremental(prev, Seq((1L, 5L)).toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 99L -> 99L))
+  }
+
   test("reliable-checkpoint path (checkpointDir) matches the local path") {
     // the executor-loss-tolerant variant a real cluster should use:
     // same fixpoint, and checkpoint files actually land in the dir
