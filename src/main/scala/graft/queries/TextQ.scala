@@ -341,6 +341,40 @@ object TextQ {
       s.read.parquet(gramArtifact(s, d))
     }
 
+  /** The persisted CORPUS CLUSTER-LABEL artifact `(doc_id, cluster_id)`
+    * — batch connected components over the corpus slice's verified
+    * duplicate edges (source <> 'src0', Jaccard >= 0.9), written once
+    * per source-data generation. This is the third leg of the
+    * signature-store posture: at 100 TB the dedup cluster assignment is
+    * a MAINTAINED table, not something an ingest recomputes — each
+    * batch star-merges its verified edges into these labels
+    * (Dedup.ccIncremental), so d17's steady-state cost is the batch's
+    * candidate probe + verify + a star-forest CC, never a corpus-wide
+    * re-cluster. Candidates come from the corpus-only rows of the band
+    * artifact (band collisions between two corpus docs are unaffected
+    * by whether batch rows sit in the same table), so the labels are
+    * bit-identical to clustering the corpus inline.
+    */
+  private[graft] def clusterArtifact(s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.sources.ArtifactStore.resolve(s, "graft_cluster_artifact",
+      Seq(new java.io.File(d, "documents.parquet"))) { dir =>
+      val corpusEdges = Dedup.jaccardPairsFromSets(
+          gramSetsOf(s, d),
+          Dedup.minhashCandidatesFromBands(
+            bandSigs(s, d).filter(col("source") =!= "src0")),
+          minJaccard = 0.9)
+        .select("doc_a", "doc_b")
+      Dedup.connectedComponents(corpusEdges, distinctEdges = false)
+        .write.mode("overwrite").parquet(dir)
+    }
+
+  private val clusterCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.SparkContext, String), org.apache.spark.sql.DataFrame]
+  private[graft] def prevClusters(s: org.apache.spark.sql.SparkSession, d: String) =
+    memoized(clusterCache, s, d) {
+      s.read.parquet(clusterArtifact(s, d))
+    }
+
   /** Shared tail of the incremental-dedup queries (d09 memoized / d15
     * artifact): exact-Jaccard verify of the asymmetric candidates at
     * 0.5, per-new-doc match count, kept = no verified corpus near-dup.
@@ -401,7 +435,7 @@ object TextQ {
     * own first-touch cost, so per-query numbers are order-independent.
     */
   def resetMaterializations(s: org.apache.spark.sql.SparkSession): Unit =
-    Seq(bandCache, gramCache, pairCache, ndPairCache).foreach { c =>
+    Seq(bandCache, gramCache, pairCache, ndPairCache, clusterCache).foreach { c =>
       c.keys.filter(_._1 == s.sparkContext).foreach { k =>
         c.remove(k).foreach(_.unpersist())
       }
@@ -985,8 +1019,13 @@ object TextQ {
       },
       Some(ClusterOracleSql)),
 
-    // INCREMENTAL dedup clustering: the corpus slice (source<>'src0')
-    // is clustered first, then the src0 batch's edges are star-merged
+    // INCREMENTAL dedup clustering: the src0 slice plays a fresh ingest
+    // batch, everything else the existing corpus. The corpus's cluster
+    // labels are read back from the PERSISTED artifact (clusterArtifact
+    // — maintained once per corpus generation, like the band/gram
+    // tables), the batch's candidate pairs come from an asymmetric band
+    // probe (every pair touching >=1 batch doc — cost scales with the
+    // batch, not the corpus), and the verified edges are star-merged
     // into the existing labels (Dedup.ccIncremental) WITHOUT
     // re-clustering the corpus — the maintenance shape a 100 TB dedup
     // runs on every ingest. The oracle is d07's FULL-graph recursive
@@ -996,18 +1035,22 @@ object TextQ {
     Q("d17_incremental_cc",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val edges = scoredPairs(s, d)
-          .filter(col("jaccard") >= 0.9).select("doc_a", "doc_b")
-        val srcs = Tables.documents(s, d)
-          .select(col("doc_id"), (col("source") === "src0").as("is_new"))
-        val tagged = edges
-          .join(srcs.select(col("doc_id").as("doc_a"), col("is_new").as("na")), Seq("doc_a"))
-          .join(srcs.select(col("doc_id").as("doc_b"), col("is_new").as("nb")), Seq("doc_b"))
-        val prev = Dedup.connectedComponents(
-          tagged.filter(!col("na") && !col("nb")).select("doc_a", "doc_b"),
-          distinctEdges = false)
-        Dedup.ccIncremental(prev,
-            tagged.filter(col("na") || col("nb")).select("doc_a", "doc_b"))
+        val banded = bandSigs(s, d)
+        val bn = banded.filter(col("source") === "src0")
+          .select(col("band"), col("band_sig"), col("doc_id").as("doc_x"))
+        val ba = banded
+          .select(col("band"), col("band_sig"), col("doc_id").as("doc_y"))
+        // canonicalized (doc_a < doc_b) so the scored pair set is
+        // exactly scoredPairs restricted to pairs touching the batch
+        val cands = bn.join(ba, Seq("band", "band_sig"))
+          .filter(col("doc_x") =!= col("doc_y"))
+          .select(least(col("doc_x"), col("doc_y")).as("doc_a"),
+            greatest(col("doc_x"), col("doc_y")).as("doc_b"))
+          .distinct()
+        val newEdges = Dedup
+          .jaccardPairsFromSets(gramSetsOf(s, d), cands, minJaccard = 0.9)
+          .select("doc_a", "doc_b")
+        Dedup.ccIncremental(prevClusters(s, d), newEdges)
           .withColumn("cluster_size",
             count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
           .withColumn("keep", col("doc_id") === col("cluster_id"))

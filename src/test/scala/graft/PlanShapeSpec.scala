@@ -90,6 +90,22 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("d17: corpus cluster labels FileScan the persisted artifact, never re-cluster") {
+    // The incremental-maintenance posture: the corpus's cluster
+    // assignment is a maintained on-disk table (clusterArtifact) the
+    // ingest star-merges into — a regression that re-runs corpus CC
+    // inline would show a documents/band scan here instead of the
+    // label artifact's FileScan. (d17's FINAL plan checkpoint-truncates
+    // like d07, so the source is pinned directly, as bandSigs is.)
+    graft.queries.TextQ.resetMaterializations(spark)
+    val src = graft.queries.TextQ.prevClusters(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(src.contains("graft_cluster_artifact"),
+      s"prevClusters must read the persisted label artifact:\n${src.take(4000)}")
+    assert(!src.contains("documents.parquet"),
+      s"prevClusters must not re-derive labels from raw documents:\n${src.take(4000)}")
+  }
+
   test("vocabCoverage at 10k terms: broadcast anti-join, no literal IN-list") {
     val docs = graft.Tables.documents(spark, dir)
     val p = graft.operators.TextAnalysis
