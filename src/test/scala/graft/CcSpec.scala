@@ -87,6 +87,28 @@ class CcSpec extends AnyFunSuite {
     assert(inc(21L) == 20L && inc(40L) == 1L && inc(30L) == 30L)
   }
 
+  test("ccIncremental == batch CC on randomized corpus/batch splits") {
+    // the exact d17 decomposition, randomized: mark a random node
+    // subset "new", cluster the old-only edges first, then star-merge
+    // every edge touching a new node — the fixpoint must equal
+    // union-find over ALL edges for any graph and any split
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 6) {
+      val n = 20L + rnd.nextInt(40)
+      val edges = (for {
+        a <- 0L until n; b <- (a + 1) until n if rnd.nextDouble() < 0.06
+      } yield (a, b)).toSeq
+      val isNew = (0L until n).map(x => x -> (rnd.nextDouble() < 0.3)).toMap
+      val (newEdges, oldEdges) =
+        edges.partition { case (a, b) => isNew(a) || isNew(b) }
+      val prev = Dedup.connectedComponents(oldEdges.toDF("doc_a", "doc_b"))
+      val inc = Dedup.ccIncremental(prev, newEdges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(inc == unionFind(edges),
+        s"trial $trial: n=$n edges=${edges.size} new=${newEdges.size}")
+    }
+  }
+
   test("ccIncremental keeps singleton prev clusters that no new edge touches") {
     // prevLabels containing isolated docs (cluster of one — e.g. a
     // catalog where every doc gets a row): they have no star edge and
