@@ -1010,8 +1010,15 @@ object TextQ {
     Q("d07_dedup_clusters",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val edges = scoredPairs(s, d)
-          .filter(col("jaccard") >= 0.9).select("doc_a", "doc_b")
+        // verify at the CLUSTERING threshold (0.9), not d05's report
+        // threshold (0.5): the size-ratio prefilter then drops ~3x more
+        // colliding-but-dissimilar pairs before any gram array shuffles
+        // (J <= min/max sizes), and the surviving jaccard values are
+        // computed identically — the >=0.9 edge set is unchanged
+        val edges = Dedup.jaccardPairsFromSets(gramSetsOf(s, d),
+            Dedup.minhashCandidatesFromBands(bandSigs(s, d)),
+            minJaccard = 0.9)
+          .select("doc_a", "doc_b")
         Dedup.connectedComponents(edges, distinctEdges = false)
           .withColumn("cluster_size",
             count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
