@@ -355,15 +355,33 @@ object TextQ {
     * by whether batch rows sit in the same table), so the labels are
     * bit-identical to clustering the corpus inline.
     */
+  /** The Jaccard threshold the CLUSTERING tier verifies at — single-
+    * sourced across the corpus label artifact, d07's batch clustering
+    * and d17's batch edges, because the persisted labels MUST be built
+    * at the same threshold as the edges later merged into them (the
+    * artifact is keyed by data generation, not by threshold: a split
+    * tune would silently serve stale-threshold labels).
+    */
+  private[graft] val ClusterJaccard = 0.9
+
+  /** Verified duplicate edges for the clustering tier: candidate pairs
+    * → exact-Jaccard >= [[ClusterJaccard]] over the gram artifact.
+    * Scoring AT the clustering threshold (not d05's 0.5 report
+    * threshold) lets the size-ratio prefilter drop colliding-but-
+    * dissimilar pairs before any gram arrays shuffle.
+    */
+  private def clusterEdges(s: org.apache.spark.sql.SparkSession, d: String,
+                           cands: org.apache.spark.sql.DataFrame) =
+    Dedup.jaccardPairsFromSets(gramSetsOf(s, d), cands,
+        minJaccard = ClusterJaccard)
+      .select("doc_a", "doc_b")
+
   private[graft] def clusterArtifact(s: org.apache.spark.sql.SparkSession, d: String): String =
     graft.sources.ArtifactStore.resolve(s, "graft_cluster_artifact",
       Seq(new java.io.File(d, "documents.parquet"))) { dir =>
-      val corpusEdges = Dedup.jaccardPairsFromSets(
-          gramSetsOf(s, d),
-          Dedup.minhashCandidatesFromBands(
-            bandSigs(s, d).filter(col("source") =!= "src0")),
-          minJaccard = 0.9)
-        .select("doc_a", "doc_b")
+      val corpusEdges = clusterEdges(s, d,
+        Dedup.minhashCandidatesFromBands(
+          bandSigs(s, d).filter(col("source") =!= "src0")))
       Dedup.connectedComponents(corpusEdges, distinctEdges = false)
         .write.mode("overwrite").parquet(dir)
     }
@@ -1010,15 +1028,8 @@ object TextQ {
     Q("d07_dedup_clusters",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        // verify at the CLUSTERING threshold (0.9), not d05's report
-        // threshold (0.5): the size-ratio prefilter then drops ~3x more
-        // colliding-but-dissimilar pairs before any gram array shuffles
-        // (J <= min/max sizes), and the surviving jaccard values are
-        // computed identically — the >=0.9 edge set is unchanged
-        val edges = Dedup.jaccardPairsFromSets(gramSetsOf(s, d),
-            Dedup.minhashCandidatesFromBands(bandSigs(s, d)),
-            minJaccard = 0.9)
-          .select("doc_a", "doc_b")
+        val edges = clusterEdges(s, d,
+          Dedup.minhashCandidatesFromBands(bandSigs(s, d)))
         Dedup.connectedComponents(edges, distinctEdges = false)
           .withColumn("cluster_size",
             count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
@@ -1054,10 +1065,7 @@ object TextQ {
           .select(least(col("doc_x"), col("doc_y")).as("doc_a"),
             greatest(col("doc_x"), col("doc_y")).as("doc_b"))
           .distinct()
-        val newEdges = Dedup
-          .jaccardPairsFromSets(gramSetsOf(s, d), cands, minJaccard = 0.9)
-          .select("doc_a", "doc_b")
-        Dedup.ccIncremental(prevClusters(s, d), newEdges)
+        Dedup.ccIncremental(prevClusters(s, d), clusterEdges(s, d, cands))
           .withColumn("cluster_size",
             count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
           .withColumn("keep", col("doc_id") === col("cluster_id"))
