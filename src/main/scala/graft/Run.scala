@@ -11,6 +11,7 @@ import graft.config.Configs
   *   sbt "runMain graft.Run track    cfg=cfgs/track.yaml dataset=/data/seq1 max_age=7"
   *   sbt "runMain graft.Run eval     cfg=cfgs/eval.yaml  dataset=/data/seq1"
   *   sbt "runMain graft.Run features cfg=cfgs/track.yaml dataset=/data/seq1"
+  *   sbt "runMain graft.Run dedup-maintain data=/data/corpus"   // refresh signature store
   * }}}
   *
   * The cfg YAML is parsed (S12), CLI `key=value` overrides merge with
@@ -24,7 +25,8 @@ object Run {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: graft.Run <track|eval|features|visualize> cfg=<yaml> [key=value ...]")
+      "usage: graft.Run <track|eval|features|visualize> cfg=<yaml> [key=value ...]" +
+        " | graft.Run dedup-maintain data=<dir>")
     val spark = LocalSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
       logLevel = "WARN")
     try println(run(spark, args.head, args.toSeq.tail))
@@ -37,9 +39,10 @@ object Run {
     */
   def run(spark: SparkSession, mode: String, kvArgs: Seq[String]): String = {
     val (cfgFile, overrides) = Configs.parseOverrides(kvArgs)
-    val file = cfgFile.getOrElse(
+    // lazy: dedup-maintain takes data=<dir>, no cfg YAML
+    lazy val file = cfgFile.getOrElse(
       throw new IllegalArgumentException("pass cfg=<yaml file>"))
-    val text = new String(
+    lazy val text = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)), "UTF-8")
     // config type comes from the FILENAME (the reference's dispatch), so
     // a mode/config mismatch (visualize cfg=track.yaml) must say so
@@ -86,9 +89,26 @@ object Run {
           s"${c.dataset}/images", outDir, vidDir, c.drawIds, c.drawBoxes,
           c.startIndex, c.seqLengthLimit, c.fps)
         s"visualize: $nImg annotated frames in $outDir, $nVid-frame video in $vidDir"
+      case "dedup-maintain" =>
+        // the corpus-maintenance job the dedup artifact posture
+        // documents: (re)build the persisted signature store for a
+        // documents dir — band signatures, gram fingerprints, corpus
+        // cluster labels — so a scheduled run after each data drop
+        // keeps the ingest shapes (d09/d15/d17/st6) probing current
+        // artifacts instead of lazily building them inside a query.
+        // Idempotent: a generation that is already on disk (length+
+        // mtime key, _SUCCESS-gated) is left untouched, stale
+        // generations are GC'd by the store.
+        val dir = overrides.get("data").map(_.toString).getOrElse(
+          throw new IllegalArgumentException(
+            "pass data=<dir containing documents.parquet>"))
+        val band = graft.queries.TextQ.bandArtifact(spark, dir)
+        val gram = graft.queries.TextQ.gramArtifact(spark, dir)
+        val clusters = graft.queries.TextQ.clusterArtifact(spark, dir)
+        s"dedup-maintain: band=$band gram=$gram clusters=$clusters"
       case other =>
         throw new IllegalArgumentException(
-          s"unknown mode: $other (track|eval|features|visualize)")
+          s"unknown mode: $other (track|eval|features|visualize|dedup-maintain)")
     }
   }
 

@@ -91,6 +91,24 @@ class PipelinesSpec extends AnyFunSuite {
     }
   }
 
+  test("Run CLI: dedup-maintain builds the signature-store artifacts idempotently") {
+    val data = "/root/testdata/sf0.001"
+    val msg = Run.run(spark, "dedup-maintain", Seq(s"data=$data"))
+    assert(msg.startsWith("dedup-maintain:"), msg)
+    val paths = msg.split(' ').tail.map(_.split("=", 2)(1))
+    assert(paths.length == 3)
+    paths.foreach { p =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS")),
+        s"artifact $p must be _SUCCESS-gated")
+    }
+    // second run resolves the SAME current generations without rebuild
+    assert(Run.run(spark, "dedup-maintain", Seq(s"data=$data")) == msg)
+    // missing data= fails loudly before any work
+    intercept[IllegalArgumentException] {
+      Run.run(spark, "dedup-maintain", Seq())
+    }
+  }
+
   test("Run CLI: visualize mode annotates frames and renders the sequence video") {
     import java.awt.image.BufferedImage
     val dir = tmp("viz")
