@@ -99,9 +99,18 @@ object Run {
         // Idempotent: a generation that is already on disk (length+
         // mtime key, _SUCCESS-gated) is left untouched, stale
         // generations are GC'd by the store.
-        val dir = overrides.get("data").map(_.toString).getOrElse(
-          throw new IllegalArgumentException(
-            "pass data=<dir containing documents.parquet>"))
+        // take the RAW token, not the Yaml-inferred scalar: a numeric-
+        // looking dir name (data=007) must stay a path, not become
+        // Long 7 round-tripped to "7"
+        val dir = kvArgs.collectFirst {
+          case a if a.startsWith("data=") => a.substring("data=".length)
+        }.getOrElse(throw new IllegalArgumentException(
+          "pass data=<dir containing documents.parquet>"))
+        // same fail-loudly posture as the config modes' override
+        // validation: a stray key must abort, not silently no-op
+        val stray = (overrides - "data").keys ++ cfgFile.map(_ => "cfg")
+        if (stray.nonEmpty) throw new IllegalArgumentException(
+          s"dedup-maintain takes only data=<dir>; got: ${stray.mkString(", ")}")
         val band = graft.queries.TextQ.bandArtifact(spark, dir)
         val gram = graft.queries.TextQ.gramArtifact(spark, dir)
         val clusters = graft.queries.TextQ.clusterArtifact(spark, dir)

@@ -103,9 +103,15 @@ class PipelinesSpec extends AnyFunSuite {
     }
     // second run resolves the SAME current generations without rebuild
     assert(Run.run(spark, "dedup-maintain", Seq(s"data=$data")) == msg)
-    // missing data= fails loudly before any work
+    // missing data= and stray keys fail loudly before any work
     intercept[IllegalArgumentException] {
       Run.run(spark, "dedup-maintain", Seq())
+    }
+    intercept[IllegalArgumentException] {
+      Run.run(spark, "dedup-maintain", Seq(s"data=$data", "max_age=7"))
+    }
+    intercept[IllegalArgumentException] {
+      Run.run(spark, "dedup-maintain", Seq(s"data=$data", "cfg=x.yaml"))
     }
   }
 
