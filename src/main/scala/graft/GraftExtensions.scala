@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.interSizeDescriptor)
     ext.injectFunction(GraftExtensions.repStatsDescriptor)
     ext.injectFunction(GraftExtensions.bandSigsDescriptor)
+    ext.injectFunction(GraftExtensions.simhash64Descriptor)
     ext.injectOptimizerRule(_ => graft.optimizer.BandJoinRewrite)
   }
 }
@@ -49,6 +50,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[graft.expressions.BandSignatures].getName, "graft_bandsigs"),
     (c: Seq[Expression]) => graft.expressions.BandSignatures(c(0), c(1), c(2)))
 
+  private val simhash64Descriptor = (
+    FunctionIdentifier("graft_simhash64"),
+    new ExpressionInfo(classOf[graft.expressions.Simhash64].getName, "graft_simhash64"),
+    (c: Seq[Expression]) => graft.expressions.Simhash64(c.head))
+
   /** Imperative registration for an already-built session: functions
     * plus the band-join optimizer rule (idempotent).
     */
@@ -63,6 +69,8 @@ object GraftExtensions {
       repStatsDescriptor._1, repStatsDescriptor._2, repStatsDescriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
       bandSigsDescriptor._1, bandSigsDescriptor._2, bandSigsDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      simhash64Descriptor._1, simhash64Descriptor._2, simhash64Descriptor._3)
     val opt = spark.sessionState.experimentalMethods
     if (!opt.extraOptimizations.contains(graft.optimizer.BandJoinRewrite))
       opt.extraOptimizations = opt.extraOptimizations :+ graft.optimizer.BandJoinRewrite

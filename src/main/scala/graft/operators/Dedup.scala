@@ -303,19 +303,16 @@ object Dedup {
     * Documents with identical simhash are near-dup candidates; see
     * [[simhashBallPairs]] for the hamming-ball (distance 1..3) tier.
     */
-  def simhash(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(Text.tokens(col(textCol))).as("tok"))
-      .withColumn("h", Text.hash16(col("tok")))
-    val bitVotes = (0 until 16).map { b =>
-      // vote +1 when bit set, -1 when clear; bit b of simhash = majority
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
-    }
-    val votes = toks.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
-    val sim = (0 until 16).map(b =>
-      when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
-    votes.withColumn("simhash", sim).select("doc_id", "simhash")
-  }
+  def simhash(docs: DataFrame, textCol: String = "text"): DataFrame =
+    // bit b of the 16-bit tier votes on bit b of hash16 = the first 4
+    // md5 nibbles = bits 63..48 of the 64-bit digest prefix, so the
+    // 16-bit fingerprint is the top 16 bits of graft_simhash64 (see
+    // expressions/Simhash64.scala for the full equivalence argument).
+    // NULL = zero-token doc, dropped like the old explode form did.
+    docs.select(col("doc_id"),
+        shiftrightunsigned(
+          call_function("graft_simhash64", col(textCol)), 48).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** SimHash hamming-ball near-dup pairs: every doc pair whose 16-bit
     * fingerprints differ in 1..maxHamming bits (distance-0 pairs are
@@ -380,26 +377,14 @@ object Dedup {
     * complement addition, no overflow, and the identical arithmetic is
     * replayable in any BIGINT engine (the oracle does exactly this).
     */
-  def simhash64(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(Text.tokens(col(textCol))).as("tok"))
-      .withColumn("h", Text.md5s(col("tok")))
-    // 16 nibble columns computed once; vote b reads bit (b%4) of
-    // nibble 15-(b/4) — substr position 1 is the most significant
-    val withNibs = toks.select(col("doc_id") +: (0 until 16).map(i =>
-      Text.hexDigit(substring(col("h"), i + 1, 1)).as(s"n$i")): _*)
-    val bitVotes = (0 until 64).map { b =>
-      val nib = 15 - b / 4
-      val p = b % 4
-      sum(when(shiftright(col(s"n$nib"), p).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"v$b")
-    }
-    val votes = withNibs.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
-    val low = (0 until 63).map(b =>
-      when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
-    val sign = when(col("v63") > 0, lit(Long.MinValue)).otherwise(lit(0L))
-    votes.withColumn("simhash64", low + sign).select("doc_id", "simhash64")
-  }
+  def simhash64(docs: DataFrame, textCol: String = "text"): DataFrame =
+    // one-pass native projection (expressions/Simhash64.scala): at
+    // corpus scale SimHash must be map-side — the old relational form
+    // exploded |tokens| rows into a 64-aggregate groupBy shuffle.
+    // NULL = zero-token doc, dropped like the old explode form did.
+    docs.select(col("doc_id"),
+        call_function("graft_simhash64", col(textCol)).as("simhash64"))
+      .filter(col("simhash64").isNotNull)
 
   /** Hamming-ball pairs over the 64-bit fingerprint — the same Manku
     * masked-chunk pigeonhole as [[simhashBallPairs]] lifted to

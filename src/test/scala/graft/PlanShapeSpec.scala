@@ -30,6 +30,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"as-of must not plan a join:\n$p")
   }
 
+  test("d03_simhash: native one-pass projection, zero shuffle") {
+    // SimHash at corpus scale is a map-side projection: the native
+    // graft_simhash64 expression replaced the explode → 64-aggregate
+    // groupBy plan, so the fingerprint query must scan documents and
+    // project — any Exchange here is a regression to the shuffle form
+    val p = plan("d03_simhash")
+    assert(p.contains("graft_simhash64"),
+      s"d03 must use the native simhash expression:\n${p.take(3000)}")
+    assert(!p.contains("Exchange"),
+      s"d03 must be a shuffle-free projection:\n${p.take(3000)}")
+  }
+
   test("d14_simhash_ball: chunk candidate join is equi-keyed, never a cross product") {
     val p = plan("d14_simhash_ball")
     // Pigeonhole candidate generation must plan as an equi-join on

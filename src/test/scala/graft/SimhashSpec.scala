@@ -54,6 +54,45 @@ class SimhashSpec extends AnyFunSuite {
     assert(got == bruteBall(fps, 3))
   }
 
+  test("native graft_simhash64 == relational md5 bit-vote reference (both widths)") {
+    // the one-pass native expression replaced the explode → nibble →
+    // 64-sum-votes plan; rebuild that original plan here and require
+    // bit-identical fingerprints on the real corpus, plus the derived
+    // 16-bit tier (= top 16 bits) and the zero-token NULL droppage
+    import org.apache.spark.sql.functions._
+    import graft.functions.Text
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"),
+      explode(Text.tokens(col("text"))).as("tok"))
+      .withColumn("h", Text.md5s(col("tok")))
+    val withNibs = toks.select(col("doc_id") +: (0 until 16).map(i =>
+      Text.hexDigit(substring(col("h"), i + 1, 1)).as(s"n$i")): _*)
+    val bitVotes = (0 until 64).map { b =>
+      val nib = 15 - b / 4
+      val p = b % 4
+      sum(when(shiftright(col(s"n$nib"), p).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"v$b")
+    }
+    val votes = withNibs.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+    val low = (0 until 63).map(b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+    val sign = when(col("v63") > 0, lit(Long.MinValue)).otherwise(lit(0L))
+    val ref = votes.withColumn("simhash64", low + sign)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("simhash64")).toMap
+    val native = Dedup.simhash64(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == ref)
+    val native16 = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native16 == ref.map { case (k, v) => k -> (v >>> 48) })
+    // zero-token docs vanish (NULL-filtered), matching the inner explode
+    import spark.implicits._
+    val edge = Seq((1L, "hello world"), (2L, "   "), (3L, ""))
+      .toDF("doc_id", "text")
+    assert(Dedup.simhash64(edge).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(Dedup.simhash(edge).collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("simhash64 sign-bit assembly: negative fingerprints appear and round-trip the chunk join") {
     // ~half of all 64-bit fingerprints should set bit 63 (negative as a
     // signed long); the masked-chunk extraction must not let the
