@@ -124,17 +124,18 @@ object Dedup {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be divisible by bands ($bands) — " +
         "trailing seeds would silently drop from banding")
-    val rowsPerBand = numHashes / bands
-    val sigs = minhashSignatures(docs, numHashes, textCol)
-    val bandStructs = (0 until bands).map { band =>
-      val elems = (band * rowsPerBand until (band + 1) * rowsPerBand)
-        .map(s => concat_ws(":", lit(s), col(s"mh$s")))
-      struct(lit(band).as("band"),
-        md5(concat_ws("|", sort_array(array(elems: _*)))).as("band_sig"))
-    }
-    sigs
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+    // native one-pass banding (expressions/BandSignatures.scala, the
+    // same expression the streaming probes use): the relational form
+    // (array_min over a transform lambda per seed, then struct/md5
+    // assembly) is CodegenFallback all the way down — numHashes
+    // interpreted passes over every token list per row. Values are
+    // identical (FunctionsSpec pins native == lambda reference);
+    // token-less docs are dropped like the minhashSignatures form did.
+    docs.withColumn("__toks", Text.tokens(col(textCol)))
+      .filter(size(col("__toks")) > 0)
+      .select(col("doc_id"),
+        posexplode(call_function("graft_bandsigs",
+          col("__toks"), lit(numHashes), lit(bands))).as(Seq("band", "band_sig")))
   }
 
   def minhashCandidates(docs: DataFrame, numHashes: Int, bands: Int,

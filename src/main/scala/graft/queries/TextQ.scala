@@ -959,14 +959,12 @@ object TextQ {
         |FROM documents GROUP BY 1""".stripMargin)),
 
     // MinHash signatures (the LSH building block): per doc the min MD5
-    // over tokens for 4 seeds, as one concatenated signature.
+    // over tokens for 4 seeds, as one concatenated signature — which is
+    // by construction a single band over all 4 seeds, so it runs as the
+    // native one-pass graft_bandsigs projection (bands = 1).
     Q("d02_minhash_sig",
-      (s, d) => {
-        val sigs = Dedup.minhashSignatures(Tables.documents(s, d), numHashes = 4)
-        val elems = (0 until 4).map(i => concat_ws(":", lit(i), col(s"mh$i")))
-        sigs.select(col("doc_id"),
-          md5(concat_ws("|", sort_array(array(elems: _*)))).as("signature"))
-      },
+      (s, d) => Dedup.bandSignatures(Tables.documents(s, d), 4, 1, "text")
+        .select(col("doc_id"), col("band_sig").as("signature")),
       Some("""WITH toks AS (
         |  SELECT DISTINCT doc_id, tok FROM (
         |    SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS tok

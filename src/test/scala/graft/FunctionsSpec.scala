@@ -165,14 +165,35 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getSeq[Long](4) == Seq(2L, 1L, 0L))
   }
 
-  test("graft_bandsigs (per-row) == Dedup.bandSignatures (table form) on real docs") {
+  test("graft_bandsigs == relational lambda banding reference on real docs") {
+    // Dedup.bandSignatures now routes through the native expression, so
+    // the reference here is the ORIGINAL relational construction
+    // (per-seed array_min over a md5 transform, sorted "seed:mh"
+    // elements, band md5) rebuilt inline — the native one-pass kernel
+    // must reproduce it bit-for-bit on the real corpus.
+    import graft.functions.Text
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text")
-    val table = graft.operators.Dedup.bandSignatures(docs, 16, 2, "text")
+    val numHashes = 16
+    val bands = 2
+    val rowsPerBand = numHashes / bands
+    val sigs = docs
+      .withColumn("__mh_toks", Text.distinctTokens(col("text")))
+      .filter(size(col("__mh_toks")) > 0)
+      .select(col("doc_id") +: (0 until numHashes).map(s =>
+        array_min(transform(col("__mh_toks"),
+          t => Text.md5s(concat(lit(s"s${s}_"), t)))).as(s"mh$s")): _*)
+    val bandStructs = (0 until bands).map { band =>
+      val elems = (band * rowsPerBand until (band + 1) * rowsPerBand)
+        .map(s => concat_ws(":", lit(s), col(s"mh$s")))
+      struct(lit(band).as("band"),
+        md5(concat_ws("|", sort_array(array(elems: _*)))).as("band_sig"))
+    }
+    val table = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band"), col("bs.band_sig"))
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
-    val perRow = docs.select(col("doc_id"),
-        posexplode(call_function("graft_bandsigs",
-          graft.functions.Text.tokens(col("text")), lit(16), lit(2))))
+    val perRow = graft.operators.Dedup.bandSignatures(docs, numHashes, bands, "text")
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
     assert(perRow == table)
   }
