@@ -198,6 +198,17 @@ class FunctionsSpec extends AnyFunSuite {
     assert(perRow == table)
   }
 
+  test("bandSignatures drops token-less docs like the minhash form did") {
+    // the native path filters size(tokens) > 0 — a zero-token doc has
+    // no minhash, so it must produce NO band rows (the old relational
+    // form dropped it via the same filter inside minhashSignatures)
+    val docs = Seq((1L, "a b"), (2L, "   "), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.bandSignatures(docs, 4, 2, "text")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L))
+  }
+
   test("graft_bandsigs: empty token set is deterministic and bands divide check fails loudly") {
     val a = spark.sql("SELECT graft_bandsigs(array('x'), 16, 2) AS s").head().getSeq[String](0)
     assert(a.length == 2 && a.forall(_.length == 32))
