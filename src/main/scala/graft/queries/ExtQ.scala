@@ -450,36 +450,37 @@ object ExtQ {
     // column, so no stateful distinct is needed — a pair colliding in
     // both bands appears once per band, deterministically.
     //
-    // The band table is materialized BEFORE entering the stream's
-    // 4-partition shuffle scope: building the artifact is a batch job
-    // that wants full cluster parallelism (its token shuffle at 4
-    // partitions cost ~5 s of the query at sf0.1); only the per-micro-
-    // batch probe join should run at stream settings. A production
-    // pipeline reads the table from storage, so the stream plan
-    // joining a pre-materialized input is the faithful shape.
+    // The band artifact and gram store are materialized BEFORE
+    // entering the stream's 4-partition shuffle scope: building them
+    // is batch maintenance that wants full cluster parallelism; only
+    // the per-micro-batch probe should run at stream settings. A
+    // production pipeline reads both from storage, so the per-batch
+    // plan probing persisted tables is the faithful shape.
+    //
+    // The probe itself runs in foreachBatch so each micro-batch can
+    // PUSH ITS OWN KEYS into the static side: the batch's distinct
+    // band-signature prefixes become a partition filter on the
+    // sig_pfx-partitioned band artifact, and the static FileScan reads
+    // only the ≤256ths of the signature store the batch can collide
+    // with (PlanShapeSpec pins the PartitionFilters). This is what
+    // survives 100×: per-trigger cost scales with the batch's key
+    // spread, not the corpus — the previous shape re-scanned the whole
+    // cached corpus signature table every micro-batch, the one
+    // superlinear cross-SF curve of r13. (The gram-side verify join
+    // touches only post-collision candidates; its static input is the
+    // memoized in-memory gram store — at 100 TB that store would be
+    // bucketed by doc_id for the same pruned-probe effect.)
     Q("st6_stream_ingest_dedup",
       (s, d) => {
-        import graft.operators.Dedup
         import graft.functions.Text
         val docs = Tables.documents(s, d)
-        val corpus = docs.filter(col("source") =!= "src0")
         val fp = (t: org.apache.spark.sql.Column) =>
           sort_array(transform(Text.distinctTokens(t), g => xxhash64(g)))
-        // corpus bands come from the PERSISTED artifact (d15's
-        // write-once-per-data-generation parquet), not an in-session
-        // re-banding: a production ingest stream probes the stored
-        // table, so the FileScan is the faithful steady-state shape —
-        // and d15's oracle proves artifact rows ≡ recomputed rows
-        val staticSide = s.read.parquet(TextQ.bandArtifact(s, d))
-          .filter(col("source") =!= "src0")
-          .drop("source")
-          .join(corpus.select(col("doc_id"), fp(col("text")).as("grams_b")), Seq("doc_id"))
-          .select(col("band"), col("band_sig"),
-            col("doc_id").as("doc_b"), col("grams_b"))
-          .cache()
-        staticSide.count()  // materialize at batch (32-partition) parallelism
-        try withStreamShuffle(s) {
-          val name = sinkName("st6_ingest_", d)
+        TextQ.bandArtifact(s, d)  // build/refresh at batch parallelism
+        val gramsB = TextQ.gramSetsOf(s, d)  // memoized gram artifact
+          .select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
+        val outDir = java.nio.file.Files.createTempDirectory("graft_st6_").toString
+        withStreamShuffle(s) {
           val stream = s.readStream.schema(docs.schema)
             .option("pathGlobFilter", "documents.parquet").parquet(d)
             .filter(col("source") === "src0")
@@ -487,24 +488,34 @@ object ExtQ {
               posexplode(call_function("graft_bandsigs",
                 Text.tokens(col("text")), lit(16), lit(2))))
             .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_sig"))
-          val q = stream.join(staticSide, Seq("band", "band_sig"))
-            .withColumn("inter",
-              call_function("graft_inter_size", col("grams_a"), col("grams_b")))
-            .withColumn("unionSz",
-              size(col("grams_a")) + size(col("grams_b")) - col("inter"))
-            .withColumn("jaccard",
-              when(col("unionSz") === 0, 0.0)
-                .otherwise(col("inter").cast("double") / col("unionSz")))
-            .filter(col("jaccard") >= 0.5)
-            .select(col("doc_a"), col("doc_b"), col("band"),
-              round(col("jaccard"), 9).as("jaccard"))
-            .writeStream.format("memory").queryName(name)
-            .outputMode("append")
+          val q = stream.writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              val b = batch.persist()
+              try {
+                val prefixes = b.select(TextQ.sigPfx(col("band_sig")))
+                  .distinct().collect().map(_.getString(0)).toSeq
+                val static = TextQ.prunedCorpusBands(s, d, prefixes)
+                  .select(col("band"), col("band_sig"), col("doc_id").as("doc_b"))
+                b.join(static, Seq("band", "band_sig"))
+                  .join(gramsB, Seq("doc_b"))
+                  .withColumn("inter",
+                    call_function("graft_inter_size", col("grams_a"), col("grams_b")))
+                  .withColumn("unionSz",
+                    size(col("grams_a")) + size(col("grams_b")) - col("inter"))
+                  .withColumn("jaccard",
+                    when(col("unionSz") === 0, 0.0)
+                      .otherwise(col("inter").cast("double") / col("unionSz")))
+                  .filter(col("jaccard") >= 0.5)
+                  .select(col("doc_a"), col("doc_b"), col("band"),
+                    round(col("jaccard"), 9).as("jaccard"))
+                  .write.mode("append").parquet(outDir)
+              } finally { b.unpersist(); () }
+            }
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
           q.awaitTermination()
-          s.table(name)
-        } finally staticSide.unpersist()
+        }
+        s.read.parquet(outDir)
       },
       // banding + gram-set text shared with d09's oracle (TextQ.BandCtes)
       // so the two descriptions of the same artifact cannot drift

@@ -299,10 +299,37 @@ object TextQ {
     * Returns the artifact path; `_SUCCESS` gates readiness (a torn
     * write is rewritten, never read).
     */
+  /** The band artifact's partition-prefix column: the first 2 hex
+    * chars of the md5 band signature, "x"-prefixed so the partition
+    * directory value can never be inferred as a numeric type on read
+    * (an all-digit sample would otherwise flip the column to int and
+    * break probe-side string equality). 256 uniform partitions — at
+    * 100 TB each still holds millions of signatures, but a streaming
+    * ingest's probe touches only the prefixes its micro-batch emits,
+    * so the static FileScan prunes ~99% of the store instead of
+    * re-scanning all of it every trigger (the st6 steady-state shape).
+    */
+  private[graft] def sigPfx(sig: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("x"), substring(sig, 1, 2))
+
+  /** Params/layout tag for [[bandArtifact]] (ArtifactStore `sub`):
+    * 16 hashes, 2 bands, 2-hex-char partition prefix. Bump when the
+    * banding config or on-disk layout changes so stale-param artifacts
+    * are invalidated and GC'd like stale-data generations.
+    */
+  private val BandArtifactTag = "h16b2p2"
+
   private[graft] def bandArtifact(s: org.apache.spark.sql.SparkSession, d: String): String =
     graft.sources.ArtifactStore.resolve(s, "graft_band_artifact",
-      Seq(new java.io.File(d, "documents.parquet"))) { dir =>
-      bandSigsCompute(s, d).write.mode("overwrite").parquet(dir)
+      Seq(new java.io.File(d, "documents.parquet")), sub = BandArtifactTag) { dir =>
+      bandSigsCompute(s, d)
+        .withColumn("sig_pfx", sigPfx(col("band_sig")))
+        // one shuffle on the partition value before the partitioned
+        // write: each of the 256 directories is written by exactly one
+        // task instead of every task opening a file in every directory
+        // (256 files total, not tasks×256 — the small-file guard)
+        .repartition(col("sig_pfx"))
+        .write.mode("overwrite").partitionBy("sig_pfx").parquet(dir)
     }
 
   /** Session view of the band artifact: a memoized cached read of
@@ -316,8 +343,27 @@ object TextQ {
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.SparkContext, String), org.apache.spark.sql.DataFrame]
   private[graft] def bandSigs(s: org.apache.spark.sql.SparkSession, d: String) =
     memoized(bandCache, s, d) {
-      s.read.parquet(bandArtifact(s, d))
+      // drop the partition column: batch consumers join on the full
+      // (band, band_sig) key, so the prefix is layout detail to them
+      s.read.parquet(bandArtifact(s, d)).drop("sig_pfx")
     }
+
+  /** The PARTITION-PRUNED corpus-side band probe: reads only the
+    * artifact partitions whose `sig_pfx` appears in `prefixes` (the
+    * distinct signature prefixes of one ingest micro-batch). This is
+    * the stream-static shape that survives 100×: the static FileScan's
+    * `PartitionFilters` (pinned in PlanShapeSpec) cut the scan to the
+    * ≤256ths of the signature store a batch can possibly collide with,
+    * so per-trigger cost scales with the batch's key spread, not the
+    * corpus (previously st6 re-scanned the whole cached corpus table
+    * every micro-batch — the one superlinear cross-SF curve in r13).
+    */
+  private[graft] def prunedCorpusBands(s: org.apache.spark.sql.SparkSession,
+                                       d: String, prefixes: Seq[String]) =
+    s.read.parquet(bandArtifact(s, d))
+      .where(col("sig_pfx").isin(prefixes: _*))
+      .filter(col("source") =!= "src0")
+      .select("band", "band_sig", "doc_id")
 
   /** The persisted gram-fingerprint artifact `(doc_id, grams)` — the
     * signature-store companion to [[bandArtifact]]: the Jaccard verify
@@ -330,7 +376,9 @@ object TextQ {
     */
   private[graft] def gramArtifact(s: org.apache.spark.sql.SparkSession, d: String): String =
     graft.sources.ArtifactStore.resolve(s, "graft_gram_artifact",
-      Seq(new java.io.File(d, "documents.parquet"))) { dir =>
+      // params tag: unigram (n=1) xxhash64 fingerprints — a gram-order
+      // or hash change must invalidate the store, not serve stale sets
+      Seq(new java.io.File(d, "documents.parquet")), sub = "g1x64") { dir =>
       Dedup.gramSets(Tables.documents(s, d)).write.mode("overwrite").parquet(dir)
     }
 
@@ -378,7 +426,11 @@ object TextQ {
 
   private[graft] def clusterArtifact(s: org.apache.spark.sql.SparkSession, d: String): String =
     graft.sources.ArtifactStore.resolve(s, "graft_cluster_artifact",
-      Seq(new java.io.File(d, "documents.parquet"))) { dir =>
+      // params tag: the labels are only valid for edges verified at
+      // THIS threshold over THIS banding config — retuning either must
+      // invalidate the persisted clustering (ADVICE r13)
+      Seq(new java.io.File(d, "documents.parquet")),
+      sub = s"j${ClusterJaccard}_h16b2") { dir =>
       val corpusEdges = clusterEdges(s, d,
         Dedup.minhashCandidatesFromBands(
           bandSigs(s, d).filter(col("source") =!= "src0")))

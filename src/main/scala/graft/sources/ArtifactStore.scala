@@ -17,6 +17,16 @@ import org.apache.spark.sql.SparkSession
   * signatures are never served). `_SUCCESS` gates readiness: a torn
   * write is rebuilt, never read.
   *
+  * `sub` is the PARAMS/LAYOUT tag: callers fold the artifact's
+  * algorithm parameters and on-disk layout version into it (e.g. the
+  * band artifact's "h16b2p2" = 16 hashes / 2 bands / 2-hex-char
+  * partition prefix), so a code-side parameter or layout change
+  * invalidates the artifact exactly like a data change does — without
+  * it, retuning a threshold would silently serve stale artifacts
+  * until the source data happened to regenerate. Only one sub value
+  * exists per kind at any code version (params are code constants),
+  * so stale sibling subs are GC'd alongside stale generations.
+  *
   * STALE-GENERATION GC: when a new generation's artifact is built, the
   * SAME dataset's superseded generation directories are deleted — the
   * driver regenerates testdata between rounds, and without this every
@@ -49,8 +59,8 @@ object ArtifactStore {
     val genTag = java.lang.Long.toHexString(
       sources.map(f => f.length() * 1000003L + f.lastModified())
         .reduce(_ * 998244353L + _))
-    val base = s"${System.getProperty("java.io.tmpdir")}/$kind/$dsHash" +
-      (if (sub.nonEmpty) s"/$sub" else "")
+    val dsDir = s"${System.getProperty("java.io.tmpdir")}/$kind/$dsHash"
+    val base = dsDir + (if (sub.nonEmpty) s"/$sub" else "")
     val dir = s"$base/$genTag"
     val basePath = new org.apache.hadoop.fs.Path(base)
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -63,6 +73,15 @@ object ArtifactStore {
         fs.listStatus(basePath).map(_.getPath)
           .filter(_.getName != genTag)
           .foreach(p => fs.delete(p, true))
+      // GC stale PARAM/LAYOUT subs (and pre-sub flat generations) of
+      // this dataset: a params change retires the whole old sub tree
+      if (sub.nonEmpty) {
+        val dsPath = new org.apache.hadoop.fs.Path(dsDir)
+        if (fs.exists(dsPath))
+          fs.listStatus(dsPath).map(_.getPath)
+            .filter(_.getName != sub)
+            .foreach(p => fs.delete(p, true))
+      }
       // one-time migration sweep: the pre-store flat layout wrote
       // <kind>/<genTag> directly (no datasetHash level); those legacy
       // dirs are siblings of dsHash and would otherwise never be GC'd.

@@ -102,6 +102,33 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("st6: static band probe partition-prunes the sig_pfx-partitioned artifact") {
+    // The stream-static ingest probe must push the micro-batch's
+    // signature prefixes into the artifact FileScan as partition
+    // filters — without them every trigger re-scans the whole corpus
+    // signature store (r13's one superlinear cross-SF curve). The
+    // batch-side key push happens in st6's foreachBatch; the static
+    // shape it builds is pinned here directly.
+    graft.queries.TextQ.resetMaterializations(spark)
+    val probe = graft.queries.TextQ
+      .prunedCorpusBands(spark, dir, Seq("x00", "x3f", "xab"))
+    val p = probe.queryExecution.executedPlan.toString
+    assert(p.contains("graft_band_artifact"),
+      s"probe must FileScan the persisted artifact:\n${p.take(4000)}")
+    assert(p.contains("PartitionFilters") && {
+      val pf = p.substring(p.indexOf("PartitionFilters"))
+      pf.take(pf.indexOf("]") + 1).contains("sig_pfx")
+    }, s"probe scan must carry a sig_pfx partition filter:\n${p.take(4000)}")
+    // and the filter actually prunes: the scan's selected partitions
+    // are bounded by the probe's prefix list, not the artifact's 256
+    val scans = probe.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, p)
+    assert(scans.forall(_.selectedPartitions.partitionCount <= 3),
+      s"expected <=3 partitions read, got ${scans.map(_.selectedPartitions.partitionCount)}")
+  }
+
   test("d17: corpus cluster labels FileScan the persisted artifact, never re-cluster") {
     // The incremental-maintenance posture: the corpus's cluster
     // assignment is a maintained on-disk table (clusterArtifact) the
