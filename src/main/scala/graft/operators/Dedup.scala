@@ -427,6 +427,49 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
   }
 
+  /** Asymmetric hamming-ball pairs for INCREMENTAL simhash dedup — the
+    * daily-ingest shape at production width: a new batch's 64-bit
+    * fingerprints probe the corpus's PERSISTED fingerprint table
+    * (`(doc_id, simhash64)` — see TextQ.simhashArtifact), emitting
+    * `(doc_a = new, doc_b = corpus)` pairs within `maxHamming`. Same
+    * Manku masked-chunk pigeonhole as [[simhash64BallPairs]], but the
+    * chunk equi-join is batch-vs-corpus only — never new×new or
+    * corpus×corpus — so per-ingest cost scales with the batch's
+    * distinct fingerprints, not the corpus's pair space. Unlike the
+    * symmetric tiers (where distance-0 is the exact-equality report's
+    * job), hamming 0 IS included here: a batch doc identical to a
+    * corpus doc is precisely the hit an ingest gate must see.
+    */
+  def simhash64BallPairsAgainst(shNew: DataFrame, shCorpus: DataFrame,
+                                maxHamming: Int = 3): DataFrame = {
+    val nChunks = maxHamming + 1
+    require(64 % nChunks == 0,
+      s"maxHamming+1 must divide the 64-bit fingerprint, got $maxHamming")
+    val width = 64 / nChunks
+    val mask = (1L << width) - 1
+    def chunked(fp: DataFrame) =
+      fp.select(col("simhash64"),
+          explode(array((0 until nChunks).map(c =>
+            struct(lit(c).as("chunk"),
+              shiftright(col("simhash64"), c * width)
+                .bitwiseAND(mask).as("ckey"))): _*)).as("ck"))
+        .select(col("simhash64"), col("ck.chunk").as("chunk"), col("ck.ckey").as("ckey"))
+    // each side feeds two consumers (distinct-fp probe + doc expansion)
+    val sn = shNew.select("doc_id", "simhash64").cache()
+    val sc = shCorpus.select("doc_id", "simhash64").cache()
+    val fpPairs = chunked(sn.select("simhash64").distinct())
+      .withColumnRenamed("simhash64", "fp_a")
+      .join(chunked(sc.select("simhash64").distinct())
+        .withColumnRenamed("simhash64", "fp_b"), Seq("chunk", "ckey"))
+      .select("fp_a", "fp_b").distinct()
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+    fpPairs
+      .join(sn.select(col("doc_id").as("doc_a"), col("simhash64").as("fp_a")), Seq("fp_a"))
+      .join(sc.select(col("doc_id").as("doc_b"), col("simhash64").as("fp_b")), Seq("fp_b"))
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+  }
+
   /** Embedding near-dup end-to-end: multi-table sign-bit LSH candidate
     * generation (SimilaritySearch.lshTables — a pair is a candidate
     * when ANY table's bucket agrees, banding-style) followed by the

@@ -389,6 +389,30 @@ object TextQ {
       s.read.parquet(gramArtifact(s, d))
     }
 
+  /** The persisted 64-bit SimHash fingerprint artifact `(doc_id,
+    * simhash64, source)` — the fourth leg of the signature store: the
+    * corpus's production-width simhash table, computed once per data
+    * generation (a per-row native projection over text) and probed by
+    * the incremental hamming-ball tier (d18) so a daily ingest never
+    * re-fingerprints the corpus. Same (length, mtime) keying,
+    * `_SUCCESS` gating and params-tag invalidation as the band store.
+    */
+  private[graft] def simhashArtifact(s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.sources.ArtifactStore.resolve(s, "graft_simhash_artifact",
+      Seq(new java.io.File(d, "documents.parquet")), sub = "w64") { dir =>
+      val docs = Tables.documents(s, d)
+      Dedup.simhash64(docs)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .write.mode("overwrite").parquet(dir)
+    }
+
+  private val simhashCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.SparkContext, String), org.apache.spark.sql.DataFrame]
+  private[graft] def simhashFps(s: org.apache.spark.sql.SparkSession, d: String) =
+    memoized(simhashCache, s, d) {
+      s.read.parquet(simhashArtifact(s, d))
+    }
+
   /** The persisted CORPUS CLUSTER-LABEL artifact `(doc_id, cluster_id)`
     * — batch connected components over the corpus slice's verified
     * duplicate edges (source <> 'src0', Jaccard >= 0.9), written once
@@ -505,7 +529,8 @@ object TextQ {
     * own first-touch cost, so per-query numbers are order-independent.
     */
   def resetMaterializations(s: org.apache.spark.sql.SparkSession): Unit =
-    Seq(bandCache, gramCache, pairCache, ndPairCache, clusterCache).foreach { c =>
+    Seq(bandCache, gramCache, pairCache, ndPairCache, clusterCache,
+        simhashCache).foreach { c =>
       c.keys.filter(_._1 == s.sparkContext).foreach { k =>
         c.remove(k).foreach(_.unpersist())
       }
@@ -1790,6 +1815,48 @@ object TextQ {
         |FROM ball64
         |JOIN sh64 sa ON sa.simhash64 = ball64.fp_a
         |JOIN sh64 sb ON sb.simhash64 = ball64.fp_b""".stripMargin)),
+
+    // d16's INCREMENTAL form — the production daily-ingest shape at
+    // 64-bit width: the 'src0' slice plays a fresh batch whose
+    // fingerprints probe the corpus's PERSISTED simhash artifact
+    // (simhashArtifact — computed once per data generation, like the
+    // band store), asymmetric chunk pigeonhole, hamming <= 3 WITH
+    // distance 0 included (an ingest must see exact fingerprint hits).
+    // Cost scales with the batch's distinct fingerprints, never the
+    // corpus pair space; PlanShapeSpec pins the equi-keyed join and
+    // the artifact FileScan.
+    Q("d18_simhash64_incremental",
+      (s, d) => {
+        val fps = simhashFps(s, d)
+        Dedup.simhash64BallPairsAgainst(
+          fps.filter(col("source") === "src0"),
+          fps.filter(col("source") =!= "src0"), maxHamming = 3)
+      },
+      Some(s"""WITH $Simhash64Ctes,
+        |shn AS (SELECT s.doc_id, s.simhash64 FROM sh64 s
+        |  JOIN documents d ON d.doc_id = s.doc_id AND d.source = 'src0'),
+        |shc AS (SELECT s.doc_id, s.simhash64 FROM sh64 s
+        |  JOIN documents d ON d.doc_id = s.doc_id AND d.source <> 'src0'),
+        |fpn AS (SELECT DISTINCT simhash64 FROM shn),
+        |fpc AS (SELECT DISTINCT simhash64 FROM shc),
+        |cn AS (
+        |  SELECT simhash64, c.c AS chunk, (simhash64 >> CAST(c.c * 16 AS INT)) & 65535 AS ckey
+        |  FROM fpn, range(4) c(c)
+        |), cc AS (
+        |  SELECT simhash64, c.c AS chunk, (simhash64 >> CAST(c.c * 16 AS INT)) & 65535 AS ckey
+        |  FROM fpc, range(4) c(c)
+        |), fpp AS (
+        |  SELECT DISTINCT a.simhash64 AS fp_a, b.simhash64 AS fp_b
+        |  FROM cn a JOIN cc b ON a.chunk = b.chunk AND a.ckey = b.ckey
+        |), ball AS (
+        |  SELECT fp_a, fp_b, bit_count(xor(fp_a, fp_b)) AS hamming
+        |  FROM fpp WHERE bit_count(xor(fp_a, fp_b)) <= 3
+        |)
+        |SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+        |  CAST(ball.hamming AS BIGINT) AS hamming
+        |FROM ball
+        |JOIN shn sa ON sa.simhash64 = ball.fp_a
+        |JOIN shc sb ON sb.simhash64 = ball.fp_b""".stripMargin)),
 
     // N-gram Jaccard similarity for a deterministic candidate pair set
     // (adjacent doc ids) — the verify stage of near-dup detection.

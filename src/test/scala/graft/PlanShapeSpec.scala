@@ -61,6 +61,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"candidate join should key on (chunk, ckey):\n$p")
   }
 
+  test("d18_simhash64_incremental: asymmetric chunk probe is equi-keyed off the fp artifact") {
+    // The incremental tier must (a) never degenerate to a cross
+    // product — candidates come from the (chunk, ckey) equi-join — and
+    // (b) read BOTH sides' fingerprints from the persisted simhash
+    // artifact, never re-fingerprint corpus text per ingest.
+    graft.queries.TextQ.resetMaterializations(spark)
+    val p = plan("d18_simhash64_incremental")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"incremental hamming-ball candidates must come from an equi-join:\n$p")
+    assert(p.contains("chunk") && p.contains("ckey"),
+      s"candidate join should key on (chunk, ckey):\n$p")
+    assert(p.contains("graft_simhash_artifact"),
+      s"d18 must FileScan the persisted fingerprint artifact:\n${p.take(4000)}")
+    assert(!p.contains("documents.parquet"),
+      s"d18 must not re-fingerprint raw documents text:\n${p.take(4000)}")
+  }
+
   test("d15_band_artifact: corpus band table scans the on-disk artifact, not raw text") {
     val p = plan("d15_band_artifact")
     assert(p.contains("graft_band_artifact"),

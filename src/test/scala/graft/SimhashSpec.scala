@@ -46,6 +46,33 @@ class SimhashSpec extends AnyFunSuite {
     assert(got == bruteBall(fps, 3))
   }
 
+  test("simhash64BallPairsAgainst == brute-force cross scan (hamming 0 included)") {
+    // the incremental tier: src0 batch vs rest-of-corpus, every cross
+    // pair within hamming <= 3 — INCLUDING distance 0 (an exact
+    // fingerprint hit is the ingest gate's most important signal,
+    // unlike the symmetric tiers where equality is its own report)
+    val docs = Tables.documents(spark, dir)
+    val sh = Dedup.simhash64(docs)
+      .join(docs.select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("source")), Seq("doc_id"))
+    val n = sh.filter(org.apache.spark.sql.functions.col("source") === "src0")
+    val c = sh.filter(org.apache.spark.sql.functions.col("source") =!= "src0")
+    val fpN = n.select("doc_id", "simhash64").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val fpC = c.select("doc_id", "simhash64").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(fpN.nonEmpty && fpC.nonEmpty)
+    val want = (for {
+      (da, fa) <- fpN
+      (db, fb) <- fpC
+      h = java.lang.Long.bitCount(fa ^ fb)
+      if h <= 3
+    } yield (da, db, h.toLong)).toSet
+    val got = Dedup.simhash64BallPairsAgainst(n, c, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
   test("simhashBallPairs (16-bit) == brute-force hamming scan") {
     val docs = Tables.documents(spark, dir)
     val fps = Dedup.simhash(docs).collect()
