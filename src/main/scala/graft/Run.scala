@@ -111,10 +111,17 @@ object Run {
         val stray = (overrides - "data").keys ++ cfgFile.map(_ => "cfg")
         if (stray.nonEmpty) throw new IllegalArgumentException(
           s"dedup-maintain takes only data=<dir>; got: ${stray.mkString(", ")}")
+        // drop session memos first: after a mid-session source
+        // regeneration the memoized band/gram relations still hold the
+        // OLD generation in cache — building the new cluster artifact
+        // through them would silently derive gen-N+1 labels from gen-N
+        // signatures. Maintenance must rebuild from current storage.
+        graft.queries.TextQ.resetMaterializations(spark)
         val band = graft.queries.TextQ.bandArtifact(spark, dir)
         val gram = graft.queries.TextQ.gramArtifact(spark, dir)
         val clusters = graft.queries.TextQ.clusterArtifact(spark, dir)
-        s"dedup-maintain: band=$band gram=$gram clusters=$clusters"
+        val simhash = graft.queries.TextQ.simhashArtifact(spark, dir)
+        s"dedup-maintain: band=$band gram=$gram clusters=$clusters simhash=$simhash"
       case other =>
         throw new IllegalArgumentException(
           s"unknown mode: $other (track|eval|features|visualize|dedup-maintain)")

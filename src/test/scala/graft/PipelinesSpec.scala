@@ -96,7 +96,7 @@ class PipelinesSpec extends AnyFunSuite {
     val msg = Run.run(spark, "dedup-maintain", Seq(s"data=$data"))
     assert(msg.startsWith("dedup-maintain:"), msg)
     val paths = msg.split(' ').tail.map(_.split("=", 2)(1))
-    assert(paths.length == 3)
+    assert(paths.length == 4)
     paths.foreach { p =>
       assert(java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS")),
         s"artifact $p must be _SUCCESS-gated")
@@ -113,6 +113,60 @@ class PipelinesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Run.run(spark, "dedup-maintain", Seq(s"data=$data", "cfg=x.yaml"))
     }
+  }
+
+  test("generation rollover: regenerated source GCs old artifacts, stale reads fail loudly, rebuild answers identically") {
+    // The exact cycle the driver's between-round testdata regeneration
+    // exercises: dedup-maintain builds the signature store → the source
+    // parquet is REGENERATED at the same path (same rows, new
+    // length/mtime) → the old generation must be GC'd, a stale
+    // memoized relation must fail loudly rather than serve rows from
+    // deleted files, and a fresh resolve must rebuild artifacts that
+    // answer bit-identically (the regenerated content is unchanged).
+    val dir = tmp("rollover")
+    val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+    src.count()
+    val tgt = new java.io.File(dir, "documents.parquet")
+    def regenerate(bumpMs: Long): Unit = {
+      src.coalesce(1).write.mode("overwrite").parquet(tgt.getAbsolutePath)
+      tgt.setLastModified(tgt.lastModified() + bumpMs)
+    }
+    regenerate(0)
+    def artifacts(msg: String): Seq[String] =
+      msg.split(' ').tail.map(_.split("=", 2)(1)).toSeq
+    val gen1 = artifacts(Run.run(spark, "dedup-maintain", Seq(s"data=$dir")))
+    def result(q: String): Seq[String] =
+      SparkEntry.queries(q)(spark, dir).collect().map(_.toString).sorted.toSeq
+    val before = Seq("d09_incremental_dedup", "d17_incremental_cc",
+      "d18_simhash64_incremental").map(q => q -> result(q))
+    // hold a gen-1 memoized relation across the regeneration
+    val stale = graft.queries.TextQ.bandSigs(spark, dir)
+
+    regenerate(5000)
+    val gen2 = artifacts(Run.run(spark, "dedup-maintain", Seq(s"data=$dir")))
+    assert(gen2.toSet.intersect(gen1.toSet).isEmpty,
+      s"every artifact must roll to a new generation dir:\n$gen1\n$gen2")
+    gen1.foreach(p => assert(!new java.io.File(p).exists(),
+      s"stale generation $p must be GC'd by the rebuild"))
+    gen2.foreach(p => assert(
+      java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS")),
+      s"fresh generation $p must be _SUCCESS-gated"))
+    // the stale relation's files are gone and its cache was dropped by
+    // the maintenance reset: any action must fail loudly, never return
+    // rows from a generation that no longer exists
+    val err = intercept[Throwable] { stale.count() }
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .flatMap(e => Option(e.getMessage)).toSeq
+    assert(messages(err).exists(m =>
+        m.contains("graft_band_artifact") || m.toLowerCase.contains("file")),
+      s"stale read should surface the missing artifact files: ${messages(err)}")
+    // fresh queries over the rebuilt store answer identically
+    graft.queries.TextQ.resetMaterializations(spark)
+    before.foreach { case (q, want) =>
+      assert(result(q) == want, s"$q diverged across the rollover")
+    }
+    src.unpersist()
   }
 
   test("Run CLI: visualize mode annotates frames and renders the sequence video") {
