@@ -266,18 +266,37 @@ object Bench {
     // canary[g] precedes query group g (groups of `groupSize` in
     // emission order); the last entry is re-timed after the final group.
     val can = canaries.map(fmt3).mkString("[", ",", "]")
+    // SELF-NORMALIZATION (PLANS.md "Bench calibration"): the record
+    // carries its own contention correction so a contended driver run
+    // reads correctly without hand arithmetic against the committed
+    // canonical. canary_base = the canonical anchor's median canary
+    // (BENCH_r13_local.json) — bump alongside any new committed
+    // canonical. scale[g] = canary_base / max(canary[g], canary[g+1])
+    // (larger neighbor: spikes between probes are under-sampled, so
+    // the conservative factor wins); value_n = Σ wall(q)·scale(g(q)).
+    // Per-query normalized walls are NOT emitted as a second map —
+    // the driver keeps only the run's last ~2000 output chars and a
+    // 102-key map would clip the JSON head — but they are fully
+    // derivable from this record alone: queries[q] × scale[g] with g =
+    // the query's index in emission order divided by ⌈N/5⌉.
+    val canaryBase = 0.116
+    val scales = gcGroups.indices.map { g =>
+      canaryBase / math.max(canaries(g), canaries(g + 1)) }
+    val wnTotal = results.zipWithIndex.map { case ((_, w, _, _), i) =>
+      w * scales(math.min(i / groupSize, scales.length - 1)) }.sum
+    val scaleArr = scales.map(fmt3).mkString("[", ",", "]")
     // gcg[g] = GC seconds during query group g — ONE entry per group
     // (5 on the full catalog; canary has groups+1 entries because it
     // re-probes after the last group, gcg has nothing to measure there)
     val gcg = gcGroups.map(fmt1).mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cpu":$cpu,"canary":$can,"gcg":$gcg,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","value_n":${fmt(wnTotal)},"cb":${fmt3(canaryBase)},"scale":$scaleArr,"queries":$qs,"cpu":$cpu,"canary":$can,"gcg":$gcg,"errors":$errs,"sf":"$sfDir"}"""
     // Hard guard on the driver's 2000-char tail window (sbt appends a
     // ~74-char "[success]" suffix after us): degrade by dropping the cpu
     // array rather than letting the window clip the JSON head.
     if (line.length <= 1900) println(line)
     else println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"canary":$can,"gcg":$gcg,"errors":$errs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","value_n":${fmt(wnTotal)},"cb":${fmt3(canaryBase)},"scale":$scaleArr,"queries":$qs,"canary":$can,"gcg":$gcg,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
