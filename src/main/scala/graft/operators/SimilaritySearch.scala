@@ -185,6 +185,121 @@ object SimilaritySearch {
       .select(col("query_id"), col(idCol).as("corpus_id"), col("cosine"), col("rank"))
   }
 
+  /** IVF + Product Quantization ANN — the 100 TB serving tier on top
+    * of [[ivfTopK]]'s coarse cells: coarse cell prune (nprobe of nlist
+    * cells) → PQ-code ASYMMETRIC distance over the probed cells → exact
+    * rerank of a small tail. The corpus stores one byte-ish code per
+    * subspace (`m` codes from `codebookSize`-entry codebooks) instead
+    * of the float vector, so the ADC stage touches codes only — at
+    * 100 TB that is the difference between scanning a 256 GB code
+    * table and a 25 TB float store per probe.
+    *
+    * Mechanics, all deterministic-integer so the DuckDB oracle replays
+    * bit-identically:
+    *   - codebooks: subvector slices of the first `codebookSize`
+    *     corpus vectors (same deterministic-sampling posture as the
+    *     IVF centroids — swap in trained codebooks offline without
+    *     touching the serving plan); shipped as literals.
+    *   - encode: per subspace, argmin quantized L2 — the shared ‖x‖²
+    *     term cancels inside an argmin, so the score is the integer
+    *     `‖c‖q − 2·dotQ(x, c)` (ties → lowest code id). A pure per-row
+    *     projection over the corpus: NO shuffle to build the code
+    *     table.
+    *   - query ADC: per query, a lookup table of `m × codebookSize`
+    *     quantized subvector·codebook dots (the classic PQ LUT);
+    *     a candidate's ADC score is then `m` integer array lookups —
+    *     no float math per candidate.
+    *   - refine: top-`refine` ADC candidates per query rerank with the
+    *     exact quantized cosine; top-`k` of those is the answer.
+    */
+  def ivfPqTopK(corpus: DataFrame, queryPred: Column, k: Int, nlist: Int,
+                nprobe: Int, m: Int, codebookSize: Int, refine: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = corpus.filter(col(idCol) < nlist)
+      .select(col(idCol).cast("int").as("cid"),
+        col(vecCol).cast("array<float>").as("cv"))
+      .collect().map { r =>
+        require(!r.isNullAt(1),
+          s"ivfPqTopK centroid $idCol=${r.getInt(0)} has a null $vecCol")
+        (r.getInt(0), r.getSeq[Float](1).toArray)
+      }.sortBy(_._1)
+    require(cents.length == nlist,
+      s"ivfPqTopK sampled ${cents.length} centroids, expected $nlist")
+    val cbVecs = corpus.filter(col(idCol) < codebookSize)
+      .select(col(idCol).cast("int").as("ki"),
+        col(vecCol).cast("array<float>").as("cv"))
+      .collect().map { r =>
+        require(!r.isNullAt(1),
+          s"ivfPqTopK codebook seed $idCol=${r.getInt(0)} has a null $vecCol")
+        (r.getInt(0), r.getSeq[Float](1).toArray)
+      }.sortBy(_._1)
+    require(cbVecs.length == codebookSize,
+      s"ivfPqTopK sampled ${cbVecs.length} codebook seeds, expected $codebookSize")
+    val dims = cbVecs.head._2.length
+    require(dims % m == 0, s"m=$m must divide dims=$dims")
+    val sub = dims / m
+    // codebook(mi)(ki) = seed ki's mi-th subvector; ‖c‖q = the exact
+    // integer Σ round(c_j²·1e12) constant of the encode argmin
+    val cb: Array[Array[Array[Float]]] = Array.tabulate(m, codebookSize)(
+      (mi, ki) => cbVecs(ki)._2.slice(mi * sub, (mi + 1) * sub))
+    val cNorm: Array[Array[Long]] = cb.map(_.map(_.map(x =>
+      math.round(x.toDouble * x.toDouble * 1e12)).sum))
+    def cellScores(vec: Column) = array(cents.map { case (cid, cv) =>
+      struct(round(Vectors.cosineQNative(vec, lit(cv)), 9).as("ccos"),
+        lit(-cid).as("neg"), lit(cid).as("cid"))
+    }: _*)
+    // corpus side: cell + m PQ codes, one map-side projection
+    def codeCol(vec: Column, mi: Int): Column = {
+      val sl = slice(vec, mi * sub + 1, sub)
+      array_min(array((0 until codebookSize).map { ki =>
+        struct((lit(cNorm(mi)(ki)) - lit(2L) * Vectors.dotQNative(sl, lit(cb(mi)(ki)))).as("d"),
+          lit(ki).as("k"))
+      }: _*)).getField("k").as(s"code$mi")
+    }
+    val coded = corpus.select(
+      col(idCol) +: array_max(cellScores(col(vecCol))).getField("cid").as("cell") +:
+        (0 until m).map(mi => codeCol(col(vecCol), mi)): _*)
+    // query side: probe cells + the ADC lookup tables (m arrays of
+    // codebookSize quantized dots — computed once per query row)
+    val lutCols = (0 until m).map { mi =>
+      val sl = slice(col("q_vec"), mi * sub + 1, sub)
+      array((0 until codebookSize).map(ki =>
+        Vectors.dotQNative(sl, lit(cb(mi)(ki)))): _*).as(s"lut$mi")
+    }
+    val queries = corpus.filter(queryPred)
+      .select(col(idCol).as("query_id") +: col(vecCol).as("q_vec") +: lutCols: _*)
+    val probes = queries.select(col("query_id"), col("q_vec"),
+      explode(cellScores(col("q_vec"))).as("cs"),
+      struct((0 until m).map(mi => col(s"lut$mi")): _*).as("luts"))
+    val wp = Window.partitionBy("query_id")
+      .orderBy(col("cs.ccos").desc, col("cs.cid").asc)
+    val probeCells = probes.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("q_vec"), col("luts"), col("cs.cid").as("cell"))
+    // ADC: m integer lookups per candidate, never a float op
+    val adc = (0 until m).map(mi =>
+      element_at(col("luts").getField(s"lut$mi"), col(s"code$mi") + 1)).reduce(_ + _)
+    val cands = probeCells.join(coded, Seq("cell"))
+      .filter(col("query_id") =!= col(idCol))
+      .withColumn("adc", adc)
+    val wa = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col(idCol).asc)
+    val tail = cands.withColumn("rn", row_number().over(wa))
+      .filter(col("rn") <= refine)
+      .select(col("query_id"), col("q_vec"), col(idCol).as("corpus_id"))
+    // exact rerank of the tail only: join the float vectors back for
+    // refine×|queries| rows, not per candidate
+    val pairs = tail
+      .join(corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec")),
+        Seq("corpus_id"))
+      .withColumn("cosine", round(Vectors.cosineQNative(col("q_vec"), col("c_vec")), 9))
+    val wr = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    pairs.withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
+  }
+
   /** ANN via LSH buckets + exact rerank. Multi-probe is the `numTables`
     * axis (vary the plane seed offset) — see `lshTables`; one table with
     * `numPlanes` bits already demonstrates the scale path.

@@ -1695,6 +1695,93 @@ object TextQ {
         |  CAST(coalesce(e.err_q, 0) AS BIGINT) AS err_q
         |FROM base b LEFT JOIN errs e ON e.vec_id = b.vec_id""".stripMargin)),
 
+    // IVF+PQ ANN — the 100 TB serving tier: coarse cell prune (s04's
+    // nlist=8/nprobe=2 shape) → product-quantization asymmetric
+    // distance (m=8 subspaces × 16-entry codebooks, integer LUT per
+    // query, m array lookups per candidate) → exact quantized-cosine
+    // rerank of the top-20 ADC tail, answer = top-5. Codebooks are
+    // deterministic samples (first 16 vectors' subvector slices) so
+    // the oracle replays encode/LUT/ADC/rerank bit-identically.
+    Q("s08_ivf_pq",
+      (s, d) => SimilaritySearch.ivfPqTopK(Tables.embeddings(s, d),
+        queryPred = col("vec_id") < 10, k = 5, nlist = 8, nprobe = 2,
+        m = 8, codebookSize = 16, refine = 20),
+      Some("""WITH cents AS (
+        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+        |), cellcos AS (
+        |  SELECT v.vec_id, c.cid,
+        |    CAST(sum(CAST(ROUND(CAST(v.embedding[i + 1] AS DOUBLE) * CAST(c.cv[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq,
+        |    CAST(sum(CAST(ROUND(CAST(v.embedding[i + 1] AS DOUBLE) * CAST(v.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nv,
+        |    CAST(sum(CAST(ROUND(CAST(c.cv[i + 1] AS DOUBLE) * CAST(c.cv[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nc
+        |  FROM embeddings v, cents c, range(64) r(i)
+        |  GROUP BY v.vec_id, c.cid
+        |), scored AS (
+        |  SELECT vec_id, cid,
+        |    ROUND(CASE WHEN nv = 0 OR nc = 0 THEN 0.0
+        |      ELSE CAST(dq AS DOUBLE) / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) END, 9) AS ccos
+        |  FROM cellcos
+        |), ranked AS (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+        |  FROM scored
+        |), cells AS (
+        |  SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1
+        |), probes AS (
+        |  SELECT vec_id AS query_id, cid AS cell FROM ranked WHERE rn <= 2 AND vec_id < 10
+        |), cbv AS (
+        |  SELECT CAST(vec_id AS INT) AS ki, embedding AS cv FROM embeddings WHERE vec_id < 16
+        |), cnorm AS (
+        |  SELECT ki, mi.m AS mi,
+        |    CAST(sum(CAST(ROUND(CAST(cv[mi.m * 8 + j.j + 1] AS DOUBLE) * CAST(cv[mi.m * 8 + j.j + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nc
+        |  FROM cbv, range(8) mi(m), range(8) j(j) GROUP BY ki, mi.m
+        |), cdot AS (
+        |  SELECT e.vec_id, c.ki, mi.m AS mi,
+        |    CAST(sum(CAST(ROUND(CAST(e.embedding[mi.m * 8 + j.j + 1] AS DOUBLE) * CAST(c.cv[mi.m * 8 + j.j + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq
+        |  FROM embeddings e, cbv c, range(8) mi(m), range(8) j(j)
+        |  GROUP BY e.vec_id, c.ki, mi.m
+        |), codes AS (
+        |  SELECT vec_id, mi, ki AS code FROM (
+        |    SELECT d.vec_id, d.mi, d.ki,
+        |      row_number() OVER (PARTITION BY d.vec_id, d.mi
+        |        ORDER BY (n.nc - 2 * d.dq) ASC, d.ki ASC) AS rn
+        |    FROM cdot d JOIN cnorm n ON n.ki = d.ki AND n.mi = d.mi) t
+        |  WHERE rn = 1
+        |), lut AS (
+        |  SELECT vec_id AS query_id, ki, mi, dq FROM cdot WHERE vec_id < 10
+        |), cands AS (
+        |  SELECT p.query_id, mm.vec_id AS corpus_id
+        |  FROM probes p JOIN cells mm ON p.cell = mm.cell
+        |  WHERE p.query_id <> mm.vec_id
+        |), adcs AS (
+        |  SELECT ca.query_id, ca.corpus_id, CAST(sum(l.dq) AS BIGINT) AS adc
+        |  FROM cands ca
+        |  JOIN codes co ON co.vec_id = ca.corpus_id
+        |  JOIN lut l ON l.query_id = ca.query_id AND l.mi = co.mi AND l.ki = co.code
+        |  GROUP BY ca.query_id, ca.corpus_id
+        |), tail AS (
+        |  SELECT query_id, corpus_id FROM (
+        |    SELECT query_id, corpus_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, corpus_id ASC) AS rn
+        |    FROM adcs) t WHERE rn <= 20
+        |), dots AS (
+        |  SELECT t.query_id, t.corpus_id,
+        |    CAST(sum(CAST(ROUND(CAST(a.embedding[i + 1] AS DOUBLE) * CAST(b.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq,
+        |    CAST(sum(CAST(ROUND(CAST(a.embedding[i + 1] AS DOUBLE) * CAST(a.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nq,
+        |    CAST(sum(CAST(ROUND(CAST(b.embedding[i + 1] AS DOUBLE) * CAST(b.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nc
+        |  FROM tail t
+        |  JOIN embeddings a ON a.vec_id = t.query_id
+        |  JOIN embeddings b ON b.vec_id = t.corpus_id, range(64) r(i)
+        |  GROUP BY t.query_id, t.corpus_id
+        |), cos AS (
+        |  SELECT query_id, corpus_id,
+        |    ROUND(CASE WHEN nq = 0 OR nc = 0 THEN 0.0
+        |      ELSE CAST(dq AS DOUBLE) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) END, 9) AS cosine
+        |  FROM dots
+        |)
+        |SELECT query_id, corpus_id, cosine, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS BIGINT) AS rank
+        |  FROM cos) t
+        |WHERE rank <= 5""".stripMargin)),
+
     // PII scrubbing (C4-style cleanup). The synthetic corpus carries no
     // PII, so the query INJECTS deterministic emails/IPs/phones from
     // doc_id via SHARED expression text (both engines run the same

@@ -52,6 +52,39 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfPqTopK with refine >= corpus equals ivfTopK (ADC only decides the cut)") {
+    // PQ's asymmetric distance orders the refine tail; with the tail
+    // wider than any cell the exact rerank sees every candidate and
+    // the result must equal IVF-flat row-for-row — the dial's closed
+    // top end, like nprobe=nlist vs brute force above.
+    val emb = syntheticEmb(60, dims = 16)
+    val pq = SimilaritySearch.ivfPqTopK(emb, col("vec_id") < 8, k = 3,
+        nlist = 6, nprobe = 2, m = 4, codebookSize = 8, refine = 1000)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getLong(3))).toSet
+    val flat = SimilaritySearch.ivfTopK(emb, col("vec_id") < 8, k = 3,
+        nlist = 6, nprobe = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(pq == flat)
+  }
+
+  test("ivfPqTopK recall QA vs exact brute force at a tight refine tail") {
+    // the recall-vs-exact measurement the serving tier ships with:
+    // deterministic data + deterministic codebooks → a fixed recall,
+    // pinned here as a floor so a silent encode/ADC regression (e.g. a
+    // broken LUT index) shows up as vanishing recall, not noise
+    val emb = syntheticEmb(60, dims = 16)
+    val k = 3
+    val exact = SimilaritySearch.bruteForceTopK(
+        emb.filter(col("vec_id") < 8), emb, k = k)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val pq = SimilaritySearch.ivfPqTopK(emb, col("vec_id") < 8, k = k,
+        nlist = 6, nprobe = 3, m = 4, codebookSize = 8, refine = 6)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val recall = pq.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall@$k collapsed to $recall — encode/ADC regression?")
+    assert(pq.groupBy(_._1).forall(_._2.size <= k))
+  }
+
   test("kmeansAssign: seeds self-assign at iters=1; duplicates co-assign; full coverage") {
     val emb = syntheticEmb(60)
     val a1 = SimilaritySearch.kmeansAssign(emb, k = 8, iters = 1)
