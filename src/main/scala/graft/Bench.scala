@@ -140,20 +140,20 @@ object Bench {
     // it previously landed inside st6's timed region). Build it here
     // so every timed number measures the steady-state artifact probe.
     if (sorted.exists { case (n, _) =>
-        Seq("d05", "d07", "d09", "d12", "d15", "d17", "st6").exists(n.startsWith) })
+        Seq("d05", "d07", "d09", "d12", "d15", "d17", "st6", "st7").exists(n.startsWith) })
       try graft.queries.TextQ.bandArtifact(spark, sfDir)
       catch { case _: Throwable => () }
     // grams feed the Jaccard-verify consumers only — st6's verify is
     // the native sorted-merge over band signatures, so it must not
     // trigger a corpus tokenize+hash+sort build it never reads
     if (sorted.exists { case (n, _) =>
-        Seq("d05", "d07", "d09", "d12", "d15", "d17").exists(n.startsWith) })
+        Seq("d05", "d07", "d09", "d12", "d15", "d17", "st7").exists(n.startsWith) })
       try graft.queries.TextQ.gramArtifact(spark, sfDir)
       catch { case _: Throwable => () }
     // d17's corpus cluster labels are likewise a maintained artifact
     // (built once per generation from the band/gram artifacts above);
     // its timed region is the batch probe + verify + star-merge only
-    if (sorted.exists { case (n, _) => n.startsWith("d17") })
+    if (sorted.exists { case (n, _) => n.startsWith("d17") || n.startsWith("st7") })
       try graft.queries.TextQ.clusterArtifact(spark, sfDir)
       catch { case _: Throwable => () }
     // d18's corpus fingerprint table is the same posture: built once

@@ -53,6 +53,70 @@ object ExtQ {
     try body finally s.conf.set(key, prev)
   }
 
+  /** The st7 micro-batch maintenance loop, shared with the multi-batch
+    * spec: each batch of the (already src0-filtered) document stream is
+    * banded per-row, probes the partition-pruned corpus band store plus
+    * the session's earlier batches' bands (a later micro-batch must
+    * still pair with an earlier one — d17's single batch sees all src0
+    * bands at once; in production the ingest's bands are appended to
+    * the band store), verifies candidates at the clustering threshold
+    * over the gram artifact, and star-merges the verified edges into
+    * the maintained labels via Dedup.ccIncremental. Returns the final
+    * label table in d17's shape (cluster_size, keep). The merge only
+    * moves labels in touched components, so untouched cluster ids are
+    * stable across batches (pinned in StreamingParitySpec).
+    */
+  private[graft] def streamClusterMaintain(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      docStream: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.operators.Dedup
+    val grams = TextQ.gramSetsOf(s, d)
+    var labels = TextQ.prevClusters(s, d)
+    var seen: Option[org.apache.spark.sql.DataFrame] = None
+    val banded = docStream
+      .select(col("doc_id"),
+        posexplode(call_function("graft_bandsigs",
+          Text.tokens(col("text")), lit(16), lit(2))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_sig"))
+    val q = banded.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = batch.persist()
+        try {
+          val prefixes = b.select(TextQ.sigPfx(col("band_sig")))
+            .distinct().collect().map(_.getString(0)).toSeq
+          val corpus = TextQ.prunedCorpusBands(s, d, prefixes)
+          val others = seen.map(corpus.unionByName(_)).getOrElse(corpus)
+          // candidates = batch × (corpus ∪ earlier ∪ itself): every
+          // pair touching ≥1 doc of this batch, canonicalized like d17
+          val cands = b.select(col("band"), col("band_sig"), col("doc_id").as("doc_x"))
+            .join(others.unionByName(b.select("band", "band_sig", "doc_id"))
+              .select(col("band"), col("band_sig"), col("doc_id").as("doc_y")),
+              Seq("band", "band_sig"))
+            .filter(col("doc_x") =!= col("doc_y"))
+            .select(least(col("doc_x"), col("doc_y")).as("doc_a"),
+              greatest(col("doc_x"), col("doc_y")).as("doc_b"))
+            .distinct()
+          val edges = Dedup.jaccardPairsFromSets(grams, cands,
+              minJaccard = TextQ.ClusterJaccard)
+            .select("doc_a", "doc_b")
+          val prev = labels
+          val next = Dedup.ccIncremental(prev, edges).persist()
+          next.count()  // materialize: bounded lineage across batches
+          labels = next
+          val batchBands = b.select("band", "band_sig", "doc_id").persist()
+          batchBands.count()
+          seen = Some(seen.map(_.unionByName(batchBands)).getOrElse(batchBands))
+        } finally { b.unpersist(); () }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    labels
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+  }
+
   val defs: Seq[Q] = Seq(
 
     // F1/F2/F4 — the cascade predicates on the derived corner-format
@@ -470,6 +534,30 @@ object ExtQ {
     // touches only post-collision candidates; its static input is the
     // memoized in-memory gram store — at 100 TB that store would be
     // bucketed by doc_id for the same pruned-probe effect.)
+    // Streaming incremental CLUSTER MAINTENANCE — st6 gates ingest;
+    // this closes the loop: each micro-batch's verified duplicate
+    // edges are star-merged into the maintained corpus cluster labels
+    // (Dedup.ccIncremental over the persisted clusterArtifact), so the
+    // clustering is a LIVE table the stream keeps current, never a
+    // batch job re-run over the corpus. Single-batch over the src0
+    // slice ≡ d17 (the same oracle checks the fixpoint); the
+    // spec-level multi-batch run (StreamingParitySpec) additionally
+    // pins fixpoint identity and untouched-component id stability
+    // across micro-batch splits.
+    Q("st7_stream_cluster_maintain",
+      (s, d) => {
+        import graft.functions.Text
+        val docs = Tables.documents(s, d)
+        TextQ.bandArtifact(s, d)  // build/refresh at batch parallelism
+        withStreamShuffle(s) {
+          streamClusterMaintain(s, d,
+            s.readStream.schema(docs.schema)
+              .option("pathGlobFilter", "documents.parquet").parquet(d)
+              .filter(col("source") === "src0"))
+        }
+      },
+      Some(TextQ.ClusterOracleSql)),
+
     Q("st6_stream_ingest_dedup",
       (s, d) => {
         import graft.functions.Text

@@ -604,7 +604,7 @@ object TextQ {
     * verbatim by d17: the incremental star-merge must reach the
     * identical fixpoint as batch CC over the full edge set.
     */
-  private lazy val ClusterOracleSql: String =
+  private[graft] lazy val ClusterOracleSql: String =
     """WITH RECURSIVE toks AS (
         |  SELECT DISTINCT doc_id, tok FROM (
         |    SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS tok

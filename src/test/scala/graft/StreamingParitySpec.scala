@@ -56,6 +56,47 @@ class StreamingParitySpec extends AnyFunSuite {
       s"batch=${batch.mkString(";")} streamed=${streamed.mkString(";")}")
   }
 
+  test("st7 multi-batch cluster maintenance: fixpoint == single-batch d17; untouched cluster ids stable") {
+    import org.apache.spark.sql.functions.col
+    val d = "/root/testdata/sf0.001"
+    graft.queries.TextQ.resetMaterializations(spark)
+    // the batch fixpoint the stream must reach (d17 = one-shot merge of
+    // the whole src0 slice; hash-checked against the recursive oracle)
+    val d17 = SparkEntry.queries("d17_incremental_cc")(spark, d)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val prev = graft.queries.TextQ.prevClusters(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // split the ingest slice into TWO micro-batches by doc id
+    val src0 = Tables.documents(spark, d).filter(col("source") === "src0").cache()
+    val ids = src0.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids.length >= 2, "need a non-trivial ingest slice")
+    val mid = ids(ids.length / 2)
+    val dir = Files.createTempDirectory("st7_batches").toString
+    src0.filter(col("doc_id") < mid).coalesce(1).write.parquet(s"$dir/b=0")
+    src0.filter(col("doc_id") >= mid).coalesce(1).write.parquet(s"$dir/b=1")
+    val multi = graft.queries.ExtQ.streamClusterMaintain(spark, d,
+        spark.readStream.schema(src0.schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir))
+      .select("doc_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // (a) incremental merges across 2 batches reach the one-shot fixpoint
+    assert(multi == d17, "multi-batch merge diverged from the batch fixpoint")
+    // (b) label movement is confined to components a batch doc touched
+    val src0Set = ids.toSet
+    val touched = multi.collect { case (doc, cl) if src0Set(doc) => cl }.toSet
+    prev.foreach { case (doc, cl) =>
+      if (multi.getOrElse(doc, cl) != cl)
+        assert(touched.contains(multi(doc)),
+          s"doc $doc's label moved but its component holds no batch doc")
+    }
+    // (c) and the stability is non-vacuous: some corpus component
+    // untouched by the ingest kept its id end-to-end
+    assert(prev.exists { case (doc, cl) =>
+      multi.get(doc).contains(cl) && !touched.contains(cl) })
+    src0.unpersist()
+  }
+
   test("session window spanning micro-batches merges state across batches") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
