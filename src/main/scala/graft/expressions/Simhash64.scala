@@ -78,11 +78,19 @@ case class Simhash64(child: Expression) extends UnaryExpression {
 
 object Simhash64 {
 
+  // one digester per task thread, not per row (ADVICE r13): reset()
+  // between tokens already makes reuse safe within a row, and MD5
+  // instances hold no cross-call state after reset
+  private val localMd = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** Shared by interpreted eval and generated code (one call per row).
     * Returns null when the document has no tokens.
     */
   def compute(text: UTF8String): java.lang.Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = localMd.get()
     val votes = new Array[Int](64)
     var any = false
     // Text.tokens semantics: Spark lower(), split on ' ', drop empties
@@ -95,8 +103,11 @@ object Simhash64 {
         if (i > start) {
           any = true
           md.reset()
-          val d = md.digest(
-            UTF8String.fromString(lower.substring(start, i)).getBytes)
+          // String.getBytes(UTF_8) produces the identical bytes the
+          // previous String -> UTF8String -> getBytes round trip did,
+          // without the intermediate UTF8String allocation (ADVICE r13)
+          val d = md.digest(lower.substring(start, i)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
           var fp = 0L
           var k = 0
           while (k < 8) { fp = (fp << 8) | (d(k) & 0xffL); k += 1 }
