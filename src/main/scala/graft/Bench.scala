@@ -143,11 +143,11 @@ object Bench {
         Seq("d05", "d07", "d09", "d12", "d15", "d17", "st6", "st7").exists(n.startsWith) })
       try graft.queries.TextQ.bandArtifact(spark, sfDir)
       catch { case _: Throwable => () }
-    // grams feed the Jaccard-verify consumers only — st6's verify is
-    // the native sorted-merge over band signatures, so it must not
-    // trigger a corpus tokenize+hash+sort build it never reads
+    // grams feed the Jaccard-verify consumers — since round 14 that
+    // includes st6 (its foreachBatch verify joins the gram store
+    // instead of recomputing corpus fingerprints inline)
     if (sorted.exists { case (n, _) =>
-        Seq("d05", "d07", "d09", "d12", "d15", "d17", "st7").exists(n.startsWith) })
+        Seq("d05", "d07", "d09", "d12", "d15", "d17", "st6", "st7").exists(n.startsWith) })
       try graft.queries.TextQ.gramArtifact(spark, sfDir)
       catch { case _: Throwable => () }
     // d17's corpus cluster labels are likewise a maintained artifact
@@ -270,8 +270,11 @@ object Bench {
     // carries its own contention correction so a contended driver run
     // reads correctly without hand arithmetic against the committed
     // canonical. canary_base = the canonical anchor's median canary
-    // (BENCH_r13_local.json) — bump alongside any new committed
-    // canonical. scale[g] = canary_base / max(canary[g], canary[g+1])
+    // (BENCH_r13_local.json) — bump ONLY when a new canonical was
+    // measured on a CLEAN box (canary median ≈ the current anchor);
+    // re-anchoring on a contended session (e.g. r14's 0.124–0.160
+    // medians) would silently deflate every future normalization.
+    // scale[g] = canary_base / max(canary[g], canary[g+1])
     // (larger neighbor: spikes between probes are under-sampled, so
     // the conservative factor wins); value_n = Σ wall(q)·scale(g(q)).
     // Per-query normalized walls are NOT emitted as a second map —

@@ -454,9 +454,14 @@ object Dedup {
               shiftright(col("simhash64"), c * width)
                 .bitwiseAND(mask).as("ckey"))): _*)).as("ck"))
         .select(col("simhash64"), col("ck.chunk").as("chunk"), col("ck.ckey").as("ckey"))
-    // each side feeds two consumers (distinct-fp probe + doc expansion)
-    val sn = shNew.select("doc_id", "simhash64").cache()
-    val sc = shCorpus.select("doc_id", "simhash64").cache()
+    // each side feeds two consumers (distinct-fp probe + doc
+    // expansion) but is NOT cached here: the expected inputs are
+    // slices of the persisted fingerprint artifact (already a cheap
+    // FileScan, memoize-cached by TextQ.simhashFps) — an operator-
+    // level cache would leak a pinned relation per call, since the
+    // lazily-returned plan still needs the inputs after this returns
+    val sn = shNew.select("doc_id", "simhash64")
+    val sc = shCorpus.select("doc_id", "simhash64")
     val fpPairs = chunked(sn.select("simhash64").distinct())
       .withColumnRenamed("simhash64", "fp_a")
       .join(chunked(sc.select("simhash64").distinct())

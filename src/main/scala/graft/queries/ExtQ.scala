@@ -72,7 +72,12 @@ object ExtQ {
     import graft.operators.Dedup
     val grams = TextQ.gramSetsOf(s, d)
     var labels = TextQ.prevClusters(s, d)
+    // the initial labels are the session-memoized artifact read — only
+    // snapshots THIS loop persisted may be unpersisted when superseded
+    var labelsOwned = false
     var seen: Option[org.apache.spark.sql.DataFrame] = None
+    val batchBandHandles =
+      scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
     val banded = docStream
       .select(col("doc_id"),
         posexplode(call_function("graft_bandsigs",
@@ -102,15 +107,21 @@ object ExtQ {
           val prev = labels
           val next = Dedup.ccIncremental(prev, edges).persist()
           next.count()  // materialize: bounded lineage across batches
+          if (labelsOwned) prev.unpersist()  // superseded snapshot
           labels = next
+          labelsOwned = true
           val batchBands = b.select("band", "band_sig", "doc_id").persist()
           batchBands.count()
+          batchBandHandles += batchBands
           seen = Some(seen.map(_.unionByName(batchBands)).getOrElse(batchBands))
         } finally { b.unpersist(); () }
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // earlier batches' band snapshots are dead once the stream drains
+    // (only the final labels outlive the loop, consumed by the caller)
+    batchBandHandles.foreach(_.unpersist())
     labels
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
@@ -548,7 +559,14 @@ object ExtQ {
       (s, d) => {
         import graft.functions.Text
         val docs = Tables.documents(s, d)
-        TextQ.bandArtifact(s, d)  // build/refresh at batch parallelism
+        // build/refresh EVERY maintained input at batch parallelism:
+        // the band store, the gram store (verify side), and the corpus
+        // label artifact (whose build runs full connected components)
+        // are batch maintenance — only the per-micro-batch probe+merge
+        // belongs inside the 4-partition stream scope
+        TextQ.bandArtifact(s, d)
+        TextQ.gramSetsOf(s, d)
+        TextQ.prevClusters(s, d)
         withStreamShuffle(s) {
           streamClusterMaintain(s, d,
             s.readStream.schema(docs.schema)
@@ -567,7 +585,22 @@ object ExtQ {
         TextQ.bandArtifact(s, d)  // build/refresh at batch parallelism
         val gramsB = TextQ.gramSetsOf(s, d)  // memoized gram artifact
           .select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
-        val outDir = java.nio.file.Files.createTempDirectory("graft_st6_").toString
+        // bounded sink dir (one per dataset, wiped before each run):
+        // a fresh createTempDirectory per invocation would leak one
+        // full pair dump per bench round/sweep point forever
+        val outDir = {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val tag = md.digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+          val p = java.nio.file.Paths.get(
+            System.getProperty("java.io.tmpdir"), "graft_st6_out", tag)
+          if (java.nio.file.Files.exists(p)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+          }
+          java.nio.file.Files.createDirectories(p)
+          p.toString
+        }
         withStreamShuffle(s) {
           val stream = s.readStream.schema(docs.schema)
             .option("pathGlobFilter", "documents.parquet").parquet(d)
