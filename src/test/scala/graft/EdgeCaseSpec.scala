@@ -87,6 +87,50 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("simhash64BallPairsAgainst: empty batch, empty corpus, disjoint fingerprints") {
+    def sh(rows: Seq[(Long, Long)]) = rows.toDF("doc_id", "simhash64")
+    val corpus = sh(Seq((10L, 0x0123456789abcdefL), (11L, -42L)))
+    // empty batch → no pairs, no crash (the routine quiet-ingest case)
+    assert(Dedup.simhash64BallPairsAgainst(sh(Seq.empty), corpus).count() == 0)
+    // empty corpus → no pairs (first-ever ingest against a new store)
+    assert(Dedup.simhash64BallPairsAgainst(sh(Seq((1L, 7L))), corpus.limit(0)).count() == 0)
+    // identical fingerprints across sides → hamming-0 pair IS emitted
+    val hit = Dedup.simhash64BallPairsAgainst(sh(Seq((1L, -42L))), corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hit.toSet == Set((1L, 11L, 0L)))
+    // far-apart fingerprints (no chunk agreement) → nothing
+    assert(Dedup.simhash64BallPairsAgainst(
+      sh(Seq((1L, 0x1111222233334444L))), sh(Seq((2L, 0x5555666677778888L)))).count() == 0)
+  }
+
+  test("ivfPqTopK: degenerate params fail loudly, never silently mis-encode") {
+    val emb = (0 until 20).map(i =>
+      (i.toLong, Array.tabulate(16)(j => (i * 16 + j).toFloat / 320f)))
+      .toDF("vec_id", "embedding")
+    // m must divide dims
+    val e1 = intercept[IllegalArgumentException] {
+      SimilaritySearch.ivfPqTopK(emb, col("vec_id") < 2, k = 2, nlist = 4,
+        nprobe = 2, m = 5, codebookSize = 8, refine = 10)
+    }
+    assert(e1.getMessage.contains("divide"))
+    // sparse ids past the centroid range: dense 0..3 satisfies
+    // nlist=4, but a hole at id 7 breaks the 8-entry codebook sampling
+    val sparse = emb.filter(col("vec_id") =!= 7)
+    val e2 = intercept[IllegalArgumentException] {
+      SimilaritySearch.ivfPqTopK(sparse, col("vec_id") < 2, k = 2, nlist = 4,
+        nprobe = 2, m = 4, codebookSize = 8, refine = 10)
+    }
+    assert(e2.getMessage.contains("codebook"))
+  }
+
+  test("prunedCorpusBands with no matching prefixes returns empty, not an error") {
+    // a micro-batch whose signatures all hash outside the corpus's
+    // occupied partitions must probe to zero rows quietly
+    val out = graft.queries.TextQ.prunedCorpusBands(
+      spark, "/root/testdata/sf0.001", Seq("zz_not_a_prefix"))
+    assert(out.count() == 0)
+  }
+
   test("scrubPii: counts + redaction order, no-PII text passes through") {
     val df = Seq(
       (1L, "reach me at a.b+c@x-mail.co.uk or +123456789 from 192.168.0.1"),
