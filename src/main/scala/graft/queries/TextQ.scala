@@ -313,23 +313,40 @@ object TextQ {
     concat(lit("x"), substring(sig, 1, 2))
 
   /** Params/layout tag for [[bandArtifact]] (ArtifactStore `sub`):
-    * 16 hashes, 2 bands, 2-hex-char partition prefix. Bump when the
-    * banding config or on-disk layout changes so stale-param artifacts
-    * are invalidated and GC'd like stale-data generations.
+    * 16 hashes, 2 bands, dual layout (compact full-scan copy +
+    * 2-hex-char-prefix-partitioned probe copy). Bump when the banding
+    * config or on-disk layout changes so stale-param artifacts are
+    * invalidated and GC'd like stale-data generations.
     */
-  private val BandArtifactTag = "h16b2p2"
+  private val BandArtifactTag = "h16b2p2dual"
 
+  /** The band store is written in TWO layouts under one generation —
+    * the standard scan-vs-probe split of a production signature store:
+    *   - `full/` — compact files for the batch consumers that scan the
+    *     whole table anyway (d05/d07/d09/d12/d15/d17 via [[bandSigs]]);
+    *     measured at sf0.1, a full scan of the 256-directory layout
+    *     pays ~0.6 s of footer opens vs ~0.13 s compact — a pure
+    *     constant that multiplied across every consumer per bench.
+    *   - `pfx/` — partitioned by [[sigPfx]] (256 directories, one
+    *     writer task each) for the streaming probes (st6/st7), whose
+    *     micro-batches push their signature prefixes as partition
+    *     filters and read ~the batch's key spread, not the corpus.
+    * One compute, two writes, `_SUCCESS` at the generation root only
+    * after BOTH copies land (a torn write is rebuilt, never read).
+    */
   private[graft] def bandArtifact(s: org.apache.spark.sql.SparkSession, d: String): String =
     graft.sources.ArtifactStore.resolve(s, "graft_band_artifact",
       Seq(new java.io.File(d, "documents.parquet")), sub = BandArtifactTag) { dir =>
-      bandSigsCompute(s, d)
-        .withColumn("sig_pfx", sigPfx(col("band_sig")))
-        // one shuffle on the partition value before the partitioned
-        // write: each of the 256 directories is written by exactly one
-        // task instead of every task opening a file in every directory
-        // (256 files total, not tasks×256 — the small-file guard)
+      val sigs = bandSigsCompute(s, d).cache()
+      sigs.write.mode("overwrite").parquet(s"$dir/full")
+      sigs.withColumn("sig_pfx", sigPfx(col("band_sig")))
+        // one shuffle on the partition value: each directory is written
+        // by exactly one task (256 files total, not tasks×256)
         .repartition(col("sig_pfx"))
-        .write.mode("overwrite").partitionBy("sig_pfx").parquet(dir)
+        .write.mode("overwrite").partitionBy("sig_pfx").parquet(s"$dir/pfx")
+      sigs.unpersist()
+      val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).create(p, true).close()
     }
 
   /** Session view of the band artifact: a memoized cached read of
@@ -343,9 +360,8 @@ object TextQ {
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.SparkContext, String), org.apache.spark.sql.DataFrame]
   private[graft] def bandSigs(s: org.apache.spark.sql.SparkSession, d: String) =
     memoized(bandCache, s, d) {
-      // drop the partition column: batch consumers join on the full
-      // (band, band_sig) key, so the prefix is layout detail to them
-      s.read.parquet(bandArtifact(s, d)).drop("sig_pfx")
+      // batch consumers scan the whole table → the compact copy
+      s.read.parquet(s"${bandArtifact(s, d)}/full")
     }
 
   /** The PARTITION-PRUNED corpus-side band probe: reads only the
@@ -360,7 +376,7 @@ object TextQ {
     */
   private[graft] def prunedCorpusBands(s: org.apache.spark.sql.SparkSession,
                                        d: String, prefixes: Seq[String]) =
-    s.read.parquet(bandArtifact(s, d))
+    s.read.parquet(s"${bandArtifact(s, d)}/pfx")
       .where(col("sig_pfx").isin(prefixes: _*))
       .filter(col("source") =!= "src0")
       .select("band", "band_sig", "doc_id")
@@ -1229,7 +1245,7 @@ object TextQ {
     // pins the corpus side to a FileScan of the artifact).
     Q("d15_band_artifact",
       (s, d) => {
-        val corpusBands = s.read.parquet(bandArtifact(s, d))
+        val corpusBands = s.read.parquet(s"${bandArtifact(s, d)}/full")
           .filter(col("source") =!= "src0")
         // The ingest bands ITS slice only — the whole point of the
         // artifact is that batch cost never includes re-banding the
