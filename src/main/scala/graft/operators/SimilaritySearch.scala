@@ -211,6 +211,14 @@ object SimilaritySearch {
     *     no float math per candidate.
     *   - refine: top-`refine` ADC candidates per query rerank with the
     *     exact quantized cosine; top-`k` of those is the answer.
+    *
+    * Design note: codes here quantize the RAW subvectors; the FAISS
+    * IVFPQ form quantizes the residual to the coarse centroid (one
+    * codebook set per cell or shared, query LUT computed per probed
+    * cell). Residual encoding tightens ADC at the cost of nprobe× LUT
+    * work — the plan shape (map-side encode, per-query LUT, integer
+    * lookups, bounded rerank) is identical, so swapping it in is an
+    * encode/LUT change, not an operator redesign.
     */
   def ivfPqTopK(corpus: DataFrame, queryPred: Column, k: Int, nlist: Int,
                 nprobe: Int, m: Int, codebookSize: Int, refine: Int,
