@@ -58,6 +58,26 @@ class ArtifactStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("band store dual layouts hold identical rows; partition values match the prefix formula") {
+    import org.apache.spark.sql.functions.col
+    // full/ (scan copy) and pfx/ (probe copy) are written from one
+    // compute — an edit that lets them drift would make the streaming
+    // probes answer differently from the batch consumers; and a
+    // partition value that stops matching sigPfx(band_sig) would make
+    // the probe's partition filter silently prune the WRONG directories
+    val art = graft.queries.TextQ.bandArtifact(spark, "/root/testdata/sf0.001")
+    val cols = Seq("doc_id", "band", "band_sig", "source").map(col)
+    val full = spark.read.parquet(s"$art/full").select(cols: _*)
+    val pfx = spark.read.parquet(s"$art/pfx")
+    assert(pfx.filter(
+      graft.queries.TextQ.sigPfx(col("band_sig")) =!= col("sig_pfx")).count() == 0,
+      "partition value diverged from the prefix formula")
+    val p = pfx.select(cols: _*)
+    assert(full.count() == p.count())
+    assert(full.exceptAll(p).isEmpty && p.exceptAll(full).isEmpty,
+      "scan and probe copies diverged")
+  }
+
   test("different datasets never GC each other") {
     withTempSource { tmpA =>
       withTempSource { tmpB =>
