@@ -502,6 +502,47 @@ object Dedup {
       .select("doc_a", "doc_b", "cosine")
   }
 
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023's recipe over
+    * this engine's deterministic primitives): k-means-cluster the
+    * embedding space, compare pairs WITHIN each cluster only (the
+    * clusters bound the quadratic — Σ|cluster|² pairs instead of n²,
+    * the whole point of the method at 100 TB), connect pairs above the
+    * cosine threshold into duplicate groups, and keep ONE
+    * representative per group — per the paper, the member with the
+    * LOWEST cosine to its cluster centroid (prefer the atypical
+    * example for diversity; ties to the lowest id). Every vector is
+    * emitted with its cluster, duplicate group, group size and keep
+    * flag; singletons keep themselves.
+    *
+    * Determinism: assignment and pair scores are the quantized cosine
+    * rounded to 9 decimals (bit-identical across engines and
+    * partitionings); groups are component-min labels.
+    */
+  def semDeDup(emb: DataFrame, k: Int, iters: Int, threshold: Double,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assign = SimilaritySearch.kmeansAssign(emb, k, iters, idCol, vecCol)
+    val withVec = assign.join(emb.select(col(idCol), col(vecCol)), Seq(idCol))
+    val a = withVec.select(col("cluster"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = withVec.select(col("cluster"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    val edges = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(Vectors.cosineQNative(col("v_a"), col("v_b")), 9))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val groups = connectedComponents(edges, distinctEdges = false)
+      .select(col("doc_id").as(idCol), col("cluster_id").as("dup_group"))
+    val w = Window.partitionBy("dup_group")
+      .orderBy(col("cos_centroid").asc, col(idCol).asc)
+    assign.join(groups, Seq(idCol), "left")
+      .withColumn("dup_group", coalesce(col("dup_group"), col(idCol)))
+      .withColumn("group_size",
+        count(lit(1)).over(Window.partitionBy("dup_group")).cast("long"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col(idCol), col("cluster"), col("cos_centroid"),
+        col("dup_group"), col("group_size"), col("keep"))
+  }
+
   /** Connected components over a duplicate-pair table — the clustering
     * step that turns pairwise near-dup hits into dedup groups (keep one
     * representative per component). Iterative min-label propagation:

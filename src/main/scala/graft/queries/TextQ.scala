@@ -662,6 +662,60 @@ object TextQ {
         |  doc_id = cluster_id AS keep
         |FROM cc""".stripMargin
 
+  /** Shared 2-iteration Lloyd k-means oracle CTEs (k=8, seeded by
+    * the first 8 vectors) — ends in `assign(vec_id, cluster,
+    * cos_centroid)`. One copy for both consumers (s05's assignment
+    * dump and d19's SemDeDup grouping) so a centroid-formula edit
+    * cannot reach one and not the other.
+    */
+  private[graft] lazy val KmeansCtes: String =
+    """cents0 AS (
+        |  SELECT CAST(vec_id AS INT) AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+        |), cc1 AS (
+        |  SELECT v.vec_id, c.cid,
+        |    CAST(sum(CAST(ROUND(CAST(v.embedding[i + 1] AS DOUBLE) * CAST(c.cv[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq,
+        |    CAST(sum(CAST(ROUND(CAST(v.embedding[i + 1] AS DOUBLE) * CAST(v.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nv,
+        |    CAST(sum(CAST(ROUND(CAST(c.cv[i + 1] AS DOUBLE) * CAST(c.cv[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nc
+        |  FROM embeddings v, cents0 c, range(64) r(i)
+        |  GROUP BY v.vec_id, c.cid
+        |), s1 AS (
+        |  SELECT vec_id, cid,
+        |    ROUND(CASE WHEN nv = 0 OR nc = 0 THEN 0.0
+        |      ELSE CAST(dq AS DOUBLE) / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) END, 9) AS ccos
+        |  FROM cc1
+        |), a1 AS (
+        |  SELECT vec_id, cid AS cl FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM s1) x
+        |  WHERE rn = 1
+        |), compsum AS (
+        |  SELECT a.cl, r.i AS pos,
+        |    CAST(sum(CAST(ROUND(CAST(v.embedding[r.i + 1] AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) AS sq,
+        |    count(*) AS n
+        |  FROM embeddings v JOIN a1 a ON a.vec_id = v.vec_id CROSS JOIN range(64) r(i)
+        |  GROUP BY a.cl, r.i
+        |), cent1 AS (
+        |  SELECT c0.cid, r.i AS pos,
+        |    coalesce(CAST(CAST(cs.sq AS DOUBLE) / CAST(cs.n AS DOUBLE) / 1e6 AS REAL), c0.cv[r.i + 1]) AS comp
+        |  FROM cents0 c0 CROSS JOIN range(64) r(i)
+        |  LEFT JOIN compsum cs ON cs.cl = c0.cid AND cs.pos = r.i
+        |), cc2 AS (
+        |  SELECT v.vec_id, c.cid,
+        |    CAST(sum(CAST(ROUND(CAST(v.embedding[c.pos + 1] AS DOUBLE) * CAST(c.comp AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq,
+        |    CAST(sum(CAST(ROUND(CAST(v.embedding[c.pos + 1] AS DOUBLE) * CAST(v.embedding[c.pos + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nv,
+        |    CAST(sum(CAST(ROUND(CAST(c.comp AS DOUBLE) * CAST(c.comp AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nc
+        |  FROM embeddings v CROSS JOIN cent1 c
+        |  GROUP BY v.vec_id, c.cid
+        |), s2 AS (
+        |  SELECT vec_id, cid,
+        |    ROUND(CASE WHEN nv = 0 OR nc = 0 THEN 0.0
+        |      ELSE CAST(dq AS DOUBLE) / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) END, 9) AS ccos
+        |  FROM cc2
+        |), assign AS (
+        |  SELECT vec_id, CAST(cid AS INT) AS cluster, ccos AS cos_centroid FROM (
+        |    SELECT vec_id, cid, ccos, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM s2) x
+        |  WHERE rn = 1
+        |)""".stripMargin
+
   val defs: Seq[Q] = Seq(
 
     // Language-ID confusion matrix: label vs stopword-argmax prediction.
@@ -1461,51 +1515,58 @@ object TextQ {
     Q("s05_kmeans",
       (s, d) => SimilaritySearch.kmeansAssign(
         Tables.embeddings(s, d), k = 8, iters = 2),
-      Some("""WITH cents0 AS (
-        |  SELECT CAST(vec_id AS INT) AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
-        |), cc1 AS (
-        |  SELECT v.vec_id, c.cid,
-        |    CAST(sum(CAST(ROUND(CAST(v.embedding[i + 1] AS DOUBLE) * CAST(c.cv[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq,
-        |    CAST(sum(CAST(ROUND(CAST(v.embedding[i + 1] AS DOUBLE) * CAST(v.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nv,
-        |    CAST(sum(CAST(ROUND(CAST(c.cv[i + 1] AS DOUBLE) * CAST(c.cv[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nc
-        |  FROM embeddings v, cents0 c, range(64) r(i)
-        |  GROUP BY v.vec_id, c.cid
-        |), s1 AS (
-        |  SELECT vec_id, cid,
-        |    ROUND(CASE WHEN nv = 0 OR nc = 0 THEN 0.0
-        |      ELSE CAST(dq AS DOUBLE) / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) END, 9) AS ccos
-        |  FROM cc1
-        |), a1 AS (
-        |  SELECT vec_id, cid AS cl FROM (
-        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM s1) x
-        |  WHERE rn = 1
-        |), compsum AS (
-        |  SELECT a.cl, r.i AS pos,
-        |    CAST(sum(CAST(ROUND(CAST(v.embedding[r.i + 1] AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) AS sq,
-        |    count(*) AS n
-        |  FROM embeddings v JOIN a1 a ON a.vec_id = v.vec_id CROSS JOIN range(64) r(i)
-        |  GROUP BY a.cl, r.i
-        |), cent1 AS (
-        |  SELECT c0.cid, r.i AS pos,
-        |    coalesce(CAST(CAST(cs.sq AS DOUBLE) / CAST(cs.n AS DOUBLE) / 1e6 AS REAL), c0.cv[r.i + 1]) AS comp
-        |  FROM cents0 c0 CROSS JOIN range(64) r(i)
-        |  LEFT JOIN compsum cs ON cs.cl = c0.cid AND cs.pos = r.i
-        |), cc2 AS (
-        |  SELECT v.vec_id, c.cid,
-        |    CAST(sum(CAST(ROUND(CAST(v.embedding[c.pos + 1] AS DOUBLE) * CAST(c.comp AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq,
-        |    CAST(sum(CAST(ROUND(CAST(v.embedding[c.pos + 1] AS DOUBLE) * CAST(v.embedding[c.pos + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nv,
-        |    CAST(sum(CAST(ROUND(CAST(c.comp AS DOUBLE) * CAST(c.comp AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nc
-        |  FROM embeddings v CROSS JOIN cent1 c
-        |  GROUP BY v.vec_id, c.cid
-        |), s2 AS (
-        |  SELECT vec_id, cid,
-        |    ROUND(CASE WHEN nv = 0 OR nc = 0 THEN 0.0
-        |      ELSE CAST(dq AS DOUBLE) / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) END, 9) AS ccos
-        |  FROM cc2
+      Some(s"""WITH $KmeansCtes
+        |SELECT vec_id, cluster, cos_centroid FROM assign""".stripMargin)),
+
+    // SemDeDup-style semantic dedup (Abbas et al. 2023): k=8 k-means
+    // clusters bound the pairwise comparison (Σ|cluster|² pairs, the
+    // method's scale trick), quantized cosine >= 0.40 connects
+    // duplicate groups, keep = the group member with the LOWEST
+    // centroid cosine (the paper's keep-the-atypical rule; ties to
+    // lowest id). The oracle replays both Lloyd iterations, the
+    // within-cluster pair scoring, and the recursive-CTE grouping.
+    Q("d19_semdedup",
+      (s, d) => Dedup.semDeDup(Tables.embeddings(s, d),
+        k = 8, iters = 2, threshold = 0.40),
+      Some(s"""WITH RECURSIVE $KmeansCtes,
+        |sd_pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM assign a JOIN assign b
+        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |), sd_dots AS (
+        |  SELECT p.id_a, p.id_b,
+        |    CAST(sum(CAST(ROUND(CAST(x.embedding[i + 1] AS DOUBLE) * CAST(y.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq,
+        |    CAST(sum(CAST(ROUND(CAST(x.embedding[i + 1] AS DOUBLE) * CAST(x.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nx,
+        |    CAST(sum(CAST(ROUND(CAST(y.embedding[i + 1] AS DOUBLE) * CAST(y.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS ny
+        |  FROM sd_pairs p
+        |  JOIN embeddings x ON x.vec_id = p.id_a
+        |  JOIN embeddings y ON y.vec_id = p.id_b, range(64) r(i)
+        |  GROUP BY p.id_a, p.id_b
+        |), sd_edges AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM sd_dots
+        |  WHERE ROUND(CASE WHEN nx = 0 OR ny = 0 THEN 0.0
+        |    ELSE CAST(dq AS DOUBLE) / (sqrt(CAST(nx AS DOUBLE)) * sqrt(CAST(ny AS DOUBLE))) END, 9)
+        |    >= CAST(0.40 AS DOUBLE)
+        |), sd_ed2 AS MATERIALIZED (
+        |  SELECT id_a AS src, id_b AS dst FROM sd_edges
+        |  UNION ALL
+        |  SELECT id_b AS src, id_a AS dst FROM sd_edges
+        |), sd_reach(node, r) AS (
+        |  SELECT DISTINCT src, src FROM sd_ed2
+        |  UNION
+        |  SELECT e.src, rc.r FROM sd_ed2 e JOIN sd_reach rc ON rc.node = e.dst
+        |), sd_cc AS (
+        |  SELECT node AS vec_id, min(r) AS dup_group FROM sd_reach GROUP BY node
+        |), sd_lab AS (
+        |  SELECT a.vec_id, a.cluster, a.cos_centroid,
+        |    coalesce(c.dup_group, a.vec_id) AS dup_group
+        |  FROM assign a LEFT JOIN sd_cc c ON c.vec_id = a.vec_id
         |)
-        |SELECT vec_id, CAST(cid AS INT) AS cluster, ccos AS cos_centroid FROM (
-        |  SELECT vec_id, cid, ccos, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM s2) x
-        |WHERE rn = 1""".stripMargin)),
+        |SELECT vec_id, cluster, cos_centroid, dup_group,
+        |  CAST(count(*) OVER (PARTITION BY dup_group) AS BIGINT) AS group_size,
+        |  row_number() OVER (PARTITION BY dup_group ORDER BY cos_centroid ASC, vec_id ASC) = 1 AS keep
+        |FROM sd_lab""".stripMargin)),
+
 
     // LSH ANN end-to-end: bucket join + quantized-cosine rerank top-3.
     Q("s03_lsh_topk",

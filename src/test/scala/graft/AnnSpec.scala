@@ -108,6 +108,25 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("semDeDup: identical vectors co-group with one keep; groups never span clusters") {
+    val emb = syntheticEmb(60)
+    val out = Dedup.semDeDup(emb, k = 6, iters = 2, threshold = 0.95)
+      .collect().map(r => (r.getInt(0), r.getInt(1),
+        r.getAs[Number](3).longValue, r.getAs[Number](4).longValue, r.getBoolean(5)))
+    assert(out.length == 60, "every vector must be emitted exactly once")
+    val byId = out.map(t => t._1 -> t).toMap
+    // vec 40 is an exact copy of vec 10: cosine 1.0 >= any threshold,
+    // same cluster by determinism → one duplicate group, one keep
+    assert(byId(10)._3 == byId(40)._3, "identical vectors split across groups")
+    assert(byId(10)._4 >= 2)
+    // exactly one keep per group, group_size consistent
+    out.groupBy(_._3).foreach { case (g, rows) =>
+      assert(rows.count(_._5) == 1, s"group $g has ${rows.count(_._5)} keeps")
+      assert(rows.forall(_._4 == rows.length), s"group $g size column inconsistent")
+      assert(rows.map(_._2).distinct.length == 1, s"group $g spans clusters")
+    }
+  }
+
   test("embeddingNearDupLsh always finds identical-vector pairs; output respects threshold") {
     val emb = syntheticEmb(60)
     val out = Dedup.embeddingNearDupLsh(emb, numTables = 2, planesPerTable = 6,
