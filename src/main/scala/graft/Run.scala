@@ -122,9 +122,22 @@ object Run {
         val clusters = graft.queries.TextQ.clusterArtifact(spark, dir)
         val simhash = graft.queries.TextQ.simhashArtifact(spark, dir)
         s"dedup-maintain: band=$band gram=$gram clusters=$clusters simhash=$simhash"
+      case "ann-maintain" =>
+        // the ANN-index maintenance job: (re)build the cell-partitioned
+        // IVF+PQ code table for an embeddings dir — same idempotent
+        // generation-keyed posture as dedup-maintain; the serving
+        // probe (s09 shape) partition-prunes this store per query.
+        val dir = kvArgs.collectFirst {
+          case a if a.startsWith("data=") => a.substring("data=".length)
+        }.getOrElse(throw new IllegalArgumentException(
+          "pass data=<dir containing embeddings.parquet>"))
+        val stray = (overrides - "data").keys ++ cfgFile.map(_ => "cfg")
+        if (stray.nonEmpty) throw new IllegalArgumentException(
+          s"ann-maintain takes only data=<dir>; got: ${stray.mkString(", ")}")
+        s"ann-maintain: index=${graft.queries.TextQ.annArtifact(spark, dir)}"
       case other =>
         throw new IllegalArgumentException(
-          s"unknown mode: $other (track|eval|features|visualize|dedup-maintain)")
+          s"unknown mode: $other (track|eval|features|visualize|dedup-maintain|ann-maintain)")
     }
   }
 

@@ -220,29 +220,38 @@ object SimilaritySearch {
     * lookups, bounded rerank) is identical, so swapping it in is an
     * encode/LUT change, not an operator redesign.
     */
-  def ivfPqTopK(corpus: DataFrame, queryPred: Column, k: Int, nlist: Int,
-                nprobe: Int, m: Int, codebookSize: Int, refine: Int,
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = corpus.filter(col(idCol) < nlist)
-      .select(col(idCol).cast("int").as("cid"),
-        col(vecCol).cast("array<float>").as("cv"))
-      .collect().map { r =>
-        require(!r.isNullAt(1),
-          s"ivfPqTopK centroid $idCol=${r.getInt(0)} has a null $vecCol")
-        (r.getInt(0), r.getSeq[Float](1).toArray)
-      }.sortBy(_._1)
-    require(cents.length == nlist,
-      s"ivfPqTopK sampled ${cents.length} centroids, expected $nlist")
-    val cbVecs = corpus.filter(col(idCol) < codebookSize)
-      .select(col(idCol).cast("int").as("ki"),
-        col(vecCol).cast("array<float>").as("cv"))
-      .collect().map { r =>
-        require(!r.isNullAt(1),
-          s"ivfPqTopK codebook seed $idCol=${r.getInt(0)} has a null $vecCol")
-        (r.getInt(0), r.getSeq[Float](1).toArray)
-      }.sortBy(_._1)
-    require(cbVecs.length == codebookSize,
-      s"ivfPqTopK sampled ${cbVecs.length} codebook seeds, expected $codebookSize")
+  /** The IVF+PQ "trained" model: coarse centroids + per-subspace
+    * codebooks + their integer norms — a tiny driver-side artifact
+    * (nlist + codebookSize vectors), deterministic-sampled like
+    * [[ivfTopK]]'s centroids so any engine can rebuild it exactly.
+    */
+  final case class IvfPqModel(cents: Array[(Int, Array[Float])],
+                              cb: Array[Array[Array[Float]]],
+                              cNorm: Array[Array[Long]],
+                              m: Int, sub: Int, codebookSize: Int) {
+    private[operators] def cellScores(vec: Column) = array(cents.map { case (cid, cv) =>
+      struct(round(Vectors.cosineQNative(vec, lit(cv)), 9).as("ccos"),
+        lit(-cid).as("neg"), lit(cid).as("cid"))
+    }: _*)
+  }
+
+  def ivfPqModel(corpus: DataFrame, nlist: Int, m: Int, codebookSize: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): IvfPqModel = {
+    def sample(n: Int, what: String) = {
+      val rows = corpus.filter(col(idCol) < n)
+        .select(col(idCol).cast("int"), col(vecCol).cast("array<float>"))
+        .collect().map { r =>
+          require(!r.isNullAt(1),
+            s"ivfPq $what $idCol=${r.getInt(0)} has a null $vecCol")
+          (r.getInt(0), r.getSeq[Float](1).toArray)
+        }.sortBy(_._1)
+      require(rows.length == n,
+        s"ivfPq sampled ${rows.length} $what seeds, expected $n — " +
+          s"'$idCol < $n' assumes dense 0-based ids")
+      rows
+    }
+    val cents = sample(nlist, "centroid")
+    val cbVecs = sample(codebookSize, "codebook")
     val dims = cbVecs.head._2.length
     require(dims % m == 0, s"m=$m must divide dims=$dims")
     val sub = dims / m
@@ -252,11 +261,19 @@ object SimilaritySearch {
       (mi, ki) => cbVecs(ki)._2.slice(mi * sub, (mi + 1) * sub))
     val cNorm: Array[Array[Long]] = cb.map(_.map(_.map(x =>
       math.round(x.toDouble * x.toDouble * 1e12)).sum))
-    def cellScores(vec: Column) = array(cents.map { case (cid, cv) =>
-      struct(round(Vectors.cosineQNative(vec, lit(cv)), 9).as("ccos"),
-        lit(-cid).as("neg"), lit(cid).as("cid"))
-    }: _*)
-    // corpus side: cell + m PQ codes, one map-side projection
+    IvfPqModel(cents, cb, cNorm, m, sub, codebookSize)
+  }
+
+  /** The stored-index side of IVF+PQ: `(id, cell, code0..m-1)` — a pure
+    * map-side projection of the corpus (no join, no shuffle). At scale
+    * this table IS the ANN index, persisted partitioned BY CELL so a
+    * probe's FileScan prunes to its nprobe cells (see
+    * TextQ.annArtifact); the float vectors stay in the base table and
+    * are only joined back for the rerank tail.
+    */
+  def ivfPqEncode(corpus: DataFrame, model: IvfPqModel,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import model._
     def codeCol(vec: Column, mi: Int): Column = {
       val sl = slice(vec, mi * sub + 1, sub)
       array_min(array((0 until codebookSize).map { ki =>
@@ -264,9 +281,23 @@ object SimilaritySearch {
           lit(ki).as("k"))
       }: _*)).getField("k").as(s"code$mi")
     }
-    val coded = corpus.select(
-      col(idCol) +: array_max(cellScores(col(vecCol))).getField("cid").as("cell") +:
-        (0 until m).map(mi => codeCol(col(vecCol), mi)): _*)
+    corpus.select(
+      col(idCol) +:
+        array_max(model.cellScores(col(vecCol))).getField("cid").as("cell") +:
+        (0 until model.m).map(mi => codeCol(col(vecCol), mi)): _*)
+  }
+
+  /** The serving side: queries (rows of `corpus` matching `queryPred`)
+    * probe a PRE-ENCODED code table — pass the artifact read for the
+    * stored-index shape, or [[ivfPqEncode]]'s output inline. Returns
+    * per-query exact-reranked top-k. `probedCells(coded)` gives the
+    * caller the distinct cells the probe will touch so an artifact-
+    * backed `coded` can be partition-pruned before the join.
+    */
+  def ivfPqSearch(corpus: DataFrame, coded: DataFrame, model: IvfPqModel,
+                  queryPred: Column, k: Int, nprobe: Int, refine: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import model._
     // query side: probe cells + the ADC lookup tables (m arrays of
     // codebookSize quantized dots — computed once per query row)
     val lutCols = (0 until m).map { mi =>
@@ -277,7 +308,7 @@ object SimilaritySearch {
     val queries = corpus.filter(queryPred)
       .select(col(idCol).as("query_id") +: col(vecCol).as("q_vec") +: lutCols: _*)
     val probes = queries.select(col("query_id"), col("q_vec"),
-      explode(cellScores(col("q_vec"))).as("cs"),
+      explode(model.cellScores(col("q_vec"))).as("cs"),
       struct((0 until m).map(mi => col(s"lut$mi")): _*).as("luts"))
     val wp = Window.partitionBy("query_id")
       .orderBy(col("cs.ccos").desc, col("cs.cid").asc)
@@ -306,6 +337,32 @@ object SimilaritySearch {
     pairs.withColumn("rank", row_number().over(wr).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
+  }
+
+  /** The distinct cells `queryPred`'s rows will probe — collected
+    * driver-side (|queries| is small in the serving shape) so an
+    * artifact-backed code table can be partition-pruned before
+    * [[ivfPqSearch]]'s candidate join.
+    */
+  def ivfPqProbedCells(corpus: DataFrame, model: IvfPqModel, queryPred: Column,
+                       nprobe: Int, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Seq[Int] = {
+    val probes = corpus.filter(queryPred)
+      .select(col(idCol).as("query_id"),
+        explode(model.cellScores(col(vecCol))).as("cs"))
+    val wp = Window.partitionBy("query_id")
+      .orderBy(col("cs.ccos").desc, col("cs.cid").asc)
+    probes.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nprobe)
+      .select("cs.cid").distinct().collect().map(_.getInt(0)).toSeq.sorted
+  }
+
+  def ivfPqTopK(corpus: DataFrame, queryPred: Column, k: Int, nlist: Int,
+                nprobe: Int, m: Int, codebookSize: Int, refine: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val model = ivfPqModel(corpus, nlist, m, codebookSize, idCol, vecCol)
+    ivfPqSearch(corpus, ivfPqEncode(corpus, model, idCol, vecCol), model,
+      queryPred, k, nprobe, refine, idCol, vecCol)
   }
 
   /** ANN via LSH buckets + exact rerank. Multi-probe is the `numTables`

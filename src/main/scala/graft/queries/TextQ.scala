@@ -429,6 +429,36 @@ object TextQ {
       s.read.parquet(simhashArtifact(s, d))
     }
 
+  /** The s08/s09 IVF+PQ configuration — single-sourced because the
+    * stored index (annArtifact) MUST be encoded with the same model the
+    * probe rebuilds (the artifact key carries these params, so a retune
+    * invalidates the store like a data change would).
+    */
+  private[graft] val AnnNlist = 8
+  private[graft] val AnnM = 8
+  private[graft] val AnnCb = 16
+
+  /** The persisted IVF+PQ INDEX artifact `(vec_id, code0..m-1)`
+    * partitioned BY CELL — the fifth leg of the signature store and
+    * the ANN serving posture at 100 TB: the code table is a maintained
+    * on-disk index (one byte-ish per subspace per vector), laid out so
+    * a query's nprobe cells become PartitionFilters on the FileScan
+    * and the probe never touches the other nlist−nprobe cells. The
+    * float vectors stay in the base table, joined back only for the
+    * rerank tail. Same (length, mtime) keying, `_SUCCESS` gating and
+    * params-tag invalidation as the band store.
+    */
+  private[graft] def annArtifact(s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.sources.ArtifactStore.resolve(s, "graft_ann_artifact",
+      Seq(new java.io.File(d, "embeddings.parquet")),
+      sub = s"nl${AnnNlist}m${AnnM}cb$AnnCb") { dir =>
+      val emb = Tables.embeddings(s, d)
+      val model = SimilaritySearch.ivfPqModel(emb, AnnNlist, AnnM, AnnCb)
+      SimilaritySearch.ivfPqEncode(emb, model)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    }
+
   /** The persisted CORPUS CLUSTER-LABEL artifact `(doc_id, cluster_id)`
     * — batch connected components over the corpus slice's verified
     * duplicate edges (source <> 'src0', Jaccard >= 0.9), written once
@@ -715,6 +745,89 @@ object TextQ {
         |    SELECT vec_id, cid, ccos, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM s2) x
         |  WHERE rn = 1
         |)""".stripMargin
+
+  /** Shared IVF+PQ oracle — ONE replay of coarse-assign / encode /
+    * LUT / ADC / rerank for both its consumers: s08 (inline encode)
+    * and s09 (the cell-partitioned stored index) — the two must be
+    * row-identical because the code table is a deterministic
+    * projection, exactly the d09/d15 artifact-equivalence argument.
+    */
+  private[graft] lazy val IvfPqOracleSql: String =
+    """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+        |), cellcos AS (
+        |  SELECT v.vec_id, c.cid,
+        |    CAST(sum(CAST(ROUND(CAST(v.embedding[i + 1] AS DOUBLE) * CAST(c.cv[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq,
+        |    CAST(sum(CAST(ROUND(CAST(v.embedding[i + 1] AS DOUBLE) * CAST(v.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nv,
+        |    CAST(sum(CAST(ROUND(CAST(c.cv[i + 1] AS DOUBLE) * CAST(c.cv[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nc
+        |  FROM embeddings v, cents c, range(64) r(i)
+        |  GROUP BY v.vec_id, c.cid
+        |), scored AS (
+        |  SELECT vec_id, cid,
+        |    ROUND(CASE WHEN nv = 0 OR nc = 0 THEN 0.0
+        |      ELSE CAST(dq AS DOUBLE) / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) END, 9) AS ccos
+        |  FROM cellcos
+        |), ranked AS (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+        |  FROM scored
+        |), cells AS (
+        |  SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1
+        |), probes AS (
+        |  SELECT vec_id AS query_id, cid AS cell FROM ranked WHERE rn <= 2 AND vec_id < 10
+        |), cbv AS (
+        |  SELECT CAST(vec_id AS INT) AS ki, embedding AS cv FROM embeddings WHERE vec_id < 16
+        |), cnorm AS (
+        |  SELECT ki, mi.m AS mi,
+        |    CAST(sum(CAST(ROUND(CAST(cv[mi.m * 8 + j.j + 1] AS DOUBLE) * CAST(cv[mi.m * 8 + j.j + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nc
+        |  FROM cbv, range(8) mi(m), range(8) j(j) GROUP BY ki, mi.m
+        |), cdot AS (
+        |  SELECT e.vec_id, c.ki, mi.m AS mi,
+        |    CAST(sum(CAST(ROUND(CAST(e.embedding[mi.m * 8 + j.j + 1] AS DOUBLE) * CAST(c.cv[mi.m * 8 + j.j + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq
+        |  FROM embeddings e, cbv c, range(8) mi(m), range(8) j(j)
+        |  GROUP BY e.vec_id, c.ki, mi.m
+        |), codes AS (
+        |  SELECT vec_id, mi, ki AS code FROM (
+        |    SELECT d.vec_id, d.mi, d.ki,
+        |      row_number() OVER (PARTITION BY d.vec_id, d.mi
+        |        ORDER BY (n.nc - 2 * d.dq) ASC, d.ki ASC) AS rn
+        |    FROM cdot d JOIN cnorm n ON n.ki = d.ki AND n.mi = d.mi) t
+        |  WHERE rn = 1
+        |), lut AS (
+        |  SELECT vec_id AS query_id, ki, mi, dq FROM cdot WHERE vec_id < 10
+        |), cands AS (
+        |  SELECT p.query_id, mm.vec_id AS corpus_id
+        |  FROM probes p JOIN cells mm ON p.cell = mm.cell
+        |  WHERE p.query_id <> mm.vec_id
+        |), adcs AS (
+        |  SELECT ca.query_id, ca.corpus_id, CAST(sum(l.dq) AS BIGINT) AS adc
+        |  FROM cands ca
+        |  JOIN codes co ON co.vec_id = ca.corpus_id
+        |  JOIN lut l ON l.query_id = ca.query_id AND l.mi = co.mi AND l.ki = co.code
+        |  GROUP BY ca.query_id, ca.corpus_id
+        |), tail AS (
+        |  SELECT query_id, corpus_id FROM (
+        |    SELECT query_id, corpus_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, corpus_id ASC) AS rn
+        |    FROM adcs) t WHERE rn <= 20
+        |), dots AS (
+        |  SELECT t.query_id, t.corpus_id,
+        |    CAST(sum(CAST(ROUND(CAST(a.embedding[i + 1] AS DOUBLE) * CAST(b.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq,
+        |    CAST(sum(CAST(ROUND(CAST(a.embedding[i + 1] AS DOUBLE) * CAST(a.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nq,
+        |    CAST(sum(CAST(ROUND(CAST(b.embedding[i + 1] AS DOUBLE) * CAST(b.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nc
+        |  FROM tail t
+        |  JOIN embeddings a ON a.vec_id = t.query_id
+        |  JOIN embeddings b ON b.vec_id = t.corpus_id, range(64) r(i)
+        |  GROUP BY t.query_id, t.corpus_id
+        |), cos AS (
+        |  SELECT query_id, corpus_id,
+        |    ROUND(CASE WHEN nq = 0 OR nc = 0 THEN 0.0
+        |      ELSE CAST(dq AS DOUBLE) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) END, 9) AS cosine
+        |  FROM dots
+        |)
+        |SELECT query_id, corpus_id, cosine, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS BIGINT) AS rank
+        |  FROM cos) t
+        |WHERE rank <= 5""".stripMargin
 
   val defs: Seq[Q] = Seq(
 
@@ -1783,81 +1896,29 @@ object TextQ {
       (s, d) => SimilaritySearch.ivfPqTopK(Tables.embeddings(s, d),
         queryPred = col("vec_id") < 10, k = 5, nlist = 8, nprobe = 2,
         m = 8, codebookSize = 16, refine = 20),
-      Some("""WITH cents AS (
-        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
-        |), cellcos AS (
-        |  SELECT v.vec_id, c.cid,
-        |    CAST(sum(CAST(ROUND(CAST(v.embedding[i + 1] AS DOUBLE) * CAST(c.cv[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq,
-        |    CAST(sum(CAST(ROUND(CAST(v.embedding[i + 1] AS DOUBLE) * CAST(v.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nv,
-        |    CAST(sum(CAST(ROUND(CAST(c.cv[i + 1] AS DOUBLE) * CAST(c.cv[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nc
-        |  FROM embeddings v, cents c, range(64) r(i)
-        |  GROUP BY v.vec_id, c.cid
-        |), scored AS (
-        |  SELECT vec_id, cid,
-        |    ROUND(CASE WHEN nv = 0 OR nc = 0 THEN 0.0
-        |      ELSE CAST(dq AS DOUBLE) / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) END, 9) AS ccos
-        |  FROM cellcos
-        |), ranked AS (
-        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
-        |  FROM scored
-        |), cells AS (
-        |  SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1
-        |), probes AS (
-        |  SELECT vec_id AS query_id, cid AS cell FROM ranked WHERE rn <= 2 AND vec_id < 10
-        |), cbv AS (
-        |  SELECT CAST(vec_id AS INT) AS ki, embedding AS cv FROM embeddings WHERE vec_id < 16
-        |), cnorm AS (
-        |  SELECT ki, mi.m AS mi,
-        |    CAST(sum(CAST(ROUND(CAST(cv[mi.m * 8 + j.j + 1] AS DOUBLE) * CAST(cv[mi.m * 8 + j.j + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nc
-        |  FROM cbv, range(8) mi(m), range(8) j(j) GROUP BY ki, mi.m
-        |), cdot AS (
-        |  SELECT e.vec_id, c.ki, mi.m AS mi,
-        |    CAST(sum(CAST(ROUND(CAST(e.embedding[mi.m * 8 + j.j + 1] AS DOUBLE) * CAST(c.cv[mi.m * 8 + j.j + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq
-        |  FROM embeddings e, cbv c, range(8) mi(m), range(8) j(j)
-        |  GROUP BY e.vec_id, c.ki, mi.m
-        |), codes AS (
-        |  SELECT vec_id, mi, ki AS code FROM (
-        |    SELECT d.vec_id, d.mi, d.ki,
-        |      row_number() OVER (PARTITION BY d.vec_id, d.mi
-        |        ORDER BY (n.nc - 2 * d.dq) ASC, d.ki ASC) AS rn
-        |    FROM cdot d JOIN cnorm n ON n.ki = d.ki AND n.mi = d.mi) t
-        |  WHERE rn = 1
-        |), lut AS (
-        |  SELECT vec_id AS query_id, ki, mi, dq FROM cdot WHERE vec_id < 10
-        |), cands AS (
-        |  SELECT p.query_id, mm.vec_id AS corpus_id
-        |  FROM probes p JOIN cells mm ON p.cell = mm.cell
-        |  WHERE p.query_id <> mm.vec_id
-        |), adcs AS (
-        |  SELECT ca.query_id, ca.corpus_id, CAST(sum(l.dq) AS BIGINT) AS adc
-        |  FROM cands ca
-        |  JOIN codes co ON co.vec_id = ca.corpus_id
-        |  JOIN lut l ON l.query_id = ca.query_id AND l.mi = co.mi AND l.ki = co.code
-        |  GROUP BY ca.query_id, ca.corpus_id
-        |), tail AS (
-        |  SELECT query_id, corpus_id FROM (
-        |    SELECT query_id, corpus_id,
-        |      row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, corpus_id ASC) AS rn
-        |    FROM adcs) t WHERE rn <= 20
-        |), dots AS (
-        |  SELECT t.query_id, t.corpus_id,
-        |    CAST(sum(CAST(ROUND(CAST(a.embedding[i + 1] AS DOUBLE) * CAST(b.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq,
-        |    CAST(sum(CAST(ROUND(CAST(a.embedding[i + 1] AS DOUBLE) * CAST(a.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nq,
-        |    CAST(sum(CAST(ROUND(CAST(b.embedding[i + 1] AS DOUBLE) * CAST(b.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nc
-        |  FROM tail t
-        |  JOIN embeddings a ON a.vec_id = t.query_id
-        |  JOIN embeddings b ON b.vec_id = t.corpus_id, range(64) r(i)
-        |  GROUP BY t.query_id, t.corpus_id
-        |), cos AS (
-        |  SELECT query_id, corpus_id,
-        |    ROUND(CASE WHEN nq = 0 OR nc = 0 THEN 0.0
-        |      ELSE CAST(dq AS DOUBLE) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) END, 9) AS cosine
-        |  FROM dots
-        |)
-        |SELECT query_id, corpus_id, cosine, rank FROM (
-        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS BIGINT) AS rank
-        |  FROM cos) t
-        |WHERE rank <= 5""".stripMargin)),
+      Some(IvfPqOracleSql)),
+
+    // s08's STORED-INDEX form — the ANN analogue of d15: the PQ code
+    // table is read back from the cell-partitioned on-disk artifact
+    // (annArtifact, maintained once per embedding-store generation),
+    // and the probe's nprobe cells — collected driver-side from the
+    // tiny query set — become PartitionFilters on the index FileScan,
+    // so the probe reads nprobe/nlist of the index and none of the
+    // rest (PlanShapeSpec pins the pruned scan). Same oracle as s08:
+    // the code table is a deterministic projection, so the stored and
+    // inline forms must answer row-identically.
+    Q("s09_ivf_pq_store",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val model = SimilaritySearch.ivfPqModel(emb, AnnNlist, AnnM, AnnCb)
+        val pred = col("vec_id") < 10
+        val cells = SimilaritySearch.ivfPqProbedCells(emb, model, pred, nprobe = 2)
+        val coded = s.read.parquet(annArtifact(s, d))
+          .where(col("cell").isin(cells: _*))
+        SimilaritySearch.ivfPqSearch(emb, coded, model, pred,
+          k = 5, nprobe = 2, refine = 20)
+      },
+      Some(IvfPqOracleSql)),
 
     // PII scrubbing (C4-style cleanup). The synthetic corpus carries no
     // PII, so the query INJECTS deterministic emails/IPs/phones from

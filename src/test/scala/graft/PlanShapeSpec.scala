@@ -146,6 +146,39 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected <=3 partitions read, got ${scans.map(_.selectedPartitions.partitionCount)}")
   }
 
+  test("s09: stored ANN index probe partition-prunes to the query's cells") {
+    // the serving shape: the PQ code table is a cell-partitioned
+    // on-disk index; a probe's nprobe cells must become
+    // PartitionFilters on the FileScan (reading nprobe/nlist of the
+    // index), and the plan must scan the artifact, not re-encode
+    val p = plan("s09_ivf_pq_store")
+    assert(p.contains("graft_ann_artifact"),
+      s"s09 must FileScan the persisted index:\n${p.take(4000)}")
+    // several scans print PartitionFilters (the base embeddings scans
+    // print an empty list) — at least one must filter on cell
+    assert("PartitionFilters: \\[[^\\]]*".r.findAllIn(p)
+      .exists(_.contains("cell")),
+      s"index scan must carry a cell partition filter:\n${p.take(4000)}")
+    // collect from the pre-AQE physical plan: AdaptiveSparkPlanExec
+    // hides its subtree from collect() until execution
+    val scans = SparkEntry.queries("s09_ivf_pq_store")(spark, dir)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("graft_ann_artifact")) => f
+      }
+    assert(scans.nonEmpty, p)
+    // the scan must read EXACTLY the probed cells' partitions
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir)
+    val model = graft.operators.SimilaritySearch.ivfPqModel(emb,
+      graft.queries.TextQ.AnnNlist, graft.queries.TextQ.AnnM, graft.queries.TextQ.AnnCb)
+    val cells = graft.operators.SimilaritySearch.ivfPqProbedCells(
+      emb, model, col("vec_id") < 10, nprobe = 2)
+    assert(scans.forall(_.selectedPartitions.partitionCount == cells.length),
+      s"expected ${cells.length} partitions read, got " +
+        scans.map(_.selectedPartitions.partitionCount).mkString(","))
+  }
+
   test("d17: corpus cluster labels FileScan the persisted artifact, never re-cluster") {
     // The incremental-maintenance posture: the corpus's cluster
     // assignment is a maintained on-disk table (clusterArtifact) the
