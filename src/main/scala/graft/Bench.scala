@@ -164,7 +164,8 @@ object Bench {
       catch { case _: Throwable => () }
     // s09's cell-partitioned PQ index likewise: the timed region is
     // the pruned probe + rerank, not the once-per-generation encode
-    if (sorted.exists { case (n, _) => n.startsWith("s09") })
+    if (sorted.exists { case (n, _) =>
+        n.startsWith("s09") || n.startsWith("st8") })
       try graft.queries.TextQ.annArtifact(spark, sfDir)
       catch { case _: Throwable => () }
     // Same posture for the MOT-shaped input tables: gt/tracks/gt_emb/

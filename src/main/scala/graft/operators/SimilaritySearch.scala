@@ -287,15 +287,18 @@ object SimilaritySearch {
         (0 until model.m).map(mi => codeCol(col(vecCol), mi)): _*)
   }
 
-  /** The serving side: queries (rows of `corpus` matching `queryPred`)
-    * probe a PRE-ENCODED code table — pass the artifact read for the
-    * stored-index shape, or [[ivfPqEncode]]'s output inline. Returns
-    * per-query exact-reranked top-k. `probedCells(coded)` gives the
-    * caller the distinct cells the probe will touch so an artifact-
-    * backed `coded` can be partition-pruned before the join.
+  /** The serving side: `queries` (any `(idCol, vecCol)` table — a
+    * filtered corpus slice, or an arriving micro-batch in the
+    * streaming-ingest shape) probe a PRE-ENCODED code table — pass the
+    * artifact read for the stored-index shape, or [[ivfPqEncode]]'s
+    * output inline. `corpus` supplies the float vectors for the exact
+    * rerank tail. Returns per-query exact-reranked top-k.
+    * [[ivfPqProbedCells]] gives the caller the distinct cells the
+    * probe will touch so an artifact-backed `coded` can be
+    * partition-pruned before the join.
     */
-  def ivfPqSearch(corpus: DataFrame, coded: DataFrame, model: IvfPqModel,
-                  queryPred: Column, k: Int, nprobe: Int, refine: Int,
+  def ivfPqSearch(queries0: DataFrame, corpus: DataFrame, coded: DataFrame,
+                  model: IvfPqModel, k: Int, nprobe: Int, refine: Int,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import model._
     // query side: probe cells + the ADC lookup tables (m arrays of
@@ -305,7 +308,7 @@ object SimilaritySearch {
       array((0 until codebookSize).map(ki =>
         Vectors.dotQNative(sl, lit(cb(mi)(ki)))): _*).as(s"lut$mi")
     }
-    val queries = corpus.filter(queryPred)
+    val queries = queries0
       .select(col(idCol).as("query_id") +: col(vecCol).as("q_vec") +: lutCols: _*)
     val probes = queries.select(col("query_id"), col("q_vec"),
       explode(model.cellScores(col("q_vec"))).as("cs"),
@@ -339,15 +342,15 @@ object SimilaritySearch {
       .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
   }
 
-  /** The distinct cells `queryPred`'s rows will probe — collected
+  /** The distinct cells the query rows will probe — collected
     * driver-side (|queries| is small in the serving shape) so an
     * artifact-backed code table can be partition-pruned before
     * [[ivfPqSearch]]'s candidate join.
     */
-  def ivfPqProbedCells(corpus: DataFrame, model: IvfPqModel, queryPred: Column,
+  def ivfPqProbedCells(queries: DataFrame, model: IvfPqModel,
                        nprobe: Int, idCol: String = "vec_id",
                        vecCol: String = "embedding"): Seq[Int] = {
-    val probes = corpus.filter(queryPred)
+    val probes = queries
       .select(col(idCol).as("query_id"),
         explode(model.cellScores(col(vecCol))).as("cs"))
     val wp = Window.partitionBy("query_id")
@@ -361,8 +364,9 @@ object SimilaritySearch {
                 nprobe: Int, m: Int, codebookSize: Int, refine: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val model = ivfPqModel(corpus, nlist, m, codebookSize, idCol, vecCol)
-    ivfPqSearch(corpus, ivfPqEncode(corpus, model, idCol, vecCol), model,
-      queryPred, k, nprobe, refine, idCol, vecCol)
+    ivfPqSearch(corpus.filter(queryPred), corpus,
+      ivfPqEncode(corpus, model, idCol, vecCol), model,
+      k, nprobe, refine, idCol, vecCol)
   }
 
   /** ANN via LSH buckets + exact rerank. Multi-probe is the `numTables`

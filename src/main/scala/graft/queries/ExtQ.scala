@@ -53,6 +53,25 @@ object ExtQ {
     try body finally s.conf.set(key, prev)
   }
 
+  /** Bounded parquet sink dir for foreachBatch streaming queries: one
+    * directory per (kind, dataset), WIPED before each run — a fresh
+    * createTempDirectory per invocation would leak one full output
+    * dump per bench round/sweep point forever.
+    */
+  private def boundedSink(kind: String, d: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val tag = md.digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), kind, tag)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
   /** The st7 micro-batch maintenance loop, shared with the multi-batch
     * spec: each batch of the (already src0-filtered) document stream is
     * banded per-row, probes the partition-pruned corpus band store plus
@@ -545,6 +564,48 @@ object ExtQ {
     // touches only post-collision candidates; its static input is the
     // memoized in-memory gram store — at 100 TB that store would be
     // bucketed by doc_id for the same pruned-probe effect.)
+    // Streaming ANN ingest probe — the embedding analogue of st6: each
+    // arriving micro-batch of vectors probes the PERSISTED
+    // cell-partitioned PQ index (annArtifact) for its nearest
+    // neighbors, with the batch's probed cells pushed as partition
+    // filters on the index FileScan — per-trigger cost scales with the
+    // batch's cell spread, never the index. The query set (the vec_id
+    // < 10 slice arriving as one AvailableNow batch) matches s08/s09's,
+    // and the PQ encode is deterministic, so all three forms — inline
+    // (s08), stored (s09), streaming (st8) — share ONE oracle and must
+    // answer row-identically.
+    Q("st8_stream_ann_probe",
+      (s, d) => {
+        import graft.operators.SimilaritySearch
+        val emb = Tables.embeddings(s, d)
+        val index = TextQ.annArtifact(s, d)  // build/refresh at batch parallelism
+        val model = SimilaritySearch.ivfPqModel(
+          emb, TextQ.AnnNlist, TextQ.AnnM, TextQ.AnnCb)
+        val outDir = boundedSink("graft_st8_out", d)
+        withStreamShuffle(s) {
+          val stream = s.readStream.schema(emb.schema)
+            .option("pathGlobFilter", "embeddings.parquet").parquet(d)
+            .filter(col("vec_id") < 10)
+          val q = stream.writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              val b = batch.persist()
+              try {
+                val cells = SimilaritySearch.ivfPqProbedCells(b, model, nprobe = 2)
+                val coded = s.read.parquet(index)
+                  .where(col("cell").isin(cells: _*))
+                SimilaritySearch.ivfPqSearch(b, emb, coded, model,
+                    k = 5, nprobe = 2, refine = 20)
+                  .write.mode("append").parquet(outDir)
+              } finally { b.unpersist(); () }
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        s.read.parquet(outDir)
+      },
+      Some(TextQ.IvfPqOracleSql)),
+
     // Streaming incremental CLUSTER MAINTENANCE — st6 gates ingest;
     // this closes the loop: each micro-batch's verified duplicate
     // edges are star-merged into the maintained corpus cluster labels
@@ -585,22 +646,7 @@ object ExtQ {
         TextQ.bandArtifact(s, d)  // build/refresh at batch parallelism
         val gramsB = TextQ.gramSetsOf(s, d)  // memoized gram artifact
           .select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
-        // bounded sink dir (one per dataset, wiped before each run):
-        // a fresh createTempDirectory per invocation would leak one
-        // full pair dump per bench round/sweep point forever
-        val outDir = {
-          val md = java.security.MessageDigest.getInstance("MD5")
-          val tag = md.digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-          val p = java.nio.file.Paths.get(
-            System.getProperty("java.io.tmpdir"), "graft_st6_out", tag)
-          if (java.nio.file.Files.exists(p)) {
-            import scala.jdk.CollectionConverters._
-            java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-              .foreach(java.nio.file.Files.deleteIfExists(_))
-          }
-          java.nio.file.Files.createDirectories(p)
-          p.toString
-        }
+        val outDir = boundedSink("graft_st6_out", d)
         withStreamShuffle(s) {
           val stream = s.readStream.schema(docs.schema)
             .option("pathGlobFilter", "documents.parquet").parquet(d)

@@ -1911,11 +1911,11 @@ object TextQ {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val model = SimilaritySearch.ivfPqModel(emb, AnnNlist, AnnM, AnnCb)
-        val pred = col("vec_id") < 10
-        val cells = SimilaritySearch.ivfPqProbedCells(emb, model, pred, nprobe = 2)
+        val queries = emb.filter(col("vec_id") < 10)
+        val cells = SimilaritySearch.ivfPqProbedCells(queries, model, nprobe = 2)
         val coded = s.read.parquet(annArtifact(s, d))
           .where(col("cell").isin(cells: _*))
-        SimilaritySearch.ivfPqSearch(emb, coded, model, pred,
+        SimilaritySearch.ivfPqSearch(queries, emb, coded, model,
           k = 5, nprobe = 2, refine = 20)
       },
       Some(IvfPqOracleSql)),
