@@ -173,7 +173,7 @@ class PlanShapeSpec extends AnyFunSuite {
     val model = graft.operators.SimilaritySearch.ivfPqModel(emb,
       graft.queries.TextQ.AnnNlist, graft.queries.TextQ.AnnM, graft.queries.TextQ.AnnCb)
     val cells = graft.operators.SimilaritySearch.ivfPqProbedCells(
-      emb, model, col("vec_id") < 10, nprobe = 2)
+      emb.filter(col("vec_id") < 10), model, nprobe = 2)
     assert(scans.forall(_.selectedPartitions.partitionCount == cells.length),
       s"expected ${cells.length} partitions read, got " +
         scans.map(_.selectedPartitions.partitionCount).mkString(","))
