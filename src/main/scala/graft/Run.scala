@@ -26,7 +26,7 @@ object Run {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
       "usage: graft.Run <track|eval|features|visualize> cfg=<yaml> [key=value ...]" +
-        " | graft.Run dedup-maintain data=<dir>")
+        " | graft.Run <dedup-maintain|ann-maintain> data=<dir>")
     val spark = LocalSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
       logLevel = "WARN")
     try println(run(spark, args.head, args.toSeq.tail))
@@ -99,18 +99,8 @@ object Run {
         // Idempotent: a generation that is already on disk (length+
         // mtime key, _SUCCESS-gated) is left untouched, stale
         // generations are GC'd by the store.
-        // take the RAW token, not the Yaml-inferred scalar: a numeric-
-        // looking dir name (data=007) must stay a path, not become
-        // Long 7 round-tripped to "7"
-        val dir = kvArgs.collectFirst {
-          case a if a.startsWith("data=") => a.substring("data=".length)
-        }.getOrElse(throw new IllegalArgumentException(
-          "pass data=<dir containing documents.parquet>"))
-        // same fail-loudly posture as the config modes' override
-        // validation: a stray key must abort, not silently no-op
-        val stray = (overrides - "data").keys ++ cfgFile.map(_ => "cfg")
-        if (stray.nonEmpty) throw new IllegalArgumentException(
-          s"dedup-maintain takes only data=<dir>; got: ${stray.mkString(", ")}")
+        val dir = dataDirArg(mode, kvArgs, overrides, cfgFile,
+          "documents.parquet")
         // drop session memos first: after a mid-session source
         // regeneration the memoized band/gram relations still hold the
         // OLD generation in cache — building the new cluster artifact
@@ -127,18 +117,32 @@ object Run {
         // IVF+PQ code table for an embeddings dir — same idempotent
         // generation-keyed posture as dedup-maintain; the serving
         // probe (s09 shape) partition-prunes this store per query.
-        val dir = kvArgs.collectFirst {
-          case a if a.startsWith("data=") => a.substring("data=".length)
-        }.getOrElse(throw new IllegalArgumentException(
-          "pass data=<dir containing embeddings.parquet>"))
-        val stray = (overrides - "data").keys ++ cfgFile.map(_ => "cfg")
-        if (stray.nonEmpty) throw new IllegalArgumentException(
-          s"ann-maintain takes only data=<dir>; got: ${stray.mkString(", ")}")
+        val dir = dataDirArg(mode, kvArgs, overrides, cfgFile,
+          "embeddings.parquet")
         s"ann-maintain: index=${graft.queries.TextQ.annArtifact(spark, dir)}"
       case other =>
         throw new IllegalArgumentException(
           s"unknown mode: $other (track|eval|features|visualize|dedup-maintain|ann-maintain)")
     }
+  }
+
+  /** Shared `data=<dir>` extraction for the maintenance modes. Takes
+    * the RAW token, not the Yaml-inferred scalar: a numeric-looking
+    * dir name (data=007) must stay a path, not become Long 7
+    * round-tripped to "7". A stray key or a cfg= must abort (the same
+    * fail-loudly posture as the config modes' override validation).
+    */
+  private def dataDirArg(mode: String, kvArgs: Seq[String],
+                         overrides: Map[String, Any],
+                         cfgFile: Option[String], table: String): String = {
+    val dir = kvArgs.collectFirst {
+      case a if a.startsWith("data=") => a.substring("data=".length)
+    }.getOrElse(throw new IllegalArgumentException(
+      s"pass data=<dir containing $table>"))
+    val stray = (overrides - "data").keys ++ cfgFile.map(_ => "cfg")
+    if (stray.nonEmpty) throw new IllegalArgumentException(
+      s"$mode takes only data=<dir>; got: ${stray.mkString(", ")}")
+    dir
   }
 
   // spark.read fails loudly with the path in the message if the store

@@ -521,7 +521,10 @@ object Dedup {
   def semDeDup(emb: DataFrame, k: Int, iters: Int, threshold: Double,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val assign = SimilaritySearch.kmeansAssign(emb, k, iters, idCol, vecCol)
+    // cached: three consumers (both pair-join sides + the final output
+    // join) would each re-run the k x dims argmax scan without it —
+    // the m02 match-table pattern (CacheManager-deduped, session-scoped)
+    val assign = SimilaritySearch.kmeansAssign(emb, k, iters, idCol, vecCol).cache()
     val withVec = assign.join(emb.select(col(idCol), col(vecCol)), Seq(idCol))
     val a = withVec.select(col("cluster"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val b = withVec.select(col("cluster"), col(idCol).as("id_b"), col(vecCol).as("v_b"))

@@ -310,14 +310,9 @@ object SimilaritySearch {
     }
     val queries = queries0
       .select(col(idCol).as("query_id") +: col(vecCol).as("q_vec") +: lutCols: _*)
-    val probes = queries.select(col("query_id"), col("q_vec"),
-      explode(model.cellScores(col("q_vec"))).as("cs"),
-      struct((0 until m).map(mi => col(s"lut$mi")): _*).as("luts"))
-    val wp = Window.partitionBy("query_id")
-      .orderBy(col("cs.ccos").desc, col("cs.cid").asc)
-    val probeCells = probes.withColumn("rn", row_number().over(wp))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("q_vec"), col("luts"), col("cs.cid").as("cell"))
+      .withColumn("luts", struct((0 until m).map(mi => col(s"lut$mi")): _*))
+    val probeCells = withProbedCells(queries, model, nprobe)
+      .select(col("query_id"), col("q_vec"), col("luts"), col("cell"))
     // ADC: m integer lookups per candidate, never a float op
     val adc = (0 until m).map(mi =>
       element_at(col("luts").getField(s"lut$mi"), col(s"code$mi") + 1)).reduce(_ + _)
@@ -349,15 +344,27 @@ object SimilaritySearch {
     */
   def ivfPqProbedCells(queries: DataFrame, model: IvfPqModel,
                        nprobe: Int, idCol: String = "vec_id",
-                       vecCol: String = "embedding"): Seq[Int] = {
-    val probes = queries
-      .select(col(idCol).as("query_id"),
-        explode(model.cellScores(col(vecCol))).as("cs"))
+                       vecCol: String = "embedding"): Seq[Int] =
+    withProbedCells(
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+        model, nprobe)
+      .select("cell").distinct().collect().map(_.getInt(0)).toSeq.sorted
+
+  /** THE probe-cell ranking — the single source both [[ivfPqSearch]]
+    * and [[ivfPqProbedCells]] go through: q must carry `query_id` and
+    * `q_vec`; every other column rides along. Shared so the cells a
+    * stored-index caller pre-filters with can never drift from the
+    * cells the search actually probes (a split tie-break or nprobe
+    * semantics would silently drop candidates in the stored/streaming
+    * forms only).
+    */
+  private def withProbedCells(q: DataFrame, model: IvfPqModel, nprobe: Int): DataFrame = {
+    val probes = q.withColumn("cs", explode(model.cellScores(col("q_vec"))))
     val wp = Window.partitionBy("query_id")
       .orderBy(col("cs.ccos").desc, col("cs.cid").asc)
     probes.withColumn("rn", row_number().over(wp))
       .filter(col("rn") <= nprobe)
-      .select("cs.cid").distinct().collect().map(_.getInt(0)).toSeq.sorted
+      .withColumn("cell", col("cs.cid")).drop("cs", "rn")
   }
 
   def ivfPqTopK(corpus: DataFrame, queryPred: Column, k: Int, nlist: Int,

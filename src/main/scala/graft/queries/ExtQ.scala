@@ -65,11 +65,27 @@ object ExtQ {
       System.getProperty("java.io.tmpdir"), kind, tag)
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      val walk = java.nio.file.Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
     }
     java.nio.file.Files.createDirectories(p)
     p.toString
+  }
+
+  /** Read a [[boundedSink]] back after the stream drains. A run whose
+    * batches emitted ZERO rows leaves only _SUCCESS markers (Spark
+    * writes no part files for empty appends), where a bare
+    * read.parquet would fail schema inference — fall back to an empty
+    * result of the schema the batches carried.
+    */
+  private def readSink(s: org.apache.spark.sql.SparkSession, outDir: String,
+                       schema: org.apache.spark.sql.types.StructType) = {
+    val files = Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+    if (files.exists(_.getName.endsWith(".parquet"))) s.read.parquet(outDir)
+    else s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
   /** The st7 micro-batch maintenance loop, shared with the multi-batch
@@ -586,6 +602,7 @@ object ExtQ {
           val stream = s.readStream.schema(emb.schema)
             .option("pathGlobFilter", "embeddings.parquet").parquet(d)
             .filter(col("vec_id") < 10)
+          var outSchema: org.apache.spark.sql.types.StructType = null
           val q = stream.writeStream
             .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
               val b = batch.persist()
@@ -593,16 +610,17 @@ object ExtQ {
                 val cells = SimilaritySearch.ivfPqProbedCells(b, model, nprobe = 2)
                 val coded = s.read.parquet(index)
                   .where(col("cell").isin(cells: _*))
-                SimilaritySearch.ivfPqSearch(b, emb, coded, model,
-                    k = 5, nprobe = 2, refine = 20)
-                  .write.mode("append").parquet(outDir)
+                val res = SimilaritySearch.ivfPqSearch(b, emb, coded, model,
+                  k = 5, nprobe = 2, refine = 20)
+                outSchema = res.schema
+                res.write.mode("append").parquet(outDir)
               } finally { b.unpersist(); () }
             }
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
           q.awaitTermination()
+          readSink(s, outDir, outSchema)
         }
-        s.read.parquet(outDir)
       },
       Some(TextQ.IvfPqOracleSql)),
 
@@ -655,6 +673,7 @@ object ExtQ {
               posexplode(call_function("graft_bandsigs",
                 Text.tokens(col("text")), lit(16), lit(2))))
             .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_sig"))
+          var outSchema: org.apache.spark.sql.types.StructType = null
           val q = stream.writeStream
             .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
               val b = batch.persist()
@@ -663,7 +682,7 @@ object ExtQ {
                   .distinct().collect().map(_.getString(0)).toSeq
                 val static = TextQ.prunedCorpusBands(s, d, prefixes)
                   .select(col("band"), col("band_sig"), col("doc_id").as("doc_b"))
-                b.join(static, Seq("band", "band_sig"))
+                val res = b.join(static, Seq("band", "band_sig"))
                   .join(gramsB, Seq("doc_b"))
                   .withColumn("inter",
                     call_function("graft_inter_size", col("grams_a"), col("grams_b")))
@@ -675,14 +694,15 @@ object ExtQ {
                   .filter(col("jaccard") >= 0.5)
                   .select(col("doc_a"), col("doc_b"), col("band"),
                     round(col("jaccard"), 9).as("jaccard"))
-                  .write.mode("append").parquet(outDir)
+                outSchema = res.schema
+                res.write.mode("append").parquet(outDir)
               } finally { b.unpersist(); () }
             }
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
           q.awaitTermination()
+          readSink(s, outDir, outSchema)
         }
-        s.read.parquet(outDir)
       },
       // banding + gram-set text shared with d09's oracle (TextQ.BandCtes)
       // so the two descriptions of the same artifact cannot drift

@@ -338,13 +338,14 @@ object TextQ {
     graft.sources.ArtifactStore.resolve(s, "graft_band_artifact",
       Seq(new java.io.File(d, "documents.parquet")), sub = BandArtifactTag) { dir =>
       val sigs = bandSigsCompute(s, d).cache()
-      sigs.write.mode("overwrite").parquet(s"$dir/full")
-      sigs.withColumn("sig_pfx", sigPfx(col("band_sig")))
-        // one shuffle on the partition value: each directory is written
-        // by exactly one task (256 files total, not tasks×256)
-        .repartition(col("sig_pfx"))
-        .write.mode("overwrite").partitionBy("sig_pfx").parquet(s"$dir/pfx")
-      sigs.unpersist()
+      try {
+        sigs.write.mode("overwrite").parquet(s"$dir/full")
+        sigs.withColumn("sig_pfx", sigPfx(col("band_sig")))
+          // one shuffle on the partition value: each directory is written
+          // by exactly one task (256 files total, not tasks×256)
+          .repartition(col("sig_pfx"))
+          .write.mode("overwrite").partitionBy("sig_pfx").parquet(s"$dir/pfx")
+      } finally sigs.unpersist()
       val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
       p.getFileSystem(s.sparkContext.hadoopConfiguration).create(p, true).close()
     }
