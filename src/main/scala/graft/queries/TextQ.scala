@@ -1681,6 +1681,79 @@ object TextQ {
         |  row_number() OVER (PARTITION BY dup_group ORDER BY cos_centroid ASC, vec_id ASC) = 1 AS keep
         |FROM sd_lab""".stripMargin)),
 
+    // DSIR-style importance resampling (Xie et al. 2023's recipe over
+    // this engine's integer primitives): every doc is scored under a
+    // TARGET-domain bigram LM (trained on the src1 slice) and under
+    // the raw corpus LM; the importance weight is the 16-bit
+    // fixed-point ratio of the quantized scores (pure BIGINT
+    // arithmetic — no exp/ln, per the engine's FP discipline), and
+    // acceptance is the deterministic LCG hash gate at probability
+    // ∝ weight/2 (capped at 1). Cost: two LM scoring passes (each a
+    // broadcast-LM map-side join) + a per-row gate — no extra shuffle
+    // over the corpus.
+    Q("d20_dsir_resample",
+      (s, d) => {
+        import TextAnalysis.{SampleLcgA, SampleLcgC, SampleModulus}
+        val docs = Tables.documents(s, d)
+        val target = TextAnalysis.bigramLmScoreAgainst(
+            docs.filter(col("source") === "src1"), docs, vocabSize = 64)
+          .select(col("doc_id"), col("prob_sum_q9").as("s_t"))
+        val raw = TextAnalysis.bigramLmScoreAgainst(docs, docs, vocabSize = 64)
+          .select(col("doc_id"), col("prob_sum_q9").as("s_r"))
+        docs.select("doc_id", "source")
+          .join(target, Seq("doc_id"))
+          .join(raw, Seq("doc_id"))
+          .withColumn("wt16", expr("s_t * 65536L div s_r"))
+          .withColumn("kept",
+            pmod(col("doc_id") * lit(SampleLcgA) + lit(SampleLcgC), lit(SampleModulus))
+              < least(lit(SampleModulus),
+                expr(s"wt16 * (${SampleModulus}L div 65536L) div 2L")))
+          .select("doc_id", "source", "s_t", "s_r", "wt16", "kept")
+      },
+      Some {
+        def lm(sfx: String, trainWhere: String) = s"""vocab$sfx AS (
+          |  SELECT tok FROM (SELECT unnest(ws) AS tok FROM dsir_toked WHERE $trainWhere) t
+          |  GROUP BY tok ORDER BY count(*) DESC, tok ASC LIMIT 64
+          |), bg$sfx AS (
+          |  SELECT doc_id, source,
+          |    CASE WHEN m[i] = '^' OR m[i] IN (SELECT tok FROM vocab$sfx) THEN m[i] ELSE '<oov>' END AS prev,
+          |    CASE WHEN m[i+1] IN (SELECT tok FROM vocab$sfx) THEN m[i+1] ELSE '<oov>' END AS cur
+          |  FROM dsir_idx
+          |), cb$sfx AS (
+          |  SELECT prev, cur, CAST(count(*) AS BIGINT) AS c
+          |  FROM bg$sfx WHERE $trainWhere GROUP BY 1, 2
+          |), cp$sfx AS (
+          |  SELECT prev, CAST(sum(c) AS BIGINT) AS cpc FROM cb$sfx GROUP BY 1
+          |), sc$sfx AS (
+          |  SELECT g.doc_id,
+          |    CAST(sum(CAST(ROUND(CAST(coalesce(b.c, 0) + 1 AS DOUBLE)
+          |      / CAST(coalesce(p.cpc, 0) + 66 AS DOUBLE) * 1e9) AS BIGINT)) AS BIGINT) AS s$sfx
+          |  FROM bg$sfx g
+          |  LEFT JOIN cb$sfx b ON b.prev = g.prev AND b.cur = g.cur
+          |  LEFT JOIN cp$sfx p ON p.prev = g.prev
+          |  GROUP BY g.doc_id
+          |)""".stripMargin
+        import TextAnalysis.{SampleLcgA, SampleLcgC, SampleModulus}
+        s"""WITH dsir_toked AS (
+          |  SELECT doc_id, source, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS ws
+          |  FROM documents
+          |), dsir_nonempty AS (
+          |  SELECT doc_id, source, list_prepend('^', ws) AS m, len(ws) AS n
+          |  FROM dsir_toked WHERE len(ws) > 0
+          |), dsir_idx AS (
+          |  SELECT doc_id, source, m, unnest(range(1, n + 1)) AS i FROM dsir_nonempty
+          |),
+          |${lm("t", "source = 'src1'")},
+          |${lm("r", "TRUE")}
+          |SELECT d.doc_id, d.source, st.st AS s_t, sr.sr AS s_r,
+          |  (st.st * 65536) // sr.sr AS wt16,
+          |  ((d.doc_id * $SampleLcgA + $SampleLcgC) % $SampleModulus + $SampleModulus) % $SampleModulus
+          |    < least($SampleModulus, (((st.st * 65536) // sr.sr) * ($SampleModulus // 65536)) // 2) AS kept
+          |FROM documents d
+          |JOIN sct st ON st.doc_id = d.doc_id
+          |JOIN scr sr ON sr.doc_id = d.doc_id""".stripMargin
+      }),
+
 
     // LSH ANN end-to-end: bucket join + quantized-cosine rerank top-3.
     Q("s03_lsh_topk",

@@ -131,6 +131,18 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(out.count() == 0)
   }
 
+  test("bigramLmScoreAgainst: empty train set scores everything at the smoothing floor") {
+    // a target LM trained on zero docs has an empty vocab and no
+    // counts: every score bigram maps to <oov> and backs off to
+    // pq = round(1/(0+66)·1e9) — the add-one floor, not a crash
+    val docs = Seq((1L, "a b c"), (2L, "d e")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScoreAgainst(docs.limit(0), docs, vocabSize = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def floor(n: Int) = n.toLong * math.round(1.0 / 6.0 * 1e9)
+    assert(out(1L) == ((3L, floor(3))))
+    assert(out(2L) == ((2L, floor(2))))
+  }
+
   test("scrubPii: counts + redaction order, no-PII text passes through") {
     val df = Seq(
       (1L, "reach me at a.b+c@x-mail.co.uk or +123456789 from 192.168.0.1"),
