@@ -115,6 +115,25 @@ class PipelinesSpec extends AnyFunSuite {
     }
   }
 
+  test("Run CLI: ann-maintain builds the cell-partitioned index idempotently") {
+    val data = "/root/testdata/sf0.001"
+    val msg = Run.run(spark, "ann-maintain", Seq(s"data=$data"))
+    assert(msg.startsWith("ann-maintain: index="), msg)
+    val path = msg.split("=", 2)(1)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")),
+      s"index $path must be _SUCCESS-gated")
+    // cell partition directories exist (the pruned-probe layout)
+    val dirs = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+    assert(dirs.exists(_.getName.startsWith("cell=")),
+      s"index must be partitioned by cell: ${dirs.map(_.getName).mkString(",")}")
+    // idempotent second run, loud failures on bad args
+    assert(Run.run(spark, "ann-maintain", Seq(s"data=$data")) == msg)
+    intercept[IllegalArgumentException] { Run.run(spark, "ann-maintain", Seq()) }
+    intercept[IllegalArgumentException] {
+      Run.run(spark, "ann-maintain", Seq(s"data=$data", "nlist=4"))
+    }
+  }
+
   test("generation rollover: regenerated source GCs old artifacts, stale reads fail loudly, rebuild answers identically") {
     // The exact cycle the driver's between-round testdata regeneration
     // exercises: dedup-maintain builds the signature store → the source
