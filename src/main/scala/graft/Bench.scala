@@ -301,11 +301,19 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","value_n":${fmt(wnTotal)},"cb":${fmt3(canaryBase)},"scale":$scaleArr,"queries":$qs,"cpu":$cpu,"canary":$can,"gcg":$gcg,"errors":$errs,"sf":"$sfDir"}"""
     // Hard guard on the driver's 2000-char tail window (sbt appends a
-    // ~74-char "[success]" suffix after us): degrade by dropping the cpu
-    // array rather than letting the window clip the JSON head.
+    // ~74-char "[success]" suffix after us): degrade by dropping the
+    // per-query cpu array rather than letting the window clip the JSON
+    // head — which at the full 100+-query catalog is now the NORMAL
+    // case. The degraded line keeps the cpu/wall contention probe at
+    // GROUP granularity ("cpug" = JVM cpu seconds per canary group),
+    // so a contended group is still attributable from the record alone
+    // (cpu up with wall ≈ GC storm or real work; cpu flat ≈ CPU
+    // starvation), just not per query.
+    val cpuGroups = results.map(_._4).grouped(groupSize).map(_.sum).toSeq
+    val cpugArr = cpuGroups.map(fmt1).mkString("[", ",", "]")
     if (line.length <= 1900) println(line)
     else println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","value_n":${fmt(wnTotal)},"cb":${fmt3(canaryBase)},"scale":$scaleArr,"queries":$qs,"canary":$can,"gcg":$gcg,"errors":$errs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","value_n":${fmt(wnTotal)},"cb":${fmt3(canaryBase)},"scale":$scaleArr,"queries":$qs,"cpug":$cpugArr,"canary":$can,"gcg":$gcg,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -494,6 +494,46 @@ object TextAnalysis {
     * scored against a previously trained corpus LM (unseen bigrams
     * back off to the smoothing floor).
     */
+  def bigramLmScore(docs: DataFrame, vocabSize: Int = 64,
+                    textCol: String = "text"): DataFrame = {
+    require(vocabSize > 0, s"bigramLmScore: vocabSize must be positive, got $vocabSize")
+    val toksCol = Text.tokens(col(textCol))
+    val toked = docs.select(col("doc_id"), toksCol.as("ws"))
+    val vocab: Seq[String] = toked.select(explode(col("ws")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc).limit(vocabSize)
+      .select("tok").collect().toSeq.map(_.getString(0))
+    def mapped(c: Column, start: Boolean) = {
+      val inVocab = if (start) c === "^" || c.isin(vocab: _*) else c.isin(vocab: _*)
+      when(inVocab, c).otherwise(lit("<oov>"))
+    }
+    val bg = toked.filter(size(col("ws")) > 0)
+      .withColumn("m", concat(array(lit("^")), col("ws")))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws)),
+          |  i -> named_struct('p', element_at(m, i), 'c', element_at(m, i + 1)))"""
+          .stripMargin)).as("b"))
+      .select(col("doc_id"),
+        mapped(col("b.p"), start = true).as("prev"),
+        mapped(col("b.c"), start = false).as("cur"))
+    val cb = bg.groupBy("prev", "cur").agg(count(lit(1)).as("c"))
+    val cp = cb.groupBy("prev").agg(sum("c").cast("long").as("cpc"))
+    // TWO broadcast lookups (≤ (V+2)² and ≤ V+2 rows): the context
+    // count must resolve on `prev` ALONE — joining it through the
+    // (prev, cur) pair table would zero the denominator for an unseen
+    // pair with a well-known context, scoring garbage ABOVE seen-but-
+    // rare continuations on the new-batch path
+    bg.join(broadcast(cb), Seq("prev", "cur"), "left")
+      .join(broadcast(cp), Seq("prev"), "left")
+      .na.fill(0L, Seq("c", "cpc"))
+      .withColumn("pq", round((col("c") + lit(1)).cast("double") /
+        (col("cpc") + lit(vocabSize + 2)).cast("double") * lit(1e9)).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("pq").as("prob_sum_q9"))
+      .withColumn("mean_cond_prob",
+        col("prob_sum_q9").cast("double") / col("n_bigrams") / lit(1e9))
+  }
+
   /** [[bigramLmScore]] with a TRAIN/SCORE split — the importance-
     * weighting form (DSIR-shaped): the vocabulary and bigram counts
     * come from `train` ONLY; every `score` doc is scored under that
@@ -530,46 +570,6 @@ object TextAnalysis {
     val cp = cb.groupBy("prev").agg(sum("c").cast("long").as("cpc"))
     bigrams(score.select(col("doc_id"), Text.tokens(col(textCol)).as("ws")))
       .join(broadcast(cb), Seq("prev", "cur"), "left")
-      .join(broadcast(cp), Seq("prev"), "left")
-      .na.fill(0L, Seq("c", "cpc"))
-      .withColumn("pq", round((col("c") + lit(1)).cast("double") /
-        (col("cpc") + lit(vocabSize + 2)).cast("double") * lit(1e9)).cast("long"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum("pq").as("prob_sum_q9"))
-      .withColumn("mean_cond_prob",
-        col("prob_sum_q9").cast("double") / col("n_bigrams") / lit(1e9))
-  }
-
-  def bigramLmScore(docs: DataFrame, vocabSize: Int = 64,
-                    textCol: String = "text"): DataFrame = {
-    require(vocabSize > 0, s"bigramLmScore: vocabSize must be positive, got $vocabSize")
-    val toksCol = Text.tokens(col(textCol))
-    val toked = docs.select(col("doc_id"), toksCol.as("ws"))
-    val vocab: Seq[String] = toked.select(explode(col("ws")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("tok").asc).limit(vocabSize)
-      .select("tok").collect().toSeq.map(_.getString(0))
-    def mapped(c: Column, start: Boolean) = {
-      val inVocab = if (start) c === "^" || c.isin(vocab: _*) else c.isin(vocab: _*)
-      when(inVocab, c).otherwise(lit("<oov>"))
-    }
-    val bg = toked.filter(size(col("ws")) > 0)
-      .withColumn("m", concat(array(lit("^")), col("ws")))
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(ws)),
-          |  i -> named_struct('p', element_at(m, i), 'c', element_at(m, i + 1)))"""
-          .stripMargin)).as("b"))
-      .select(col("doc_id"),
-        mapped(col("b.p"), start = true).as("prev"),
-        mapped(col("b.c"), start = false).as("cur"))
-    val cb = bg.groupBy("prev", "cur").agg(count(lit(1)).as("c"))
-    val cp = cb.groupBy("prev").agg(sum("c").cast("long").as("cpc"))
-    // TWO broadcast lookups (≤ (V+2)² and ≤ V+2 rows): the context
-    // count must resolve on `prev` ALONE — joining it through the
-    // (prev, cur) pair table would zero the denominator for an unseen
-    // pair with a well-known context, scoring garbage ABOVE seen-but-
-    // rare continuations on the new-batch path
-    bg.join(broadcast(cb), Seq("prev", "cur"), "left")
       .join(broadcast(cp), Seq("prev"), "left")
       .na.fill(0L, Seq("c", "cpc"))
       .withColumn("pq", round((col("c") + lit(1)).cast("double") /

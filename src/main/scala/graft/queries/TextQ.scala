@@ -1698,12 +1698,21 @@ object TextQ {
         val target = TextAnalysis.bigramLmScoreAgainst(
             docs.filter(col("source") === "src1"), docs, vocabSize = 64)
           .select(col("doc_id"), col("prob_sum_q9").as("s_t"))
-        val raw = TextAnalysis.bigramLmScoreAgainst(docs, docs, vocabSize = 64)
+        // the raw leg IS the symmetric corpus LM (train == score makes
+        // the back-off join an inner join) — reuse t14's scorer so a
+        // smoothing change cannot reach one consumer and not the other
+        val raw = TextAnalysis.bigramLmScore(docs, vocabSize = 64)
           .select(col("doc_id"), col("prob_sum_q9").as("s_r"))
         docs.select("doc_id", "source")
           .join(target, Seq("doc_id"))
           .join(raw, Seq("doc_id"))
-          .withColumn("wt16", expr("s_t * 65536L div s_r"))
+          // guards, mirrored in the oracle: s_r floors at 1 (a zero raw
+          // score would NULL the div and Spark's least() SKIPS nulls —
+          // the gate would silently open); s_t clamps at 2^47 (a
+          // pathological ~1.4e14 quantized sum would overflow s_t·2^16
+          // negative in Spark but ERROR in DuckDB — cross-engine split)
+          .withColumn("wt16", expr(
+            "least(s_t, 140737488355328L) * 65536L div greatest(s_r, 1L)"))
           .withColumn("kept",
             pmod(col("doc_id") * lit(SampleLcgA) + lit(SampleLcgC), lit(SampleModulus))
               < least(lit(SampleModulus),
@@ -1746,9 +1755,9 @@ object TextQ {
           |${lm("t", "source = 'src1'")},
           |${lm("r", "TRUE")}
           |SELECT d.doc_id, d.source, st.st AS s_t, sr.sr AS s_r,
-          |  (st.st * 65536) // sr.sr AS wt16,
+          |  (least(st.st, 140737488355328) * 65536) // greatest(sr.sr, 1) AS wt16,
           |  ((d.doc_id * $SampleLcgA + $SampleLcgC) % $SampleModulus + $SampleModulus) % $SampleModulus
-          |    < least($SampleModulus, (((st.st * 65536) // sr.sr) * ($SampleModulus // 65536)) // 2) AS kept
+          |    < least($SampleModulus, (((least(st.st, 140737488355328) * 65536) // greatest(sr.sr, 1)) * ($SampleModulus // 65536)) // 2) AS kept
           |FROM documents d
           |JOIN sct st ON st.doc_id = d.doc_id
           |JOIN scr sr ON sr.doc_id = d.doc_id""".stripMargin

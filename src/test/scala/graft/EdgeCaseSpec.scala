@@ -134,7 +134,7 @@ class EdgeCaseSpec extends AnyFunSuite {
   test("bigramLmScoreAgainst: empty train set scores everything at the smoothing floor") {
     // a target LM trained on zero docs has an empty vocab and no
     // counts: every score bigram maps to <oov> and backs off to
-    // pq = round(1/(0+66)·1e9) — the add-one floor, not a crash
+    // pq = round(1/(0+vocabSize+2)·1e9) = round(1e9/6) here — the add-one floor, not a crash
     val docs = Seq((1L, "a b c"), (2L, "d e")).toDF("doc_id", "text")
     val out = TextAnalysis.bigramLmScoreAgainst(docs.limit(0), docs, vocabSize = 4)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
