@@ -523,8 +523,11 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     // cached: three consumers (both pair-join sides + the final output
     // join) would each re-run the k x dims argmax scan without it —
-    // the m02 match-table pattern (CacheManager-deduped, session-scoped)
-    val assign = SimilaritySearch.kmeansAssign(emb, k, iters, idCol, vecCol).cache()
+    // the m02 match-table pattern (CacheManager-deduped, session-scoped);
+    // registered so the between-queries drain releases it instead of
+    // pinning one relation per distinct input for the session
+    val assign = graft.CacheRegistry.register(
+      SimilaritySearch.kmeansAssign(emb, k, iters, idCol, vecCol).cache())
     val withVec = assign.join(emb.select(col(idCol), col(vecCol)), Seq(idCol))
     val a = withVec.select(col("cluster"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val b = withVec.select(col("cluster"), col(idCol).as("id_b"), col(vecCol).as("v_b"))

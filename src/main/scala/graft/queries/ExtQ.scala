@@ -155,8 +155,11 @@ object ExtQ {
       .start()
     q.awaitTermination()
     // earlier batches' band snapshots are dead once the stream drains
-    // (only the final labels outlive the loop, consumed by the caller)
+    // (only the final labels outlive the loop, consumed by the caller —
+    // registered so the between-queries drain releases that last handle
+    // too instead of pinning one label table per invocation)
     batchBandHandles.foreach(_.unpersist())
+    if (labelsOwned) graft.CacheRegistry.register(labels)
     labels
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
@@ -602,7 +605,13 @@ object ExtQ {
           val stream = s.readStream.schema(emb.schema)
             .option("pathGlobFilter", "embeddings.parquet").parquet(d)
             .filter(col("vec_id") < 10)
-          var outSchema: org.apache.spark.sql.types.StructType = null
+          // schema derived STATICALLY from the same plan (analysis only,
+          // nothing executes) so a zero-trigger stream — e.g. a glob
+          // matching no file — returns an empty typed result from
+          // readSink instead of NPE-ing on a never-assigned capture
+          val outSchema = SimilaritySearch.ivfPqSearch(
+            emb.filter(col("vec_id") < 10), emb, s.read.parquet(index),
+            model, k = 5, nprobe = 2, refine = 20).schema
           val q = stream.writeStream
             .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
               val b = batch.persist()
@@ -612,7 +621,6 @@ object ExtQ {
                   .where(col("cell").isin(cells: _*))
                 val res = SimilaritySearch.ivfPqSearch(b, emb, coded, model,
                   k = 5, nprobe = 2, refine = 20)
-                outSchema = res.schema
                 res.write.mode("append").parquet(outDir)
               } finally { b.unpersist(); () }
             }
@@ -673,7 +681,27 @@ object ExtQ {
               posexplode(call_function("graft_bandsigs",
                 Text.tokens(col("text")), lit(16), lit(2))))
             .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_sig"))
-          var outSchema: org.apache.spark.sql.types.StructType = null
+          // ONE probe plan, shared by the per-trigger batches and the
+          // static schema derivation below — analysis-only on the
+          // streaming DF, so a zero-trigger stream (glob matching no
+          // file) still hands readSink a real schema instead of null
+          def probeRes(b: org.apache.spark.sql.DataFrame,
+                       static: org.apache.spark.sql.DataFrame) =
+            b.join(static, Seq("band", "band_sig"))
+              .join(gramsB, Seq("doc_b"))
+              .withColumn("inter",
+                call_function("graft_inter_size", col("grams_a"), col("grams_b")))
+              .withColumn("unionSz",
+                size(col("grams_a")) + size(col("grams_b")) - col("inter"))
+              .withColumn("jaccard",
+                when(col("unionSz") === 0, 0.0)
+                  .otherwise(col("inter").cast("double") / col("unionSz")))
+              .filter(col("jaccard") >= 0.5)
+              .select(col("doc_a"), col("doc_b"), col("band"),
+                round(col("jaccard"), 9).as("jaccard"))
+          val outSchema = probeRes(stream,
+            TextQ.prunedCorpusBands(s, d, Seq.empty)
+              .select(col("band"), col("band_sig"), col("doc_id").as("doc_b"))).schema
           val q = stream.writeStream
             .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
               val b = batch.persist()
@@ -682,19 +710,7 @@ object ExtQ {
                   .distinct().collect().map(_.getString(0)).toSeq
                 val static = TextQ.prunedCorpusBands(s, d, prefixes)
                   .select(col("band"), col("band_sig"), col("doc_id").as("doc_b"))
-                val res = b.join(static, Seq("band", "band_sig"))
-                  .join(gramsB, Seq("doc_b"))
-                  .withColumn("inter",
-                    call_function("graft_inter_size", col("grams_a"), col("grams_b")))
-                  .withColumn("unionSz",
-                    size(col("grams_a")) + size(col("grams_b")) - col("inter"))
-                  .withColumn("jaccard",
-                    when(col("unionSz") === 0, 0.0)
-                      .otherwise(col("inter").cast("double") / col("unionSz")))
-                  .filter(col("jaccard") >= 0.5)
-                  .select(col("doc_a"), col("doc_b"), col("band"),
-                    round(col("jaccard"), 9).as("jaccard"))
-                outSchema = res.schema
+                val res = probeRes(b, static)
                 res.write.mode("append").parquet(outDir)
               } finally { b.unpersist(); () }
             }

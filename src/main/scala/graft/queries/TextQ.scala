@@ -575,13 +575,17 @@ object TextQ {
     * data — the bench isolation hook: each timed query then pays its
     * own first-touch cost, so per-query numbers are order-independent.
     */
-  def resetMaterializations(s: org.apache.spark.sql.SparkSession): Unit =
+  def resetMaterializations(s: org.apache.spark.sql.SparkSession): Unit = {
     Seq(bandCache, gramCache, pairCache, ndPairCache, clusterCache,
         simhashCache).foreach { c =>
       c.keys.filter(_._1 == s.sparkContext).foreach { k =>
         c.remove(k).foreach(_.unpersist())
       }
     }
+    // transient per-query handles (semDeDup assignment, st7's final
+    // label snapshot) die with the query run, not the session
+    graft.CacheRegistry.drain(s)
+  }
 
   /** Vocab collected by the t16 query run — NOT a perf materialization
     * (deliberately untouched by [[resetMaterializations]]): it is the
@@ -1708,15 +1712,19 @@ object TextQ {
           .join(raw, Seq("doc_id"))
           // guards, mirrored in the oracle: s_r floors at 1 (a zero raw
           // score would NULL the div and Spark's least() SKIPS nulls —
-          // the gate would silently open); s_t clamps at 2^47 (a
+          // the gate would silently open); s_t clamps at 2^47-1 (a
           // pathological ~1.4e14 quantized sum would overflow s_t·2^16
-          // negative in Spark but ERROR in DuckDB — cross-engine split)
+          // negative in Spark but ERROR in DuckDB — cross-engine split;
+          // 2^47-1 keeps the product strictly below Long.MaxValue even
+          // when the clamp engages); wt16 itself is bounded at 2·2^16
+          // inside the gate — weights ≥2 already saturate acceptance,
+          // and an unbounded wt16 would overflow the modulus multiply
           .withColumn("wt16", expr(
-            "least(s_t, 140737488355328L) * 65536L div greatest(s_r, 1L)"))
+            "least(s_t, 140737488355327L) * 65536L div greatest(s_r, 1L)"))
           .withColumn("kept",
             pmod(col("doc_id") * lit(SampleLcgA) + lit(SampleLcgC), lit(SampleModulus))
               < least(lit(SampleModulus),
-                expr(s"wt16 * (${SampleModulus}L div 65536L) div 2L")))
+                expr(s"least(wt16, 131072L) * (${SampleModulus}L div 65536L) div 2L")))
           .select("doc_id", "source", "s_t", "s_r", "wt16", "kept")
       },
       Some {
@@ -1755,9 +1763,9 @@ object TextQ {
           |${lm("t", "source = 'src1'")},
           |${lm("r", "TRUE")}
           |SELECT d.doc_id, d.source, st.st AS s_t, sr.sr AS s_r,
-          |  (least(st.st, 140737488355328) * 65536) // greatest(sr.sr, 1) AS wt16,
+          |  (least(st.st, 140737488355327) * 65536) // greatest(sr.sr, 1) AS wt16,
           |  ((d.doc_id * $SampleLcgA + $SampleLcgC) % $SampleModulus + $SampleModulus) % $SampleModulus
-          |    < least($SampleModulus, (((least(st.st, 140737488355328) * 65536) // greatest(sr.sr, 1)) * ($SampleModulus // 65536)) // 2) AS kept
+          |    < least($SampleModulus, (least((least(st.st, 140737488355327) * 65536) // greatest(sr.sr, 1), 131072) * ($SampleModulus // 65536)) // 2) AS kept
           |FROM documents d
           |JOIN sct st ON st.doc_id = d.doc_id
           |JOIN scr sr ON sr.doc_id = d.doc_id""".stripMargin
