@@ -20,6 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.repStatsDescriptor)
     ext.injectFunction(GraftExtensions.bandSigsDescriptor)
     ext.injectFunction(GraftExtensions.simhash64Descriptor)
+    ext.injectFunction(GraftExtensions.cellArgmaxDescriptor)
+    ext.injectFunction(GraftExtensions.cellScoresDescriptor)
     ext.injectOptimizerRule(_ => graft.optimizer.BandJoinRewrite)
   }
 }
@@ -55,6 +57,16 @@ object GraftExtensions {
     new ExpressionInfo(classOf[graft.expressions.Simhash64].getName, "graft_simhash64"),
     (c: Seq[Expression]) => graft.expressions.Simhash64(c.head))
 
+  private val cellArgmaxDescriptor = (
+    FunctionIdentifier("graft_cell_argmax"),
+    new ExpressionInfo(classOf[graft.expressions.CentroidArgmax].getName, "graft_cell_argmax"),
+    (c: Seq[Expression]) => graft.expressions.CentroidArgmax(c(0), c(1)))
+
+  private val cellScoresDescriptor = (
+    FunctionIdentifier("graft_cell_scores"),
+    new ExpressionInfo(classOf[graft.expressions.CentroidScores].getName, "graft_cell_scores"),
+    (c: Seq[Expression]) => graft.expressions.CentroidScores(c(0), c(1)))
+
   /** Imperative registration for an already-built session: functions
     * plus the band-join optimizer rule (idempotent).
     */
@@ -71,6 +83,10 @@ object GraftExtensions {
       bandSigsDescriptor._1, bandSigsDescriptor._2, bandSigsDescriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
       simhash64Descriptor._1, simhash64Descriptor._2, simhash64Descriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      cellArgmaxDescriptor._1, cellArgmaxDescriptor._2, cellArgmaxDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      cellScoresDescriptor._1, cellScoresDescriptor._2, cellScoresDescriptor._3)
     val opt = spark.sessionState.experimentalMethods
     if (!opt.extraOptimizations.contains(graft.optimizer.BandJoinRewrite))
       opt.extraOptimizations = opt.extraOptimizations :+ graft.optimizer.BandJoinRewrite

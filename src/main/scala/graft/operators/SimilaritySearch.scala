@@ -20,6 +20,73 @@ import graft.functions.{Text, Vectors}
   */
 object SimilaritySearch {
 
+  /** Centroid-scoring path selection. Two bit-identical plan shapes
+    * (CentroidScoresSpec pins the identity; the s04/s05/s08/s09/d19
+    * hashes are unchanged under either forced path):
+    *
+    *   - LITERAL (k ≤ [[LiteralPathMaxK]]): one inlined
+    *     `struct(round(cosineQ(vec, lit(c)), 9), -cid, cid)` per
+    *     centroid + `array_max` — the zero-object-churn ideal while the
+    *     expression tree stays inside codegen method limits.
+    *   - BROADCAST-NATIVE (above the threshold, or forced): the whole
+    *     centroid matrix ships once as a single foldable literal into
+    *     `graft_cell_argmax`/`graft_cell_scores`
+    *     (expressions.CentroidScores) — generated code size CONSTANT
+    *     in k, so paper-scale SemDeDup k (~10⁴ clusters) keeps the
+    *     same tight whole-stage-codegen loop instead of falling off
+    *     the codegen cliff. This is what makes the Σ|cluster|² bound
+    *     of semantic dedup REAL at corpus-scale k.
+    *
+    * `centroidPathOverride`: test/bench hook — `Some("native")` or
+    * `Some("literal")` forces a path, `None` auto-selects on k.
+    * `GRAFT_CENTROID_PATH=native|literal` seeds it for whole-JVM runs
+    * (the Verify-with-path-forced parity gate).
+    */
+  private[graft] val LiteralPathMaxK = 32
+  @volatile private[graft] var centroidPathOverride: Option[String] =
+    sys.env.get("GRAFT_CENTROID_PATH").filter(Set("native", "literal"))
+
+  private def useNativeCentroids(k: Int): Boolean = centroidPathOverride match {
+    case Some("native")  => true
+    case Some("literal") => false
+    case _               => k > LiteralPathMaxK
+  }
+
+  /** The centroid matrix as ONE foldable literal — cid must equal
+    * position (both samplers require dense 0-based ids; re-asserted
+    * here because the native expressions use position AS the cid).
+    */
+  private def centroidMatrixLit(cents: Array[(Int, Array[Float])]): Column = {
+    cents.iterator.zipWithIndex.foreach { case ((cid, _), i) =>
+      require(cid == i, s"centroid id $cid at position $i — the native " +
+        "assignment path requires dense 0-based centroid ids")
+    }
+    typedLit(cents.map(_._2.toSeq).toSeq)
+  }
+
+  /** Nearest centroid as `struct(ccos, cid)` — highest rounded
+    * quantized cosine, ties to lowest cid. The assignment hot path:
+    * auto-selects literal argmax vs the broadcast-native expression.
+    */
+  private[graft] def cellBest(vec: Column, cents: Array[(Int, Array[Float])]): Column =
+    if (useNativeCentroids(cents.length))
+      call_function("graft_cell_argmax", vec, centroidMatrixLit(cents))
+    else array_max(array(cents.map { case (cid, cv) =>
+      struct(round(Vectors.cosineQNative(vec, lit(cv)), 9).as("ccos"),
+        lit(-cid).as("neg"), lit(cid).as("cid"))
+    }: _*))
+
+  /** All centroid scores as `array<struct(ccos, cid)>` in cid order —
+    * the probe side (explode → top-nprobe window).
+    */
+  private[graft] def cellScoresAll(vec: Column, cents: Array[(Int, Array[Float])]): Column =
+    if (useNativeCentroids(cents.length))
+      call_function("graft_cell_scores", vec, centroidMatrixLit(cents))
+    else array(cents.map { case (cid, cv) =>
+      struct(round(Vectors.cosineQNative(vec, lit(cv)), 9).as("ccos"),
+        lit(-cid).as("neg"), lit(cid).as("cid"))
+    }: _*)
+
   /** Symmetric int8 quantization QA for an embedding store: per
     * vector, the max-abs scale (`max|x| / 127`), the quantized-int8
     * reconstruction of every dimension, and the reconstruction error —
@@ -158,18 +225,15 @@ object SimilaritySearch {
     require(cents.length == nlist,
       s"ivfTopK sampled ${cents.length} centroids, expected $nlist — " +
         s"'$idCol < $nlist' assumes dense 0-based ids; train/pass centroids explicitly otherwise")
-    // struct ordering is lexicographic: max ccos first, then max -cid
-    // == min cid — identical to ORDER BY ccos DESC, cid ASC rank 1
-    def cellScores(vec: Column) = array(cents.map { case (cid, cv) =>
-      struct(round(Vectors.cosineQNative(vec, lit(cv)), 9).as("ccos"),
-        lit(-cid).as("neg"), lit(cid).as("cid"))
-    }: _*)
+    // struct ordering (literal path) is lexicographic: max ccos first,
+    // then max -cid == min cid — identical to ORDER BY ccos DESC,
+    // cid ASC rank 1; the native path encodes the same tie-break
     val cells = corpus.select(col(idCol), col(vecCol).as("c_vec"),
-      array_max(cellScores(col(vecCol))).getField("cid").as("cell"))
-    // probes: explode the same scores for the (small) query subset only
+      cellBest(col(vecCol), cents).getField("cid").as("cell"))
+    // probes: explode the full scores for the (small) query subset only
     val probes = corpus.filter(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-        explode(cellScores(col(vecCol))).as("cs"))
+        explode(cellScoresAll(col(vecCol), cents)).as("cs"))
     val wp = Window.partitionBy("query_id")
       .orderBy(col("cs.ccos").desc, col("cs.cid").asc)
     val probeCells = probes.withColumn("rn", row_number().over(wp))
@@ -229,10 +293,7 @@ object SimilaritySearch {
                               cb: Array[Array[Array[Float]]],
                               cNorm: Array[Array[Long]],
                               m: Int, sub: Int, codebookSize: Int) {
-    private[operators] def cellScores(vec: Column) = array(cents.map { case (cid, cv) =>
-      struct(round(Vectors.cosineQNative(vec, lit(cv)), 9).as("ccos"),
-        lit(-cid).as("neg"), lit(cid).as("cid"))
-    }: _*)
+    private[operators] def cellScores(vec: Column) = cellScoresAll(vec, cents)
   }
 
   def ivfPqModel(corpus: DataFrame, nlist: Int, m: Int, codebookSize: Int,
@@ -283,7 +344,7 @@ object SimilaritySearch {
     }
     corpus.select(
       col(idCol) +:
-        array_max(model.cellScores(col(vecCol))).getField("cid").as("cell") +:
+        cellBest(col(vecCol), model.cents).getField("cid").as("cell") +:
         (0 until model.m).map(mi => codeCol(col(vecCol), mi)): _*)
   }
 
@@ -414,12 +475,9 @@ object SimilaritySearch {
     require(cents.length == k,
       s"kmeansAssign sampled ${cents.length} seed centroids, expected $k " +
         s"— '$idCol < $k' assumes dense 0-based ids")
-    // max struct = highest ccos, then highest -cid = lowest cid: the
-    // same ORDER BY ccos DESC, cid ASC rank-1 as ivfTopK's cells
-    def best(vec: Column) = array_max(array(cents.map { case (cid, cv) =>
-      struct(round(Vectors.cosineQNative(vec, lit(cv)), 9).as("ccos"),
-        lit(-cid).as("neg"), lit(cid).as("cid"))
-    }: _*))
+    // highest ccos, then lowest cid: the same ORDER BY ccos DESC,
+    // cid ASC rank-1 as ivfTopK's cells (path-selected on k)
+    def best(vec: Column) = cellBest(vec, cents)
     for (_ <- 1 until iters) {
       val assigned = vecs.select(col(vecCol).as("v"),
         best(col(vecCol)).getField("cid").as("cl"))
