@@ -113,13 +113,18 @@ object Run {
         val simhash = graft.queries.TextQ.simhashArtifact(spark, dir)
         s"dedup-maintain: band=$band gram=$gram clusters=$clusters simhash=$simhash"
       case "ann-maintain" =>
-        // the ANN-index maintenance job: (re)build the cell-partitioned
-        // IVF+PQ code table for an embeddings dir — same idempotent
-        // generation-keyed posture as dedup-maintain; the serving
-        // probe (s09 shape) partition-prunes this store per query.
+        // the EMBEDDING-side maintenance job: (re)build the
+        // cell-partitioned IVF+PQ code table AND the semantic-dedup
+        // state (frozen centroid model + corpus group labels) for an
+        // embeddings dir — same idempotent generation-keyed posture as
+        // dedup-maintain; the serving probes (s09/st8) partition-prune
+        // the index, the semantic ingest (d21) star-merges into the
+        // state.
         val dir = dataDirArg(mode, kvArgs, overrides, cfgFile,
           "embeddings.parquet")
-        s"ann-maintain: index=${graft.queries.TextQ.annArtifact(spark, dir)}"
+        val index = graft.queries.TextQ.annArtifact(spark, dir)
+        val sem = graft.queries.TextQ.semArtifact(spark, dir)
+        s"ann-maintain: index=$index sem=$sem"
       case other =>
         throw new IllegalArgumentException(
           s"unknown mode: $other (track|eval|features|visualize|dedup-maintain|ann-maintain)")

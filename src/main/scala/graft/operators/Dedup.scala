@@ -538,6 +538,17 @@ object Dedup {
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
     val groups = connectedComponents(edges, distinctEdges = false)
       .select(col("doc_id").as(idCol), col("cluster_id").as("dup_group"))
+    semanticTail(assign, groups, idCol)
+  }
+
+  /** Shared output shape of the semantic-dedup family: attach group
+    * labels to the assignment (singletons keep themselves), then group
+    * size and the paper's keep rule — LOWEST centroid cosine wins,
+    * ties to the lowest id.
+    */
+  private def semanticTail(assign: DataFrame, groups: DataFrame,
+                           idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("dup_group")
       .orderBy(col("cos_centroid").asc, col(idCol).asc)
     assign.join(groups, Seq(idCol), "left")
@@ -547,6 +558,66 @@ object Dedup {
       .withColumn("keep", row_number().over(w) === 1)
       .select(col(idCol), col("cluster"), col("cos_centroid"),
         col("dup_group"), col("group_size"), col("keep"))
+  }
+
+  /** INCREMENTAL SemDeDup — the ingest shape of [[semDeDup]], closing
+    * the maintenance loop the band/cluster tiers already have
+    * (d09/d17/d18): an arriving batch is assigned under the FROZEN
+    * persisted centroid model, pairs only against same-cluster corpus
+    * members (plus same-cluster batch peers), and its verified edges
+    * are star-merged into the persisted duplicate-group labels via
+    * [[ccIncremental]] — never re-clustering the corpus.
+    *
+    * Correctness: cluster assignment gates pair candidacy, and both
+    * paths assign with the SAME frozen centroids, so the full edge set
+    * decomposes exactly into corpus–corpus (already folded into
+    * `corpusState`'s labels) + batch-touching (generated here). The
+    * star-merge fixpoint therefore equals batch [[semDeDup]] over
+    * corpus ∪ batch — bit-identical, which is what the d21 catalog row
+    * pins against d19's oracle. Cost scales with the batch's cluster
+    * spread: |batch| × |touched clusters' members| pairs, one
+    * star-forest CC, no corpus-wide work.
+    *
+    * @param batch        arriving rows `(idCol, vecCol)`
+    * @param corpusState  persisted `(idCol, cluster, cos_centroid,
+    *                     dup_group)` — the semantic artifact
+    * @param vectors      vector lookup covering corpus ∪ batch ids
+    *                     (the base embedding table)
+    * @param cents        the frozen centroid model
+    */
+  def semDeDupIncremental(batch: DataFrame, corpusState: DataFrame,
+                          vectors: DataFrame,
+                          cents: Array[(Int, Array[Float])],
+                          threshold: Double,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val batchAssign =
+      SimilaritySearch.assignWithCentroids(batch, cents, idCol, vecCol)
+    // candidate ids first (distinct canonical pairs), vectors joined
+    // back only for surviving candidates — the d17 probe-then-verify
+    // shape
+    val candIds = batchAssign.select(col("cluster"), col(idCol).as("id_x"))
+      .join(corpusState.select(col("cluster"), col(idCol).as("id_y"))
+          .unionByName(batchAssign.select(col("cluster"), col(idCol).as("id_y"))),
+        Seq("cluster"))
+      .filter(col("id_x") =!= col("id_y"))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+      .distinct()
+    val vlook = vectors.select(col(idCol), col(vecCol))
+    val edges = candIds
+      .join(vlook.select(col(idCol).as("id_a"), col(vecCol).as("v_a")), Seq("id_a"))
+      .join(vlook.select(col(idCol).as("id_b"), col(vecCol).as("v_b")), Seq("id_b"))
+      .withColumn("cosine", round(Vectors.cosineQNative(col("v_a"), col("v_b")), 9))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val prev = corpusState
+      .select(col(idCol).as("doc_id"), col("dup_group").as("cluster_id"))
+    val merged = ccIncremental(prev, edges)
+      .select(col("doc_id").as(idCol), col("cluster_id").as("dup_group"))
+    val assignAll = corpusState.select(col(idCol), col("cluster"), col("cos_centroid"))
+      .unionByName(batchAssign)
+    semanticTail(assignAll, merged, idCol)
   }
 
   /** Connected components over a duplicate-pair table — the clustering

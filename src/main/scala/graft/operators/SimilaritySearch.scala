@@ -462,7 +462,19 @@ object SimilaritySearch {
     * make round count data-dependent; pipelines run a fixed budget.
     */
   def kmeansAssign(vecs: DataFrame, k: Int, iters: Int,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    assignWithCentroids(vecs, kmeansCentroids(vecs, k, iters, idCol, vecCol),
+      idCol, vecCol)
+
+  /** The trained centroid MODEL from [[kmeansAssign]]'s Lloyd loop — a
+    * bounded driver artifact (k × dims floats) exposed so the
+    * incremental/serving shapes (persist once, assign arriving batches
+    * with FROZEN centroids — the SemDeDup maintenance story) share the
+    * exact arithmetic of the batch form.
+    */
+  def kmeansCentroids(vecs: DataFrame, k: Int, iters: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Array[(Int, Array[Float])] = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     var cents: Array[(Int, Array[Float])] = vecs.filter(col(idCol) < k)
       .select(col(idCol).cast("int").as("cid"),
@@ -475,12 +487,9 @@ object SimilaritySearch {
     require(cents.length == k,
       s"kmeansAssign sampled ${cents.length} seed centroids, expected $k " +
         s"— '$idCol < $k' assumes dense 0-based ids")
-    // highest ccos, then lowest cid: the same ORDER BY ccos DESC,
-    // cid ASC rank-1 as ivfTopK's cells (path-selected on k)
-    def best(vec: Column) = cellBest(vec, cents)
     for (_ <- 1 until iters) {
       val assigned = vecs.select(col(vecCol).as("v"),
-        best(col(vecCol)).getField("cid").as("cl"))
+        cellBest(col(vecCol), cents).getField("cid").as("cl"))
       val sums = assigned
         .select(col("cl"), posexplode(col("v")))
         .groupBy(col("cl"), col("pos"))
@@ -496,11 +505,21 @@ object SimilaritySearch {
       }
       cents = cents.map { case (cid, old) => (cid, byCl.getOrElse(cid, old)) }
     }
+    cents
+  }
+
+  /** Assignment under FROZEN centroids: `(idCol, cluster,
+    * cos_centroid)` — highest rounded quantized cosine, ties to lowest
+    * cid (the ORDER BY ccos DESC, cid ASC rank-1 everywhere else). A
+    * pure per-row projection (path-selected on k): no join, no shuffle.
+    */
+  def assignWithCentroids(vecs: DataFrame, cents: Array[(Int, Array[Float])],
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame =
     vecs.select(col(idCol), col(vecCol).as("__v"))
-      .withColumn("__b", best(col("__v")))
+      .withColumn("__b", cellBest(col("__v"), cents))
       .select(col(idCol), col("__b.cid").as("cluster"),
         col("__b.ccos").as("cos_centroid"))
-  }
 
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, numPlanes: Int,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

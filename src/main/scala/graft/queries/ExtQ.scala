@@ -166,6 +166,51 @@ object ExtQ {
       .withColumn("keep", col("doc_id") === col("cluster_id"))
   }
 
+  /** The st8 micro-batch ANN probe loop, shared with the multi-batch
+    * parity spec: each arriving batch of query vectors probes the
+    * PERSISTED cell-partitioned PQ index (TextQ.annArtifact), pushing
+    * its probed cells as partition filters on the index FileScan —
+    * per-trigger cost scales with the batch's cell spread, never the
+    * index. The per-query result depends only on that query's row (the
+    * index and model are frozen), so ANY micro-batch split must answer
+    * row-identically to the batch form — s08/s09/st8 share one oracle.
+    */
+  private[graft] def streamAnnProbe(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      queryStream: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.operators.SimilaritySearch
+    val emb = Tables.embeddings(s, d)
+    val index = TextQ.annArtifact(s, d)  // build/refresh at batch parallelism
+    val model = SimilaritySearch.ivfPqModel(
+      emb, TextQ.AnnNlist, TextQ.AnnM, TextQ.AnnCb)
+    val outDir = boundedSink("graft_st8_out", d)
+    withStreamShuffle(s) {
+      // schema derived STATICALLY from the same plan (analysis only,
+      // nothing executes) so a zero-trigger stream — e.g. a glob
+      // matching no file — returns an empty typed result from
+      // readSink instead of NPE-ing on a never-assigned capture
+      val outSchema = SimilaritySearch.ivfPqSearch(
+        emb.limit(0), emb, s.read.parquet(index),
+        model, k = 5, nprobe = 2, refine = 20).schema
+      val q = queryStream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val b = batch.persist()
+          try {
+            val cells = SimilaritySearch.ivfPqProbedCells(b, model, nprobe = 2)
+            val coded = s.read.parquet(index)
+              .where(col("cell").isin(cells: _*))
+            val res = SimilaritySearch.ivfPqSearch(b, emb, coded, model,
+              k = 5, nprobe = 2, refine = 20)
+            res.write.mode("append").parquet(outDir)
+          } finally { b.unpersist(); () }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      readSink(s, outDir, outSchema)
+    }
+  }
+
   val defs: Seq[Q] = Seq(
 
     // F1/F2/F4 — the cascade predicates on the derived corner-format
@@ -595,40 +640,11 @@ object ExtQ {
     // answer row-identically.
     Q("st8_stream_ann_probe",
       (s, d) => {
-        import graft.operators.SimilaritySearch
         val emb = Tables.embeddings(s, d)
-        val index = TextQ.annArtifact(s, d)  // build/refresh at batch parallelism
-        val model = SimilaritySearch.ivfPqModel(
-          emb, TextQ.AnnNlist, TextQ.AnnM, TextQ.AnnCb)
-        val outDir = boundedSink("graft_st8_out", d)
-        withStreamShuffle(s) {
-          val stream = s.readStream.schema(emb.schema)
+        streamAnnProbe(s, d,
+          s.readStream.schema(emb.schema)
             .option("pathGlobFilter", "embeddings.parquet").parquet(d)
-            .filter(col("vec_id") < 10)
-          // schema derived STATICALLY from the same plan (analysis only,
-          // nothing executes) so a zero-trigger stream — e.g. a glob
-          // matching no file — returns an empty typed result from
-          // readSink instead of NPE-ing on a never-assigned capture
-          val outSchema = SimilaritySearch.ivfPqSearch(
-            emb.filter(col("vec_id") < 10), emb, s.read.parquet(index),
-            model, k = 5, nprobe = 2, refine = 20).schema
-          val q = stream.writeStream
-            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-              val b = batch.persist()
-              try {
-                val cells = SimilaritySearch.ivfPqProbedCells(b, model, nprobe = 2)
-                val coded = s.read.parquet(index)
-                  .where(col("cell").isin(cells: _*))
-                val res = SimilaritySearch.ivfPqSearch(b, emb, coded, model,
-                  k = 5, nprobe = 2, refine = 20)
-                res.write.mode("append").parquet(outDir)
-              } finally { b.unpersist(); () }
-            }
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-          readSink(s, outDir, outSchema)
-        }
+            .filter(col("vec_id") < 10))
       },
       Some(TextQ.IvfPqOracleSql)),
 

@@ -751,6 +751,122 @@ object TextQ {
         |  WHERE rn = 1
         |)""".stripMargin
 
+  /** Semantic-dedup tier parameters — single-sourced across d19
+    * (batch), d21 (incremental), the persisted semantic artifact, AND
+    * the oracle text below: a retune that reached one consumer and not
+    * the others would silently compare different clusterings.
+    */
+  private[graft] val SemK = 8
+  private[graft] val SemIters = 2
+  private[graft] val SemTau = 0.40
+
+  /** Ingest split for the semantic tier: vec_id ≡ 7 (mod 10) plays the
+    * arriving batch (≈10% of vectors, size-invariant across SFs),
+    * everything else the existing corpus whose state the artifact
+    * persists.
+    */
+  private[graft] def SemBatchPred: org.apache.spark.sql.Column =
+    pmod(col("vec_id"), lit(10)) === lit(7)
+
+  /** Shared SemDeDup oracle — d19's FULL-table replay (Lloyd ×2,
+    * within-cluster pair scoring, recursive-CTE grouping, keep rule),
+    * consumed VERBATIM by d21's incremental form too: the star-merge
+    * fixpoint over (persisted corpus labels ∪ batch edges) must be
+    * bit-identical to batch SemDeDup over all vectors — that identity
+    * IS the correctness claim of incremental semantic maintenance.
+    */
+  private[graft] lazy val SemDeDupOracleSql: String =
+    s"""WITH RECURSIVE $KmeansCtes,
+        |sd_pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM assign a JOIN assign b
+        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |), sd_dots AS (
+        |  SELECT p.id_a, p.id_b,
+        |    CAST(sum(CAST(ROUND(CAST(x.embedding[i + 1] AS DOUBLE) * CAST(y.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq,
+        |    CAST(sum(CAST(ROUND(CAST(x.embedding[i + 1] AS DOUBLE) * CAST(x.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nx,
+        |    CAST(sum(CAST(ROUND(CAST(y.embedding[i + 1] AS DOUBLE) * CAST(y.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS ny
+        |  FROM sd_pairs p
+        |  JOIN embeddings x ON x.vec_id = p.id_a
+        |  JOIN embeddings y ON y.vec_id = p.id_b, range(64) r(i)
+        |  GROUP BY p.id_a, p.id_b
+        |), sd_edges AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM sd_dots
+        |  WHERE ROUND(CASE WHEN nx = 0 OR ny = 0 THEN 0.0
+        |    ELSE CAST(dq AS DOUBLE) / (sqrt(CAST(nx AS DOUBLE)) * sqrt(CAST(ny AS DOUBLE))) END, 9)
+        |    >= CAST(0.40 AS DOUBLE)
+        |), sd_ed2 AS MATERIALIZED (
+        |  SELECT id_a AS src, id_b AS dst FROM sd_edges
+        |  UNION ALL
+        |  SELECT id_b AS src, id_a AS dst FROM sd_edges
+        |), sd_reach(node, r) AS (
+        |  SELECT DISTINCT src, src FROM sd_ed2
+        |  UNION
+        |  SELECT e.src, rc.r FROM sd_ed2 e JOIN sd_reach rc ON rc.node = e.dst
+        |), sd_cc AS (
+        |  SELECT node AS vec_id, min(r) AS dup_group FROM sd_reach GROUP BY node
+        |), sd_lab AS (
+        |  SELECT a.vec_id, a.cluster, a.cos_centroid,
+        |    coalesce(c.dup_group, a.vec_id) AS dup_group
+        |  FROM assign a LEFT JOIN sd_cc c ON c.vec_id = a.vec_id
+        |)
+        |SELECT vec_id, cluster, cos_centroid, dup_group,
+        |  CAST(count(*) OVER (PARTITION BY dup_group) AS BIGINT) AS group_size,
+        |  row_number() OVER (PARTITION BY dup_group ORDER BY cos_centroid ASC, vec_id ASC) = 1 AS keep
+        |FROM sd_lab""".stripMargin
+
+  /** The persisted SEMANTIC-DEDUP artifact — the fourth leg of the
+    * signature-store posture (bands / grams+clusters / ANN index /
+    * THIS): written once per embedding generation,
+    *   - `cents/` — the frozen k-means centroid model (k rows), the
+    *     SemDeDup analogue of the PQ codebook: ingest batches assign
+    *     under it without re-training;
+    *   - `state/` — per-CORPUS-vector `(vec_id, cluster, cos_centroid,
+    *     dup_group)`: assignment under the frozen model + duplicate
+    *     groups from corpus–corpus within-cluster edges at
+    *     [[SemTau]].
+    * d21 probes both: batch assignment is a projection under `cents`,
+    * candidate pairs touch only the batch's clusters, verified edges
+    * star-merge into `state`'s labels (Dedup.ccIncremental). Same
+    * `_SUCCESS`-at-generation-root gating as the dual-layout band
+    * store: a torn write is rebuilt, never read.
+    */
+  private[graft] def semArtifact(s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.sources.ArtifactStore.resolve(s, "graft_sem_artifact",
+      Seq(new java.io.File(d, "embeddings.parquet")),
+      sub = s"k${SemK}i${SemIters}t$SemTau") { dir =>
+      val emb = Tables.embeddings(s, d)
+      val cents = graft.operators.SimilaritySearch.kmeansCentroids(
+        emb, SemK, SemIters)
+      import s.implicits._
+      cents.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
+        .toDF("cid", "cvec")
+        .withColumn("cvec", col("cvec").cast("array<float>"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/cents")
+      val corpus = emb.filter(!SemBatchPred)
+      val assignC = graft.operators.SimilaritySearch
+        .assignWithCentroids(corpus, cents)
+      val withVec = assignC
+        .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      val edges = withVec
+        .select(col("cluster"), col("vec_id").as("id_a"), col("embedding").as("v_a"))
+        .join(withVec.select(col("cluster"), col("vec_id").as("id_b"),
+          col("embedding").as("v_b")), Seq("cluster"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cosine",
+          round(graft.functions.Vectors.cosineQNative(col("v_a"), col("v_b")), 9))
+        .filter(col("cosine") >= SemTau)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      val groups = graft.operators.Dedup
+        .connectedComponents(edges, distinctEdges = false)
+        .select(col("doc_id").as("vec_id"), col("cluster_id").as("dup_group"))
+      assignC.join(groups, Seq("vec_id"), "left")
+        .withColumn("dup_group", coalesce(col("dup_group"), col("vec_id")))
+        .write.mode("overwrite").parquet(s"$dir/state")
+      val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).create(p, true).close()
+    }
+
   /** Shared IVF+PQ oracle — ONE replay of coarse-assign / encode /
     * LUT / ADC / rerank for both its consumers: s08 (inline encode)
     * and s09 (the cell-partitioned stored index) — the two must be
@@ -1645,45 +1761,39 @@ object TextQ {
     // within-cluster pair scoring, and the recursive-CTE grouping.
     Q("d19_semdedup",
       (s, d) => Dedup.semDeDup(Tables.embeddings(s, d),
-        k = 8, iters = 2, threshold = 0.40),
-      Some(s"""WITH RECURSIVE $KmeansCtes,
-        |sd_pairs AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        |  FROM assign a JOIN assign b
-        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-        |), sd_dots AS (
-        |  SELECT p.id_a, p.id_b,
-        |    CAST(sum(CAST(ROUND(CAST(x.embedding[i + 1] AS DOUBLE) * CAST(y.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq,
-        |    CAST(sum(CAST(ROUND(CAST(x.embedding[i + 1] AS DOUBLE) * CAST(x.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nx,
-        |    CAST(sum(CAST(ROUND(CAST(y.embedding[i + 1] AS DOUBLE) * CAST(y.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS ny
-        |  FROM sd_pairs p
-        |  JOIN embeddings x ON x.vec_id = p.id_a
-        |  JOIN embeddings y ON y.vec_id = p.id_b, range(64) r(i)
-        |  GROUP BY p.id_a, p.id_b
-        |), sd_edges AS MATERIALIZED (
-        |  SELECT id_a, id_b FROM sd_dots
-        |  WHERE ROUND(CASE WHEN nx = 0 OR ny = 0 THEN 0.0
-        |    ELSE CAST(dq AS DOUBLE) / (sqrt(CAST(nx AS DOUBLE)) * sqrt(CAST(ny AS DOUBLE))) END, 9)
-        |    >= CAST(0.40 AS DOUBLE)
-        |), sd_ed2 AS MATERIALIZED (
-        |  SELECT id_a AS src, id_b AS dst FROM sd_edges
-        |  UNION ALL
-        |  SELECT id_b AS src, id_a AS dst FROM sd_edges
-        |), sd_reach(node, r) AS (
-        |  SELECT DISTINCT src, src FROM sd_ed2
-        |  UNION
-        |  SELECT e.src, rc.r FROM sd_ed2 e JOIN sd_reach rc ON rc.node = e.dst
-        |), sd_cc AS (
-        |  SELECT node AS vec_id, min(r) AS dup_group FROM sd_reach GROUP BY node
-        |), sd_lab AS (
-        |  SELECT a.vec_id, a.cluster, a.cos_centroid,
-        |    coalesce(c.dup_group, a.vec_id) AS dup_group
-        |  FROM assign a LEFT JOIN sd_cc c ON c.vec_id = a.vec_id
-        |)
-        |SELECT vec_id, cluster, cos_centroid, dup_group,
-        |  CAST(count(*) OVER (PARTITION BY dup_group) AS BIGINT) AS group_size,
-        |  row_number() OVER (PARTITION BY dup_group ORDER BY cos_centroid ASC, vec_id ASC) = 1 AS keep
-        |FROM sd_lab""".stripMargin)),
+        k = SemK, iters = SemIters, threshold = SemTau),
+      Some(SemDeDupOracleSql)),
+
+    // INCREMENTAL SemDeDup — the ingest shape of d19, completing the
+    // maintenance loop for the semantic tier (the band tier has
+    // d09/d15, simhash d18, clusters d17): vectors with vec_id ≡ 7
+    // (mod 10) play the arriving batch; the corpus's FROZEN centroid
+    // model and per-vector (cluster, cos_centroid, dup_group) state
+    // are read back from the persisted semantic artifact
+    // (semArtifact — built once per embedding generation); the batch
+    // assigns under the frozen centroids, pairs only within its
+    // touched clusters, and star-merges its verified edges into the
+    // persisted group labels (Dedup.ccIncremental) — no corpus
+    // re-cluster, cost scales with the batch. The oracle is d19's
+    // FULL-table replay verbatim: because cluster assignment gates
+    // candidacy and both paths share the frozen model, the
+    // incremental fixpoint must be bit-identical to batch semDeDup
+    // over all vectors — the correctness claim that makes semantic
+    // maintenance trustworthy.
+    Q("d21_semdedup_incremental",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val art = semArtifact(s, d)
+        val cents = s.read.parquet(s"$art/cents")
+          .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+          .sortBy(_._1)
+        Dedup.semDeDupIncremental(
+          batch = emb.filter(SemBatchPred),
+          corpusState = s.read.parquet(s"$art/state"),
+          vectors = emb, cents = cents, threshold = SemTau)
+      },
+      Some(SemDeDupOracleSql)),
+  ) ++ Seq(
 
     // DSIR-style importance resampling (Xie et al. 2023's recipe over
     // this engine's integer primitives): every doc is scored under a

@@ -115,23 +115,77 @@ class PipelinesSpec extends AnyFunSuite {
     }
   }
 
-  test("Run CLI: ann-maintain builds the cell-partitioned index idempotently") {
+  test("Run CLI: ann-maintain builds the cell-partitioned index + semantic state idempotently") {
     val data = "/root/testdata/sf0.001"
     val msg = Run.run(spark, "ann-maintain", Seq(s"data=$data"))
     assert(msg.startsWith("ann-maintain: index="), msg)
-    val path = msg.split("=", 2)(1)
-    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")),
-      s"index $path must be _SUCCESS-gated")
+    val paths = msg.split(' ').tail.map(_.split("=", 2)(1)).toSeq
+    assert(paths.length == 2, msg)
+    paths.foreach { p =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS")),
+        s"artifact $p must be _SUCCESS-gated")
+    }
     // cell partition directories exist (the pruned-probe layout)
-    val dirs = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+    val dirs = Option(new java.io.File(paths.head).listFiles()).getOrElse(Array.empty)
     assert(dirs.exists(_.getName.startsWith("cell=")),
       s"index must be partitioned by cell: ${dirs.map(_.getName).mkString(",")}")
+    // the semantic artifact carries the frozen model + corpus state
+    val semDirs = Option(new java.io.File(paths(1)).listFiles()).getOrElse(Array.empty)
+    assert(Seq("cents", "state").forall(n => semDirs.exists(_.getName == n)),
+      s"semantic artifact needs cents/ + state/: ${semDirs.map(_.getName).mkString(",")}")
     // idempotent second run, loud failures on bad args
     assert(Run.run(spark, "ann-maintain", Seq(s"data=$data")) == msg)
     intercept[IllegalArgumentException] { Run.run(spark, "ann-maintain", Seq()) }
     intercept[IllegalArgumentException] {
       Run.run(spark, "ann-maintain", Seq(s"data=$data", "nlist=4"))
     }
+  }
+
+  test("embedding-side generation rollover: index + semantic state GC'd, stale reads loud, s09/st8/d21 identical after rebuild") {
+    // the documents-side rollover test below drives the band/gram/
+    // cluster cycle; the ANN index and semantic state have the same
+    // regenerate-mid-session failure mode (the r10 NTZ lesson) and get
+    // the same coverage: old-generation GC, loud stale reads, and
+    // bit-identical serving results after the rebuild.
+    val dir = tmp("rollover_emb")
+    val src = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    src.count()
+    val tgt = new java.io.File(dir, "embeddings.parquet")
+    def regenerate(bumpMs: Long): Unit = {
+      src.coalesce(1).write.mode("overwrite").parquet(tgt.getAbsolutePath)
+      tgt.setLastModified(tgt.lastModified() + bumpMs)
+    }
+    regenerate(0)
+    def artifacts(msg: String): Seq[String] =
+      msg.split(' ').tail.map(_.split("=", 2)(1)).toSeq
+    val gen1 = artifacts(Run.run(spark, "ann-maintain", Seq(s"data=$dir")))
+    def result(q: String): Seq[String] =
+      SparkEntry.queries(q)(spark, dir).collect().map(_.toString).sorted.toSeq
+    val before = Seq("s09_ivf_pq_store", "st8_stream_ann_probe",
+      "d21_semdedup_incremental").map(q => q -> result(q))
+    // hold gen-1 relations across the regeneration
+    val staleIndex = spark.read.parquet(gen1.head)
+    regenerate(5000)
+    val gen2 = artifacts(Run.run(spark, "ann-maintain", Seq(s"data=$dir")))
+    assert(gen2.toSet.intersect(gen1.toSet).isEmpty,
+      s"every artifact must roll to a new generation dir:\n$gen1\n$gen2")
+    gen1.foreach(p => assert(!new java.io.File(p).exists(),
+      s"stale generation $p must be GC'd by the rebuild"))
+    gen2.foreach(p => assert(
+      java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS")),
+      s"fresh generation $p must be _SUCCESS-gated"))
+    val err = intercept[Throwable] { staleIndex.count() }
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .flatMap(e => Option(e.getMessage)).toSeq
+    assert(messages(err).exists(m =>
+        m.contains("graft_ann_artifact") || m.toLowerCase.contains("file")),
+      s"stale read should surface the missing artifact files: ${messages(err)}")
+    // serving results over the rebuilt stores answer identically
+    before.foreach { case (q, want) =>
+      assert(result(q) == want, s"$q diverged across the rollover")
+    }
+    src.unpersist()
   }
 
   test("generation rollover: regenerated source GCs old artifacts, stale reads fail loudly, rebuild answers identically") {

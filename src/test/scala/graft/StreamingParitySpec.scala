@@ -97,6 +97,28 @@ class StreamingParitySpec extends AnyFunSuite {
     src0.unpersist()
   }
 
+  test("st8 multi-batch ANN probe: split query stream answers identically to the batch/stored forms") {
+    import org.apache.spark.sql.functions.col
+    val d = "/root/testdata/sf0.001"
+    // the batch fixpoint: the stored-index form (s09), which shares its
+    // oracle with s08 and st8 — all three must answer row-identically
+    val batch = SparkEntry.queries("s09_ivf_pq_store")(spark, d)
+      .collect().map(_.toString).sorted.toSeq
+    val queries = Tables.embeddings(spark, d).filter(col("vec_id") < 10).cache()
+    val dir = Files.createTempDirectory("st8_batches").toString
+    // split the query set into TWO micro-batches — per-query results
+    // depend only on the frozen index, so the split must be invisible
+    queries.filter(col("vec_id") < 5).coalesce(1).write.parquet(s"$dir/b=0")
+    queries.filter(col("vec_id") >= 5).coalesce(1).write.parquet(s"$dir/b=1")
+    val multi = graft.queries.ExtQ.streamAnnProbe(spark, d,
+        spark.readStream.schema(queries.schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir))
+      .collect().map(_.toString).sorted.toSeq
+    assert(multi.nonEmpty)
+    assert(multi == batch, "multi-batch ANN probe diverged from the stored-index form")
+    queries.unpersist()
+  }
+
   test("session window spanning micro-batches merges state across batches") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
