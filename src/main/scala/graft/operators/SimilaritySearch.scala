@@ -21,36 +21,37 @@ import graft.functions.{Text, Vectors}
 object SimilaritySearch {
 
   /** Centroid-scoring path selection. Two bit-identical plan shapes
-    * (CentroidScoresSpec pins the identity; the s04/s05/s08/s09/d19
-    * hashes are unchanged under either forced path):
+    * (CentroidScoresSpec pins the identity; the centroid-consumer
+    * query hashes are unchanged under either forced path):
     *
-    *   - LITERAL (k ≤ [[LiteralPathMaxK]]): one inlined
-    *     `struct(round(cosineQ(vec, lit(c)), 9), -cid, cid)` per
-    *     centroid + `array_max` — the zero-object-churn ideal while the
-    *     expression tree stays inside codegen method limits.
-    *   - BROADCAST-NATIVE (above the threshold, or forced): the whole
-    *     centroid matrix ships once as a single foldable literal into
+    *   - BROADCAST-NATIVE (the default): the whole centroid matrix
+    *     ships once as a single foldable literal into
     *     `graft_cell_argmax`/`graft_cell_scores`
     *     (expressions.CentroidScores) — generated code size CONSTANT
     *     in k, so paper-scale SemDeDup k (~10⁴ clusters) keeps the
-    *     same tight whole-stage-codegen loop instead of falling off
-    *     the codegen cliff. This is what makes the Σ|cluster|² bound
-    *     of semantic dedup REAL at corpus-scale k.
+    *     same tight whole-stage-codegen loop. The round-15 k-sweep
+    *     (tools.ProfileCentroid, 128k rows × 64 dims) measured it
+    *     FLAT at ~0.7–1.1 µs/row·k from k=8 to 1024, and faster than
+    *     the literal path at EVERY k — including k=8 (0.86 vs
+    *     1.46 µs/row·k).
+    *   - LITERAL (forced only): one inlined `struct(round(cosineQ(vec,
+    *     lit(c)), 9), -cid, cid)` per centroid + `array_max`. Beyond
+    *     ~16 centroids the k-struct expression tree falls off the
+    *     codegen cliff (measured 15.8 µs/row·k at k=32–64 — 23×) and
+    *     it never beats the native loop below that; kept as the
+    *     independent cross-check the identity spec and the
+    *     forced-path parity gate compare against.
     *
     * `centroidPathOverride`: test/bench hook — `Some("native")` or
-    * `Some("literal")` forces a path, `None` auto-selects on k.
+    * `Some("literal")` forces a path, `None` = native.
     * `GRAFT_CENTROID_PATH=native|literal` seeds it for whole-JVM runs
     * (the Verify-with-path-forced parity gate).
     */
-  private[graft] val LiteralPathMaxK = 32
   @volatile private[graft] var centroidPathOverride: Option[String] =
     sys.env.get("GRAFT_CENTROID_PATH").filter(Set("native", "literal"))
 
-  private def useNativeCentroids(k: Int): Boolean = centroidPathOverride match {
-    case Some("native")  => true
-    case Some("literal") => false
-    case _               => k > LiteralPathMaxK
-  }
+  private def useNativeCentroids(k: Int): Boolean =
+    !centroidPathOverride.contains("literal")
 
   /** The centroid matrix as ONE foldable literal — cid must equal
     * position (both samplers require dense 0-based ids; re-asserted
@@ -372,7 +373,7 @@ object SimilaritySearch {
     val queries = queries0
       .select(col(idCol).as("query_id") +: col(vecCol).as("q_vec") +: lutCols: _*)
       .withColumn("luts", struct((0 until m).map(mi => col(s"lut$mi")): _*))
-    val probeCells = withProbedCells(queries, model, nprobe)
+    val probeCells = withProbedCells(queries, model.cents, nprobe)
       .select(col("query_id"), col("q_vec"), col("luts"), col("cell"))
     // ADC: m integer lookups per candidate, never a float op
     val adc = (0 until m).map(mi =>
@@ -408,7 +409,7 @@ object SimilaritySearch {
                        vecCol: String = "embedding"): Seq[Int] =
     withProbedCells(
         queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
-        model, nprobe)
+        model.cents, nprobe)
       .select("cell").distinct().collect().map(_.getInt(0)).toSeq.sorted
 
   /** THE probe-cell ranking — the single source both [[ivfPqSearch]]
@@ -419,8 +420,9 @@ object SimilaritySearch {
     * semantics would silently drop candidates in the stored/streaming
     * forms only).
     */
-  private def withProbedCells(q: DataFrame, model: IvfPqModel, nprobe: Int): DataFrame = {
-    val probes = q.withColumn("cs", explode(model.cellScores(col("q_vec"))))
+  private def withProbedCells(q: DataFrame, cents: Array[(Int, Array[Float])],
+                              nprobe: Int): DataFrame = {
+    val probes = q.withColumn("cs", explode(cellScoresAll(col("q_vec"), cents)))
     val wp = Window.partitionBy("query_id")
       .orderBy(col("cs.ccos").desc, col("cs.cid").asc)
     probes.withColumn("rn", row_number().over(wp))
@@ -435,6 +437,138 @@ object SimilaritySearch {
     ivfPqSearch(corpus.filter(queryPred), corpus,
       ivfPqEncode(corpus, model, idCol, vecCol), model,
       k, nprobe, refine, idCol, vecCol)
+  }
+
+  /** RESIDUAL IVF+PQ — the FAISS-faithful variant the s08 design note
+    * documents: corpus vectors are PQ-coded on their RESIDUAL to the
+    * assigned coarse centroid (`r = x − c_cell`, exact IEEE double
+    * subtraction), against a SHARED residual codebook (the residuals of
+    * the first `codebookSize` corpus vectors to their own cells — the
+    * deterministic-sampling posture of every model artifact here).
+    * Residuals are centered near zero, so the same code budget spends
+    * its resolution on the within-cell detail the raw-subvector form
+    * wastes on cell-level offsets — ADC gets tighter at equal bytes.
+    *
+    * Query side uses the INNER-PRODUCT decomposition (FAISS
+    * IndexIVFPQ, METRIC_INNER_PRODUCT): the query is NOT residualized;
+    *   adc(q, x) ≈ dotq(q, c_cell) + Σ_mi LUT_mi[code_mi]
+    * where the LUT holds dots of the RAW query subvectors with the
+    * residual codebook entries, and the per-(query, probed-cell)
+    * constant `dotq(q, c_cell)` rides the probe join — the "nprobe×
+    * LUT work" cost the design note prices in. Refine/rerank tail is
+    * identical to [[ivfPqSearch]]; same quantized-integer discipline
+    * throughout, so the DuckDB oracle replays bit-identically.
+    */
+  final case class IvfRPqModel(cents: Array[(Int, Array[Float])],
+                               rcb: Array[Array[Array[Double]]],
+                               rNorm: Array[Array[Long]],
+                               m: Int, sub: Int, codebookSize: Int)
+
+  def ivfRPqModel(corpus: DataFrame, nlist: Int, m: Int, codebookSize: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): IvfRPqModel = {
+    val base = ivfPqModel(corpus, nlist, m, codebookSize, idCol, vecCol)
+    import base.sub
+    // reassemble the sampled seed vectors from the raw codebook slices
+    val seeds = Array.tabulate(codebookSize)(ki =>
+      Array.concat((0 until m).map(mi => base.cb(mi)(ki)): _*))
+    // driver-side coarse assignment of each seed — the EXACT quantized
+    // cosine + round9 + lowest-cid-tie arithmetic of cellBest, so the
+    // codebook's cells can never drift from the corpus encode's
+    def dotq(a: Array[Float], b: Array[Float]): Long = {
+      var acc = 0L
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val p = a(i).toDouble * b(i).toDouble * 1e12
+        acc += (if (p < 0) -Math.round(-p) else Math.round(p))
+        i += 1
+      }
+      acc
+    }
+    val seedCell = seeds.map { v =>
+      val na = dotq(v, v)
+      var bestCos = Double.NegativeInfinity
+      var bestCid = -1
+      base.cents.foreach { case (cid, cv) =>
+        val nb = dotq(cv, cv)
+        val cos = if (na == 0L || nb == 0L) 0.0
+          else dotq(v, cv).toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+        val c9 = graft.expressions.CentroidExprBase.round9(cos)
+        if (c9 > bestCos) { bestCos = c9; bestCid = cid }
+      }
+      bestCid
+    }
+    val rcb: Array[Array[Array[Double]]] = Array.tabulate(m, codebookSize)((mi, ki) =>
+      Array.tabulate(sub)(j => seeds(ki)(mi * sub + j).toDouble -
+        base.cents(seedCell(ki))._2(mi * sub + j).toDouble))
+    val rNorm: Array[Array[Long]] = rcb.map(_.map(_.map { x =>
+      val p = x * x * 1e12
+      if (p < 0) -Math.round(-p) else Math.round(p)
+    }.sum))
+    IvfRPqModel(base.cents, rcb, rNorm, m, sub, codebookSize)
+  }
+
+  def ivfRPqTopK(corpus: DataFrame, queryPred: Column, k: Int, nlist: Int,
+                 nprobe: Int, m: Int, codebookSize: Int, refine: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val model = ivfRPqModel(corpus, nlist, m, codebookSize, idCol, vecCol)
+    val cents = model.cents
+    val rcb = model.rcb
+    val rNorm = model.rNorm
+    val sub = model.sub
+    // centroid matrix as ONE literal double matrix, indexed by cell —
+    // shared by the encode residual and the probe-side cell constant
+    val centLit = typedLit(cents.map(_._2.map(_.toDouble).toSeq).toSeq)
+    // encode: residual to the assigned cell, then per-subspace argmin
+    // of the quantized L2 surrogate ‖c‖q − 2·dotq(r, c) (ties → lowest
+    // code id) — a pure projection, no shuffle to build the code table
+    def codeCol(mi: Int): Column = {
+      val sl = slice(col("__res"), mi * sub + 1, sub)
+      array_min(array((0 until codebookSize).map { ki =>
+        struct((lit(rNorm(mi)(ki)) - lit(2L) * Vectors.dotQNative(sl, lit(rcb(mi)(ki)))).as("d"),
+          lit(ki).as("k"))
+      }: _*)).getField("k").as(s"code$mi")
+    }
+    val coded = corpus
+      .withColumn("cell", cellBest(col(vecCol), cents).getField("cid"))
+      .withColumn("__res", zip_with(col(vecCol).cast("array<double>"),
+        element_at(centLit, col("cell") + 1), (a, b) => a - b))
+      .select(col(idCol) +: col("cell") +: (0 until m).map(codeCol): _*)
+    // queries: RAW-query LUTs against the residual codebook, computed
+    // once per query row; the per-probed-cell dotq(q, c_cell) constant
+    // attaches on the probe explode
+    val lutCols = (0 until m).map { mi =>
+      val sl = slice(col("q_vec"), mi * sub + 1, sub)
+      array((0 until codebookSize).map(ki =>
+        Vectors.dotQNative(sl, lit(rcb(mi)(ki)))): _*).as(s"lut$mi")
+    }
+    val queries = corpus.filter(queryPred)
+      .select(col(idCol).as("query_id") +: col(vecCol).as("q_vec") +: lutCols: _*)
+      .withColumn("luts", struct((0 until m).map(mi => col(s"lut$mi")): _*))
+    val probeCells = withProbedCells(queries, cents, nprobe)
+      .withColumn("cellconst",
+        Vectors.dotQNative(col("q_vec"), element_at(centLit, col("cell") + 1)))
+      .select(col("query_id"), col("q_vec"), col("luts"), col("cell"), col("cellconst"))
+    val adc = (0 until m).map(mi =>
+      element_at(col("luts").getField(s"lut$mi"), col(s"code$mi") + 1))
+      .reduce(_ + _) + col("cellconst")
+    val cands = probeCells.join(coded, Seq("cell"))
+      .filter(col("query_id") =!= col(idCol))
+      .withColumn("adc", adc)
+    val wa = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col(idCol).asc)
+    val tail = cands.withColumn("rn", row_number().over(wa))
+      .filter(col("rn") <= refine)
+      .select(col("query_id"), col("q_vec"), col(idCol).as("corpus_id"))
+    val pairs = tail
+      .join(corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec")),
+        Seq("corpus_id"))
+      .withColumn("cosine", round(Vectors.cosineQNative(col("q_vec"), col("c_vec")), 9))
+    val wr = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    pairs.withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
   }
 
   /** ANN via LSH buckets + exact rerank. Multi-probe is the `numTables`

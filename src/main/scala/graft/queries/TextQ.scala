@@ -873,6 +873,103 @@ object TextQ {
     * row-identical because the code table is a deterministic
     * projection, exactly the d09/d15 artifact-equivalence argument.
     */
+  /** Residual IVF+PQ oracle (s10): same coarse-assign prefix as
+    * [[IvfPqOracleSql]], then residuals (exact double subtraction of
+    * the assigned centroid), a shared residual codebook (the first 16
+    * vectors' residuals to their own cells), per-subspace argmin
+    * encode, RAW-query LUTs, and the inner-product ADC
+    * `dotq(q, c_cell) + Σ LUT[code]` — the per-(query, probed-cell)
+    * constant is exactly `cellcos.dq`. Refine + exact rerank as s08.
+    */
+  private[graft] lazy val IvfRPqOracleSql: String =
+    """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+        |), cellcos AS (
+        |  SELECT v.vec_id, c.cid,
+        |    CAST(sum(CAST(ROUND(CAST(v.embedding[i + 1] AS DOUBLE) * CAST(c.cv[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq,
+        |    CAST(sum(CAST(ROUND(CAST(v.embedding[i + 1] AS DOUBLE) * CAST(v.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nv,
+        |    CAST(sum(CAST(ROUND(CAST(c.cv[i + 1] AS DOUBLE) * CAST(c.cv[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nc
+        |  FROM embeddings v, cents c, range(64) r(i)
+        |  GROUP BY v.vec_id, c.cid
+        |), scored AS (
+        |  SELECT vec_id, cid,
+        |    ROUND(CASE WHEN nv = 0 OR nc = 0 THEN 0.0
+        |      ELSE CAST(dq AS DOUBLE) / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) END, 9) AS ccos
+        |  FROM cellcos
+        |), ranked AS (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+        |  FROM scored
+        |), cells AS (
+        |  SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1
+        |), probes AS (
+        |  SELECT vec_id AS query_id, cid AS cell FROM ranked WHERE rn <= 2 AND vec_id < 10
+        |), resv AS (
+        |  SELECT e.vec_id, j.j AS j,
+        |    CAST(e.embedding[j.j + 1] AS DOUBLE) - CAST(c.cv[j.j + 1] AS DOUBLE) AS rv
+        |  FROM embeddings e
+        |  JOIN cells ce ON ce.vec_id = e.vec_id
+        |  JOIN cents c ON c.cid = ce.cell, range(64) j(j)
+        |), rcb AS (
+        |  SELECT CAST(vec_id AS INT) AS ki, j, rv FROM resv WHERE vec_id < 16
+        |), rnorm AS (
+        |  SELECT ki, j // 8 AS mi,
+        |    CAST(sum(CAST(ROUND(rv * rv * 1e12) AS BIGINT)) AS BIGINT) AS nc
+        |  FROM rcb GROUP BY ki, j // 8
+        |), cdot AS (
+        |  SELECT v.vec_id, r.ki, v.j // 8 AS mi,
+        |    CAST(sum(CAST(ROUND(v.rv * r.rv * 1e12) AS BIGINT)) AS BIGINT) AS dq
+        |  FROM resv v JOIN rcb r ON r.j = v.j
+        |  GROUP BY v.vec_id, r.ki, v.j // 8
+        |), codes AS (
+        |  SELECT vec_id, mi, ki AS code FROM (
+        |    SELECT d.vec_id, d.mi, d.ki,
+        |      row_number() OVER (PARTITION BY d.vec_id, d.mi
+        |        ORDER BY (n.nc - 2 * d.dq) ASC, d.ki ASC) AS rn
+        |    FROM cdot d JOIN rnorm n ON n.ki = d.ki AND n.mi = d.mi) t
+        |  WHERE rn = 1
+        |), lutq AS (
+        |  SELECT e.vec_id AS query_id, r.ki, r.j // 8 AS mi,
+        |    CAST(sum(CAST(ROUND(CAST(e.embedding[r.j + 1] AS DOUBLE) * r.rv * 1e12) AS BIGINT)) AS BIGINT) AS dq
+        |  FROM embeddings e, rcb r
+        |  WHERE e.vec_id < 10
+        |  GROUP BY e.vec_id, r.ki, r.j // 8
+        |), cands AS (
+        |  SELECT p.query_id, p.cell, mm.vec_id AS corpus_id
+        |  FROM probes p JOIN cells mm ON p.cell = mm.cell
+        |  WHERE p.query_id <> mm.vec_id
+        |), adcs AS (
+        |  SELECT ca.query_id, ca.corpus_id,
+        |    CAST(cc.dq + sum(l.dq) AS BIGINT) AS adc
+        |  FROM cands ca
+        |  JOIN cellcos cc ON cc.vec_id = ca.query_id AND cc.cid = ca.cell
+        |  JOIN codes co ON co.vec_id = ca.corpus_id
+        |  JOIN lutq l ON l.query_id = ca.query_id AND l.mi = co.mi AND l.ki = co.code
+        |  GROUP BY ca.query_id, ca.corpus_id, cc.dq
+        |), tail AS (
+        |  SELECT query_id, corpus_id FROM (
+        |    SELECT query_id, corpus_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, corpus_id ASC) AS rn
+        |    FROM adcs) t WHERE rn <= 20
+        |), dots AS (
+        |  SELECT t.query_id, t.corpus_id,
+        |    CAST(sum(CAST(ROUND(CAST(a.embedding[i + 1] AS DOUBLE) * CAST(b.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq,
+        |    CAST(sum(CAST(ROUND(CAST(a.embedding[i + 1] AS DOUBLE) * CAST(a.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nq,
+        |    CAST(sum(CAST(ROUND(CAST(b.embedding[i + 1] AS DOUBLE) * CAST(b.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nc
+        |  FROM tail t
+        |  JOIN embeddings a ON a.vec_id = t.query_id
+        |  JOIN embeddings b ON b.vec_id = t.corpus_id, range(64) r(i)
+        |  GROUP BY t.query_id, t.corpus_id
+        |), cos AS (
+        |  SELECT query_id, corpus_id,
+        |    ROUND(CASE WHEN nq = 0 OR nc = 0 THEN 0.0
+        |      ELSE CAST(dq AS DOUBLE) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) END, 9) AS cosine
+        |  FROM dots
+        |)
+        |SELECT query_id, corpus_id, cosine, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS BIGINT) AS rank
+        |  FROM cos) t
+        |WHERE rank <= 5""".stripMargin
+
   private[graft] lazy val IvfPqOracleSql: String =
     """WITH cents AS (
         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
@@ -2120,6 +2217,23 @@ object TextQ {
           k = 5, nprobe = 2, refine = 20)
       },
       Some(IvfPqOracleSql)),
+
+    // RESIDUAL IVF+PQ — the FAISS-faithful encode the s08 design note
+    // priced in: corpus vectors PQ-code their RESIDUAL to the assigned
+    // coarse centroid against a shared residual codebook (residuals of
+    // the first 16 vectors to their own cells), and the query side
+    // uses the inner-product decomposition adc = dotq(q, c_cell) +
+    // Σ LUT (raw-query LUTs, per-probed-cell constant). Residuals
+    // center near zero, so the same m=8×16-entry code budget resolves
+    // within-cell structure instead of cell offsets — tighter ADC at
+    // equal bytes (recall QA in AnnSpec: the residual form's ADC tail
+    // is never worse than s08's at equal refine on the catalog data).
+    // Same cell prune / refine / exact-rerank plan shape as s08.
+    Q("s10_ivf_rpq",
+      (s, d) => SimilaritySearch.ivfRPqTopK(Tables.embeddings(s, d),
+        queryPred = col("vec_id") < 10, k = 5, nlist = AnnNlist, nprobe = 2,
+        m = AnnM, codebookSize = AnnCb, refine = 20),
+      Some(IvfRPqOracleSql)),
 
     // PII scrubbing (C4-style cleanup). The synthetic corpus carries no
     // PII, so the query INJECTS deterministic emails/IPs/phones from

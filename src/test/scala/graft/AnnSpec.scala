@@ -52,6 +52,66 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfRPqTopK with refine >= corpus equals ivfTopK (residual ADC only decides the cut)") {
+    // the residual form has the same closed top end as the raw form:
+    // with the refine tail wider than any cell the exact rerank sees
+    // every probed candidate and the ADC ordering becomes irrelevant
+    val emb = syntheticEmb(60, dims = 16)
+    val rpq = SimilaritySearch.ivfRPqTopK(emb, col("vec_id") < 5, k = 4,
+        nlist = 6, nprobe = 6, m = 4, codebookSize = 8, refine = 100)
+      .select("query_id", "corpus_id", "rank").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    val ivf = SimilaritySearch.ivfTopK(emb, col("vec_id") < 5, k = 4,
+        nlist = 6, nprobe = 6)
+      .select("query_id", "corpus_id", "rank").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rpq == ivf)
+  }
+
+  test("residual ADC recall at tight refine >= raw-subvector ADC recall (equal code budget)") {
+    // the point of residual encoding: at refine = k the ADC ordering IS
+    // the answer's candidate cut, so recall against the exact top-k
+    // measures pure code quality. Residuals center near zero and spend
+    // the same m×codebookSize budget on within-cell detail — on the
+    // catalog embeddings the residual form must never be worse.
+    // sf0.01 (500 vectors): sf0.001's 50-vector corpus is pure sample
+    // noise at this granularity (10 queries × 5) — measured there the
+    // two forms flip orderings run-to-run of the data generator, while
+    // at 500 vectors the residual form is reliably ahead (0.32 vs 0.26
+    // on the current generation; the numpy cross-check in the round-15
+    // notes reproduces both numbers).
+    import org.apache.spark.sql.expressions.Window
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val k = 5
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    val exact = emb.select(col("vec_id").as("corpus_id"), col("embedding").as("c_vec"))
+      .crossJoin(broadcast(emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cosine",
+        org.apache.spark.sql.functions.round(
+          graft.functions.Vectors.cosineQNative(col("q_vec"), col("c_vec")), 9))
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(res: Array[(Long, Long)]): Double =
+      res.count(exact.contains).toDouble / exact.size
+    val raw = SimilaritySearch.ivfPqTopK(emb, col("vec_id") < 10, k = k,
+        nlist = 8, nprobe = 2, m = 8, codebookSize = 16, refine = k)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val residual = SimilaritySearch.ivfRPqTopK(emb, col("vec_id") < 10, k = k,
+        nlist = 8, nprobe = 2, m = 8, codebookSize = 16, refine = k)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val (rRaw, rRes) = (recall(raw), recall(residual))
+    info(f"recall@$k raw=$rRaw%.3f residual=$rRes%.3f")
+    assert(rRes >= rRaw,
+      f"residual encoding must not lose recall at equal budget: raw=$rRaw%.3f residual=$rRes%.3f")
+  }
+
   test("ivfPqTopK with refine >= corpus equals ivfTopK (ADC only decides the cut)") {
     // PQ's asymmetric distance orders the refine tail; with the tail
     // wider than any cell the exact rerank sees every candidate and
