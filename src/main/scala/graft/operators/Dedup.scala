@@ -584,20 +584,29 @@ object Dedup {
     * @param vectors      vector lookup covering corpus ∪ batch ids
     *                     (the base embedding table)
     * @param cents        the frozen centroid model
+    * @param corpusProbe  `(cluster, idCol)` source for the PAIR side —
+    *                     pass the cluster-partition-pruned artifact
+    *                     read (TextQ.prunedSemState) so the candidate
+    *                     scan touches only the batch's clusters; the
+    *                     default falls back to `corpusState` (same
+    *                     rows — the cluster equi-join makes the two
+    *                     row-identical, pruning is purely a scan cut)
     */
   def semDeDupIncremental(batch: DataFrame, corpusState: DataFrame,
                           vectors: DataFrame,
                           cents: Array[(Int, Array[Float])],
                           threshold: Double,
                           idCol: String = "vec_id",
-                          vecCol: String = "embedding"): DataFrame = {
+                          vecCol: String = "embedding",
+                          corpusProbe: DataFrame = null): DataFrame = {
     val batchAssign =
       SimilaritySearch.assignWithCentroids(batch, cents, idCol, vecCol)
+    val probeSide = Option(corpusProbe).getOrElse(corpusState)
     // candidate ids first (distinct canonical pairs), vectors joined
     // back only for surviving candidates — the d17 probe-then-verify
     // shape
     val candIds = batchAssign.select(col("cluster"), col(idCol).as("id_x"))
-      .join(corpusState.select(col("cluster"), col(idCol).as("id_y"))
+      .join(probeSide.select(col("cluster"), col(idCol).as("id_y"))
           .unionByName(batchAssign.select(col("cluster"), col(idCol).as("id_y"))),
         Seq("cluster"))
       .filter(col("id_x") =!= col("id_y"))

@@ -834,7 +834,9 @@ object TextQ {
   private[graft] def semArtifact(s: org.apache.spark.sql.SparkSession, d: String): String =
     graft.sources.ArtifactStore.resolve(s, "graft_sem_artifact",
       Seq(new java.io.File(d, "embeddings.parquet")),
-      sub = s"k${SemK}i${SemIters}t$SemTau") { dir =>
+      // layout tag: dual state layout (compact + cluster-partitioned);
+      // a param OR layout change must bump this sub (ADVICE r13 rule)
+      sub = s"k${SemK}i${SemIters}t${SemTau}dual") { dir =>
       val emb = Tables.embeddings(s, d)
       val cents = graft.operators.SimilaritySearch.kmeansCentroids(
         emb, SemK, SemIters)
@@ -860,12 +862,35 @@ object TextQ {
       val groups = graft.operators.Dedup
         .connectedComponents(edges, distinctEdges = false)
         .select(col("doc_id").as("vec_id"), col("cluster_id").as("dup_group"))
-      assignC.join(groups, Seq("vec_id"), "left")
+      // DUAL state layout, the band-store pattern: `state/` compact for
+      // the full-table consumers (the output union + star labels are
+      // corpus-wide by semantics), `byclust/` partitioned by cluster
+      // for the ingest's pair probe — a batch touches few clusters at
+      // production k, and the probe's FileScan prunes to exactly those
+      val state = assignC.join(groups, Seq("vec_id"), "left")
         .withColumn("dup_group", coalesce(col("dup_group"), col("vec_id")))
-        .write.mode("overwrite").parquet(s"$dir/state")
+        .cache()
+      try {
+        state.write.mode("overwrite").parquet(s"$dir/state")
+        state.repartition(col("cluster"))
+          .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/byclust")
+      } finally state.unpersist()
       val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
       p.getFileSystem(s.sparkContext.hadoopConfiguration).create(p, true).close()
     }
+
+  /** The PARTITION-PRUNED semantic-state probe: only the `byclust/`
+    * partitions whose `cluster` appears in `clusters` (the distinct
+    * clusters one ingest batch assigned into) — the pair-candidate
+    * side of d21 reads members of touched clusters, never the corpus
+    * (PlanShapeSpec pins the PartitionFilters). The full-table
+    * consumers keep the compact `state/` copy.
+    */
+  private[graft] def prunedSemState(s: org.apache.spark.sql.SparkSession,
+                                    d: String, clusters: Seq[Int]) =
+    s.read.parquet(s"${semArtifact(s, d)}/byclust")
+      .where(col("cluster").isin(clusters: _*))
+      .select(col("cluster"), col("vec_id"))
 
   /** Shared IVF+PQ oracle — ONE replay of coarse-assign / encode /
     * LUT / ADC / rerank for both its consumers: s08 (inline encode)
@@ -1884,10 +1909,19 @@ object TextQ {
         val cents = s.read.parquet(s"$art/cents")
           .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
           .sortBy(_._1)
+        val batch = emb.filter(SemBatchPred)
+        // the batch's touched clusters, collected driver-side (bounded
+        // by min(k, batch spread) — the st6 prefix-push pattern), so
+        // the pair probe partition-prunes the cluster-partitioned
+        // state copy instead of scanning the corpus
+        val touched = graft.operators.SimilaritySearch
+          .assignWithCentroids(batch, cents)
+          .select("cluster").distinct().collect().map(_.getInt(0)).toSeq.sorted
         Dedup.semDeDupIncremental(
-          batch = emb.filter(SemBatchPred),
+          batch = batch,
           corpusState = s.read.parquet(s"$art/state"),
-          vectors = emb, cents = cents, threshold = SemTau)
+          vectors = emb, cents = cents, threshold = SemTau,
+          corpusProbe = prunedSemState(s, d, touched))
       },
       Some(SemDeDupOracleSql)),
   ) ++ Seq(

@@ -146,6 +146,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected <=3 partitions read, got ${scans.map(_.selectedPartitions.partitionCount)}")
   }
 
+  test("d21: semantic pair probe partition-prunes the cluster-partitioned state") {
+    // the ingest's pair-candidate side reads the byclust/ copy of the
+    // semantic artifact with the batch's touched clusters pushed as
+    // PartitionFilters — members of touched clusters, never the corpus
+    graft.queries.TextQ.resetMaterializations(spark)
+    val probe = graft.queries.TextQ.prunedSemState(spark, dir, Seq(1, 3, 5))
+    val p = probe.queryExecution.executedPlan.toString
+    assert(p.contains("graft_sem_artifact"),
+      s"probe must FileScan the persisted semantic state:\n${p.take(4000)}")
+    assert(p.contains("PartitionFilters") && {
+      val pf = p.substring(p.indexOf("PartitionFilters"))
+      pf.take(pf.indexOf("]") + 1).contains("cluster")
+    }, s"probe scan must carry a cluster partition filter:\n${p.take(4000)}")
+    val scans = probe.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, p)
+    assert(scans.forall(_.selectedPartitions.partitionCount <= 3),
+      s"expected <=3 partitions read, got ${scans.map(_.selectedPartitions.partitionCount)}")
+  }
+
   test("s09: stored ANN index probe partition-prunes to the query's cells") {
     // the serving shape: the PQ code table is a cell-partitioned
     // on-disk index; a probe's nprobe cells must become
