@@ -43,6 +43,34 @@ object Bench {
     def canary(): Double = {
       val t0 = System.nanoTime(); warmupKernel(); (System.nanoTime() - t0) / 1e9
     }
+    // PARALLEL canary: the round-15 finding was a run with CLEAN
+    // single-thread canaries (median 0.113 vs the 0.116 anchor) whose
+    // 32-thread query sections ran ~10% slower while consuming LESS
+    // process CPU than the r14 canonical — i.e. the sandbox was capping
+    // AGGREGATE cpu, a mode a single-thread probe cannot see (each
+    // probe thread still runs at full speed; there are just fewer
+    // effective cores). This probe burns a fixed integer kernel on
+    // every core simultaneously and reports wall seconds: flat pcan ≈
+    // all cores delivered; pcan inflated with canary flat ≈ aggregate
+    // capping — read it next to canary[g]/cpug[g] to classify a slow
+    // group from the record alone. Diagnostic only: value_n stays
+    // anchored to the single-thread series for cross-round continuity.
+    val pcanSink = new java.util.concurrent.atomic.AtomicLong
+    def pcanary(): Double = {
+      val n = Runtime.getRuntime.availableProcessors()
+      val t0 = System.nanoTime()
+      val ts = (0 until n).map { _ =>
+        val t = new Thread(() => {
+          var acc = 0L; var j = 0
+          while (j < 50000000) { acc += j % 7; j += 1 }
+          pcanSink.addAndGet(acc)
+        })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    pcanary() // JIT warmup, untimed
     // Whole-JVM CPU seconds around each query. getProcessCpuTime is used
     // rather than summing ThreadMXBean per-thread times: it is one
     // monotone counter that also charges GC and JIT-compiler threads
@@ -192,6 +220,7 @@ object Bench {
     // ~5 contiguous groups of the sorted catalog, a canary before each.
     val groupSize = math.max(1, math.ceil(sorted.size / 5.0).toInt)
     val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val pcans = scala.collection.mutable.ArrayBuffer.empty[Double]
     // gcg[g] = STW GC seconds accumulated during query group g (the
     // System.gc() isolation calls included — they're the cleanup being
     // attributed); read next to canary[g] it separates "sandbox CPU
@@ -199,6 +228,7 @@ object Bench {
     val gcGroups = scala.collection.mutable.ArrayBuffer.empty[Double]
     val results = sorted.grouped(groupSize).toSeq.flatMap { group =>
       canaries += canary()
+      pcans += pcanary()
       val g0 = gcSec()
       val rs = group.map { case (name, fn) =>
         // ISOLATION (untimed): drop every cross-query materialization —
@@ -242,6 +272,7 @@ object Bench {
       rs
     }
     canaries += canary()
+    pcans += pcanary()
     // The driver keeps only the last 2000 chars of the run's output
     // (observed in round 7: the 70-query line was 1778 chars, with
     // ~150 chars of Spark log noise before it and ~75 after inside the
@@ -279,6 +310,7 @@ object Bench {
     // canary[g] precedes query group g (groups of `groupSize` in
     // emission order); the last entry is re-timed after the final group.
     val can = canaries.map(fmt3).mkString("[", ",", "]")
+    val pcan = pcans.map(fmt3).mkString("[", ",", "]")
     // SELF-NORMALIZATION (PLANS.md "Bench calibration"): the record
     // carries its own contention correction so a contended driver run
     // reads correctly without hand arithmetic against the committed
@@ -306,7 +338,7 @@ object Bench {
     // re-probes after the last group, gcg has nothing to measure there)
     val gcg = gcGroups.map(fmt1).mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","value_n":${fmt(wnTotal)},"cb":${fmt3(canaryBase)},"scale":$scaleArr,"queries":$qs,"cpu":$cpu,"canary":$can,"gcg":$gcg,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","value_n":${fmt(wnTotal)},"cb":${fmt3(canaryBase)},"scale":$scaleArr,"queries":$qs,"cpu":$cpu,"canary":$can,"pcan":$pcan,"gcg":$gcg,"errors":$errs,"sf":"$sfDir"}"""
     // Hard guard on the driver's 2000-char tail window (sbt appends a
     // ~74-char "[success]" suffix after us): degrade by dropping the
     // per-query cpu array rather than letting the window clip the JSON
@@ -320,7 +352,7 @@ object Bench {
     val cpugArr = cpuGroups.map(fmt1).mkString("[", ",", "]")
     if (line.length <= 1900) println(line)
     else println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","value_n":${fmt(wnTotal)},"cb":${fmt3(canaryBase)},"scale":$scaleArr,"queries":$qs,"cpug":$cpugArr,"canary":$can,"gcg":$gcg,"errors":$errs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","value_n":${fmt(wnTotal)},"cb":${fmt3(canaryBase)},"scale":$scaleArr,"queries":$qs,"cpug":$cpugArr,"canary":$can,"pcan":$pcan,"gcg":$gcg,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
