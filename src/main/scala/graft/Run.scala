@@ -111,7 +111,8 @@ object Run {
         val gram = graft.queries.TextQ.gramArtifact(spark, dir)
         val clusters = graft.queries.TextQ.clusterArtifact(spark, dir)
         val simhash = graft.queries.TextQ.simhashArtifact(spark, dir)
-        s"dedup-maintain: band=$band gram=$gram clusters=$clusters simhash=$simhash"
+        val dsir = graft.queries.TextQ.dsirArtifact(spark, dir)
+        s"dedup-maintain: band=$band gram=$gram clusters=$clusters simhash=$simhash dsir=$dsir"
       case "ann-maintain" =>
         // the EMBEDDING-side maintenance job: (re)build the
         // cell-partitioned IVF+PQ code table AND the semantic-dedup

@@ -534,30 +534,43 @@ object TextAnalysis {
         col("prob_sum_q9").cast("double") / col("n_bigrams") / lit(1e9))
   }
 
-  /** [[bigramLmScore]] with a TRAIN/SCORE split — the importance-
-    * weighting form (DSIR-shaped): the vocabulary and bigram counts
-    * come from `train` ONLY; every `score` doc is scored under that
-    * LM, with unseen bigrams backing off to the add-one floor (left
-    * join + fill(0) — exactly the new-batch path the symmetric form
-    * documents). Same quantized-integer output columns as
-    * [[bigramLmScore]], so two calls with different training slices
-    * give exactly comparable per-doc scores.
+  /** A FROZEN bigram LM — the persistable model state the scoring
+    * passes consume: the top-`vocabSize` vocabulary, the (prev, cur)
+    * bigram-count table (≤ (V+2)² rows) and the per-context count
+    * table (≤ V+2 rows). Both tables are broadcast into scoring, so a
+    * model probe never shuffles the corpus; both are small enough to
+    * round-trip through a parquet artifact (the d22 maintenance shape).
     */
-  def bigramLmScoreAgainst(train: DataFrame, score: DataFrame,
-                           vocabSize: Int = 64,
-                           textCol: String = "text"): DataFrame = {
+  case class BigramLm(vocab: Seq[String], cb: DataFrame, cp: DataFrame,
+                      vocabSize: Int)
+
+  /** Train a [[BigramLm]]: vocabulary = the `vocabSize` most frequent
+    * tokens (ties to the lexicographically smallest — the t06/t14
+    * rule), counts over `train`'s bigrams with `^` start markers and
+    * out-of-vocab folding to `<oov>`.
+    */
+  def bigramLmModel(train: DataFrame, vocabSize: Int = 64,
+                    textCol: String = "text"): BigramLm = {
     require(vocabSize > 0,
-      s"bigramLmScoreAgainst: vocabSize must be positive, got $vocabSize")
+      s"bigramLmModel: vocabSize must be positive, got $vocabSize")
     val tokTrain = train.select(col("doc_id"), Text.tokens(col(textCol)).as("ws"))
     val vocab: Seq[String] = tokTrain.select(explode(col("ws")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tok").asc).limit(vocabSize)
       .select("tok").collect().toSeq.map(_.getString(0))
+    val cb = lmBigrams(tokTrain, vocab).groupBy("prev", "cur")
+      .agg(count(lit(1)).as("c"))
+    val cp = cb.groupBy("prev").agg(sum("c").cast("long").as("cpc"))
+    BigramLm(vocab, cb, cp, vocabSize)
+  }
+
+  /** Per-doc bigram rows under a model's vocabulary (OOV-folded). */
+  private def lmBigrams(toked: DataFrame, vocab: Seq[String]): DataFrame = {
     def mapped(c: Column, start: Boolean) = {
       val inVocab = if (start) c === "^" || c.isin(vocab: _*) else c.isin(vocab: _*)
       when(inVocab, c).otherwise(lit("<oov>"))
     }
-    def bigrams(toked: DataFrame) = toked.filter(size(col("ws")) > 0)
+    toked.filter(size(col("ws")) > 0)
       .withColumn("m", concat(array(lit("^")), col("ws")))
       .select(col("doc_id"), explode(expr(
         """transform(sequence(1, size(ws)),
@@ -566,19 +579,45 @@ object TextAnalysis {
       .select(col("doc_id"),
         mapped(col("b.p"), start = true).as("prev"),
         mapped(col("b.c"), start = false).as("cur"))
-    val cb = bigrams(tokTrain).groupBy("prev", "cur").agg(count(lit(1)).as("c"))
-    val cp = cb.groupBy("prev").agg(sum("c").cast("long").as("cpc"))
-    bigrams(score.select(col("doc_id"), Text.tokens(col(textCol)).as("ws")))
-      .join(broadcast(cb), Seq("prev", "cur"), "left")
-      .join(broadcast(cp), Seq("prev"), "left")
+  }
+
+  /** Score `score` docs under a FROZEN [[BigramLm]]: unseen bigrams
+    * back off to the add-one floor (left join + fill(0) — the
+    * new-batch path), counts resolve through TWO broadcast lookups
+    * (the context count on `prev` ALONE — joining it through the
+    * (prev, cur) pair table would zero the denominator for an unseen
+    * pair with a well-known context). Quantized-integer outputs, so
+    * scores from two models over the same docs are exactly comparable.
+    */
+  def bigramLmScoreUnder(model: BigramLm, score: DataFrame,
+                         textCol: String = "text"): DataFrame =
+    lmBigrams(score.select(col("doc_id"), Text.tokens(col(textCol)).as("ws")),
+        model.vocab)
+      .join(broadcast(model.cb), Seq("prev", "cur"), "left")
+      .join(broadcast(model.cp), Seq("prev"), "left")
       .na.fill(0L, Seq("c", "cpc"))
       .withColumn("pq", round((col("c") + lit(1)).cast("double") /
-        (col("cpc") + lit(vocabSize + 2)).cast("double") * lit(1e9)).cast("long"))
+        (col("cpc") + lit(model.vocabSize + 2)).cast("double") * lit(1e9)).cast("long"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("pq").as("prob_sum_q9"))
       .withColumn("mean_cond_prob",
         col("prob_sum_q9").cast("double") / col("n_bigrams") / lit(1e9))
-  }
+
+  /** [[bigramLmScore]] with a TRAIN/SCORE split — the importance-
+    * weighting form (DSIR-shaped): the vocabulary and bigram counts
+    * come from `train` ONLY; every `score` doc is scored under that
+    * LM, with unseen bigrams backing off to the add-one floor (left
+    * join + fill(0) — exactly the new-batch path the symmetric form
+    * documents). Same quantized-integer output columns as
+    * [[bigramLmScore]], so two calls with different training slices
+    * give exactly comparable per-doc scores. (Train-then-score in one
+    * step: [[bigramLmModel]] → [[bigramLmScoreUnder]]; d22 splits the
+    * two around a persisted artifact.)
+    */
+  def bigramLmScoreAgainst(train: DataFrame, score: DataFrame,
+                           vocabSize: Int = 64,
+                           textCol: String = "text"): DataFrame =
+    bigramLmScoreUnder(bigramLmModel(train, vocabSize, textCol), score, textCol)
 
   /** Apply a [[domainMixAllocation]] result as a deterministic
     * downsample: keep a document iff `lcg(doc_id) mod M < thr(source)`

@@ -892,6 +892,110 @@ object TextQ {
       .where(col("cluster").isin(clusters: _*))
       .select(col("cluster"), col("vec_id"))
 
+  /** DSIR tier parameters — single-sourced across d20 (batch), d22
+    * (incremental), the frozen-LM artifact, and both oracles. */
+  private[graft] val DsirVocab = 64
+
+  /** Ingest split for the DSIR tier: doc_id ≡ 7 (mod 10) plays the
+    * arriving batch (the SemBatchPred convention on the documents
+    * table), the rest the corpus whose frozen LMs the artifact holds.
+    */
+  private[graft] def DocBatchPred: org.apache.spark.sql.Column =
+    pmod(col("doc_id"), lit(10)) === lit(7)
+  /** The corpus (non-batch) side of [[DocBatchPred]] in DuckDB text —
+    * interpolated into BOTH frozen-LM training slices of d22's oracle.
+    */
+  private[graft] val DocBatchPredSqlNot = "((doc_id % 10) + 10) % 10 <> 7"
+
+  /** Shared DSIR oracle scaffolding — ONE copy of the tokenization,
+    * the per-leg LM CTEs (vocab → OOV-folded bigrams → add-one
+    * quantized scores), and the weight/gate arithmetic, consumed by
+    * d20 (LMs trained on the full table, every doc emitted) and d22
+    * (LMs frozen on the non-batch corpus, output restricted to the
+    * batch): a smoothing or clamp edit cannot reach one oracle and
+    * not the other. `trainT`/`trainR` filter the target/raw LM's
+    * training rows; `outWhere` filters the emitted docs ("" = all).
+    */
+  private[graft] def dsirOracleSql(trainT: String, trainR: String,
+                                   outWhere: String): String = {
+    def lm(sfx: String, trainWhere: String) = s"""vocab$sfx AS (
+      |  SELECT tok FROM (SELECT unnest(ws) AS tok FROM dsir_toked WHERE $trainWhere) t
+      |  GROUP BY tok ORDER BY count(*) DESC, tok ASC LIMIT $DsirVocab
+      |), bg$sfx AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN m[i] = '^' OR m[i] IN (SELECT tok FROM vocab$sfx) THEN m[i] ELSE '<oov>' END AS prev,
+      |    CASE WHEN m[i+1] IN (SELECT tok FROM vocab$sfx) THEN m[i+1] ELSE '<oov>' END AS cur
+      |  FROM dsir_idx
+      |), cb$sfx AS (
+      |  SELECT prev, cur, CAST(count(*) AS BIGINT) AS c
+      |  FROM bg$sfx WHERE $trainWhere GROUP BY 1, 2
+      |), cp$sfx AS (
+      |  SELECT prev, CAST(sum(c) AS BIGINT) AS cpc FROM cb$sfx GROUP BY 1
+      |), sc$sfx AS (
+      |  SELECT g.doc_id,
+      |    CAST(sum(CAST(ROUND(CAST(coalesce(b.c, 0) + 1 AS DOUBLE)
+      |      / CAST(coalesce(p.cpc, 0) + ${DsirVocab + 2} AS DOUBLE) * 1e9) AS BIGINT)) AS BIGINT) AS s$sfx
+      |  FROM bg$sfx g
+      |  LEFT JOIN cb$sfx b ON b.prev = g.prev AND b.cur = g.cur
+      |  LEFT JOIN cp$sfx p ON p.prev = g.prev
+      |  GROUP BY g.doc_id
+      |)""".stripMargin
+    import graft.operators.TextAnalysis.{SampleLcgA, SampleLcgC, SampleModulus}
+    s"""WITH dsir_toked AS (
+      |  SELECT doc_id, source, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS ws
+      |  FROM documents
+      |), dsir_nonempty AS (
+      |  SELECT doc_id, source, list_prepend('^', ws) AS m, len(ws) AS n
+      |  FROM dsir_toked WHERE len(ws) > 0
+      |), dsir_idx AS (
+      |  SELECT doc_id, source, m, unnest(range(1, n + 1)) AS i FROM dsir_nonempty
+      |),
+      |${lm("t", trainT)},
+      |${lm("r", trainR)}
+      |SELECT d.doc_id, d.source, st.st AS s_t, sr.sr AS s_r,
+      |  (least(st.st, 140737488355327) * 65536) // greatest(sr.sr, 1) AS wt16,
+      |  ((d.doc_id * $SampleLcgA + $SampleLcgC) % $SampleModulus + $SampleModulus) % $SampleModulus
+      |    < least($SampleModulus, (least((least(st.st, 140737488355327) * 65536) // greatest(sr.sr, 1), 131072) * ($SampleModulus // 65536)) // 2) AS kept
+      |FROM documents d
+      |JOIN sct st ON st.doc_id = d.doc_id
+      |JOIN scr sr ON sr.doc_id = d.doc_id
+      |$outWhere""".stripMargin
+  }
+
+  /** The persisted FROZEN-LM artifact of the DSIR tier — per leg
+    * (`t` = target, trained on the corpus's src1 slice; `r` = raw,
+    * trained on the whole corpus, batch rows excluded from both):
+    *   - `vocab_<leg>/` — the top-[[DsirVocab]] training vocabulary
+    *     (membership is what scoring needs: OOV folding of NEW batch
+    *     tokens must use the frozen vocab, not the batch's);
+    *   - `cb_<leg>/` — the OOV-folded (prev, cur) bigram counts,
+    *     ≤ (V+2)² rows; the per-context totals are re-derived at probe
+    *     time with one tiny agg rather than stored (they are a pure
+    *     function of cb, and storing both invites drift).
+    * d22 probes it: batch scoring is bigram-explode + two broadcast
+    * lookups per leg — no corpus scan, no retrain. Same
+    * `_SUCCESS`-at-root gating as every other artifact family.
+    */
+  private[graft] def dsirArtifact(s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.sources.ArtifactStore.resolve(s, "graft_dsir_artifact",
+      Seq(new java.io.File(d, "documents.parquet")),
+      // params tag: vocab size + batch-split residue — retuning either
+      // must invalidate the store (ADVICE r13 rule)
+      sub = s"v${DsirVocab}b7") { dir =>
+      val corpus = Tables.documents(s, d).filter(!DocBatchPred)
+      def persist(sfx: String, train: org.apache.spark.sql.DataFrame): Unit = {
+        val m = graft.operators.TextAnalysis.bigramLmModel(train, DsirVocab)
+        import s.implicits._
+        m.vocab.toDF("tok").coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/vocab_$sfx")
+        m.cb.coalesce(1).write.mode("overwrite").parquet(s"$dir/cb_$sfx")
+      }
+      persist("t", corpus.filter(col("source") === "src1"))
+      persist("r", corpus)
+      val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).create(p, true).close()
+    }
+
   /** Shared IVF+PQ oracle — ONE replay of coarse-assign / encode /
     * LUT / ADC / rerank for both its consumers: s08 (inline encode)
     * and s09 (the cell-partitioned stored index) — the two must be
@@ -1968,49 +2072,60 @@ object TextQ {
                 expr(s"least(wt16, 131072L) * (${SampleModulus}L div 65536L) div 2L")))
           .select("doc_id", "source", "s_t", "s_r", "wt16", "kept")
       },
-      Some {
-        def lm(sfx: String, trainWhere: String) = s"""vocab$sfx AS (
-          |  SELECT tok FROM (SELECT unnest(ws) AS tok FROM dsir_toked WHERE $trainWhere) t
-          |  GROUP BY tok ORDER BY count(*) DESC, tok ASC LIMIT 64
-          |), bg$sfx AS (
-          |  SELECT doc_id, source,
-          |    CASE WHEN m[i] = '^' OR m[i] IN (SELECT tok FROM vocab$sfx) THEN m[i] ELSE '<oov>' END AS prev,
-          |    CASE WHEN m[i+1] IN (SELECT tok FROM vocab$sfx) THEN m[i+1] ELSE '<oov>' END AS cur
-          |  FROM dsir_idx
-          |), cb$sfx AS (
-          |  SELECT prev, cur, CAST(count(*) AS BIGINT) AS c
-          |  FROM bg$sfx WHERE $trainWhere GROUP BY 1, 2
-          |), cp$sfx AS (
-          |  SELECT prev, CAST(sum(c) AS BIGINT) AS cpc FROM cb$sfx GROUP BY 1
-          |), sc$sfx AS (
-          |  SELECT g.doc_id,
-          |    CAST(sum(CAST(ROUND(CAST(coalesce(b.c, 0) + 1 AS DOUBLE)
-          |      / CAST(coalesce(p.cpc, 0) + 66 AS DOUBLE) * 1e9) AS BIGINT)) AS BIGINT) AS s$sfx
-          |  FROM bg$sfx g
-          |  LEFT JOIN cb$sfx b ON b.prev = g.prev AND b.cur = g.cur
-          |  LEFT JOIN cp$sfx p ON p.prev = g.prev
-          |  GROUP BY g.doc_id
-          |)""".stripMargin
+      Some(dsirOracleSql(trainT = "source = 'src1'", trainR = "TRUE",
+        outWhere = ""))),
+
+    // INCREMENTAL DSIR — the ingest shape of d20, completing the
+    // maintenance loop for the importance-resampling tier (bands
+    // d09/d15, simhash d18, clusters d17/st7, ANN s09/st8, semantic
+    // d21): documents with doc_id ≡ 7 (mod 10) play the arriving
+    // batch; BOTH bigram LMs (target = the corpus's src1 slice, raw =
+    // the whole corpus) are FROZEN in a persisted artifact built once
+    // per documents generation (dsirArtifact), and the batch is scored
+    // under them — pure batch-side work: a bigram explode + two
+    // broadcast (V+2)²-bounded lookups + the LCG gate, no corpus scan,
+    // no LM retrain. This is the production DSIR deployment shape
+    // (Xie et al. 2023 compute importance weights once, then stream
+    // the corpus through them). NOT d20 restricted to batch rows — the
+    // frozen LMs exclude the batch from their own training by design
+    // (scoring data with statistics it contributed is lookahead); the
+    // oracle freezes the same slices.
+    Q("d22_dsir_incremental",
+      (s, d) => {
         import TextAnalysis.{SampleLcgA, SampleLcgC, SampleModulus}
-        s"""WITH dsir_toked AS (
-          |  SELECT doc_id, source, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS ws
-          |  FROM documents
-          |), dsir_nonempty AS (
-          |  SELECT doc_id, source, list_prepend('^', ws) AS m, len(ws) AS n
-          |  FROM dsir_toked WHERE len(ws) > 0
-          |), dsir_idx AS (
-          |  SELECT doc_id, source, m, unnest(range(1, n + 1)) AS i FROM dsir_nonempty
-          |),
-          |${lm("t", "source = 'src1'")},
-          |${lm("r", "TRUE")}
-          |SELECT d.doc_id, d.source, st.st AS s_t, sr.sr AS s_r,
-          |  (least(st.st, 140737488355327) * 65536) // greatest(sr.sr, 1) AS wt16,
-          |  ((d.doc_id * $SampleLcgA + $SampleLcgC) % $SampleModulus + $SampleModulus) % $SampleModulus
-          |    < least($SampleModulus, (least((least(st.st, 140737488355327) * 65536) // greatest(sr.sr, 1), 131072) * ($SampleModulus // 65536)) // 2) AS kept
-          |FROM documents d
-          |JOIN sct st ON st.doc_id = d.doc_id
-          |JOIN scr sr ON sr.doc_id = d.doc_id""".stripMargin
-      }),
+        val docs = Tables.documents(s, d)
+        val art = dsirArtifact(s, d)
+        def frozen(sfx: String): TextAnalysis.BigramLm = {
+          // vocab is ≤ DsirVocab rows, counts ≤ (V+2)² — the bounded
+          // model-artifact collect/broadcast tier (VERDICT anti-pattern
+          // sweep category), never corpus-scaled
+          val vocab = s.read.parquet(s"$art/vocab_$sfx")
+            .collect().map(_.getString(0)).toSeq
+          val cb = s.read.parquet(s"$art/cb_$sfx")
+          val cp = cb.groupBy("prev").agg(sum("c").cast("long").as("cpc"))
+          TextAnalysis.BigramLm(vocab, cb, cp, DsirVocab)
+        }
+        val batch = docs.filter(DocBatchPred)
+        val st = TextAnalysis.bigramLmScoreUnder(frozen("t"), batch)
+          .select(col("doc_id"), col("prob_sum_q9").as("s_t"))
+        val sr = TextAnalysis.bigramLmScoreUnder(frozen("r"), batch)
+          .select(col("doc_id"), col("prob_sum_q9").as("s_r"))
+        batch.select("doc_id", "source")
+          .join(st, Seq("doc_id"))
+          .join(sr, Seq("doc_id"))
+          // identical guard arithmetic to d20 (see the comment there)
+          .withColumn("wt16", expr(
+            "least(s_t, 140737488355327L) * 65536L div greatest(s_r, 1L)"))
+          .withColumn("kept",
+            pmod(col("doc_id") * lit(SampleLcgA) + lit(SampleLcgC), lit(SampleModulus))
+              < least(lit(SampleModulus),
+                expr(s"least(wt16, 131072L) * (${SampleModulus}L div 65536L) div 2L")))
+          .select("doc_id", "source", "s_t", "s_r", "wt16", "kept")
+      },
+      Some(dsirOracleSql(
+        trainT = s"source = 'src1' AND $DocBatchPredSqlNot",
+        trainR = DocBatchPredSqlNot,
+        outWhere = s"WHERE ((d.doc_id % 10) + 10) % 10 = 7"))),
 
 
     // LSH ANN end-to-end: bucket join + quantized-cosine rerank top-3.
