@@ -190,10 +190,11 @@ object Bench {
     if (sorted.exists { case (n, _) => n.startsWith("d18") })
       try graft.queries.TextQ.simhashArtifact(spark, sfDir)
       catch { case _: Throwable => () }
-    // s09's cell-partitioned PQ index likewise: the timed region is
-    // the pruned probe + rerank, not the once-per-generation encode
+    // s09/s11's cell-partitioned dual-tier PQ index likewise: the
+    // timed region is the pruned probe + rerank, not the
+    // once-per-generation encode
     if (sorted.exists { case (n, _) =>
-        n.startsWith("s09") || n.startsWith("st8") })
+        n.startsWith("s09") || n.startsWith("s11") || n.startsWith("st8") })
       try graft.queries.TextQ.annArtifact(spark, sfDir)
       catch { case _: Throwable => () }
     // d21's frozen centroid model + corpus group labels: built once per
@@ -356,9 +357,17 @@ object Bench {
     // starvation), just not per query.
     val cpuGroups = results.map(_._4).grouped(groupSize).map(_.sum).toSeq
     val cpugArr = cpuGroups.map(fmt1).mkString("[", ",", "]")
+    val fallback =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","value_n":${fmt(wnTotal)},"cb":${fmt3(canaryBase)},"scale":$scaleArr,"queries":$qs,"cpug":$cpugArr,"canary":$can,"pcan":$pcan,"gcg":$gcg,"errors":$errs,"sf":"$sfDir"}"""
+    // last-resort degradation (ADVICE r15): the fallback gets the same
+    // <=1900 guard — on a catalog big enough to clip even it, shed the
+    // diagnostic arrays (pcan, gcg, cpug) before the window can cut
+    // the JSON head; queries/canary stay, they are the record
+    val minimal =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","value_n":${fmt(wnTotal)},"cb":${fmt3(canaryBase)},"scale":$scaleArr,"queries":$qs,"canary":$can,"errors":$errs,"sf":"$sfDir"}"""
     if (line.length <= 1900) println(line)
-    else println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","value_n":${fmt(wnTotal)},"cb":${fmt3(canaryBase)},"scale":$scaleArr,"queries":$qs,"cpug":$cpugArr,"canary":$can,"pcan":$pcan,"gcg":$gcg,"errors":$errs,"sf":"$sfDir"}""")
+    else if (fallback.length <= 1900) println(fallback)
+    else println(minimal)
     spark.stop()
   }
 }

@@ -12,21 +12,44 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * accumulates one pinned relation per invocation. Draining only
   * unpersists — lineage stays intact, so a late re-read recomputes
   * rather than breaking.
+  *
+  * Keyed by the OWNING SparkSession (not its SparkContext): sibling
+  * sessions from `spark.newSession()` share one context, and a
+  * context-keyed drain would unpersist handles a sibling still serves
+  * (ADVICE r15). A library caller that never drains is bounded by the
+  * stopped-context sweep in [[register]]: once the context dies the
+  * strong references go with the next registration.
   */
 object CacheRegistry {
   private val counter = new java.util.concurrent.atomic.AtomicLong
   private val handles = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.SparkContext, Long), DataFrame]
+    .empty[(SparkSession, Long), DataFrame]
 
-  /** Track a persisted DataFrame for unpersist at the next drain. */
-  def register(df: DataFrame): DataFrame = {
-    handles.put((df.sparkSession.sparkContext, counter.incrementAndGet()), df)
+  /** Track a persisted DataFrame for unpersist at the next drain,
+    * owned by the frame's own session. NOT for frames built inside
+    * `foreachBatch` — Structured Streaming hands the batch a CLONED
+    * session, so `df.sparkSession` would never match the caller's
+    * drain; use the explicit-owner overload there.
+    */
+  def register(df: DataFrame): DataFrame = register(df, df.sparkSession)
+
+  /** Track a persisted DataFrame under an explicit owning session (the
+    * session whose drain should release it).
+    */
+  def register(df: DataFrame, owner: SparkSession): DataFrame = {
+    // opportunistic sweep: entries whose context has stopped can never
+    // be drained through their session again — drop the references
+    handles.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(handles.remove)
+    handles.put((owner, counter.incrementAndGet()), df)
     df
   }
 
-  /** Unpersist every handle registered under this session's context. */
+  /** Unpersist every handle registered by THIS session (sibling
+    * sessions sharing the context keep theirs).
+    */
   def drain(s: SparkSession): Unit =
-    handles.keys.filter(_._1 == s.sparkContext).foreach { k =>
+    handles.keys.filter(_._1 eq s).foreach { k =>
       handles.remove(k).foreach(_.unpersist())
     }
 }

@@ -22,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.simhash64Descriptor)
     ext.injectFunction(GraftExtensions.cellArgmaxDescriptor)
     ext.injectFunction(GraftExtensions.cellScoresDescriptor)
+    ext.injectFunction(GraftExtensions.pqEncodeDescriptor)
+    ext.injectFunction(GraftExtensions.pqLutsDescriptor)
     ext.injectOptimizerRule(_ => graft.optimizer.BandJoinRewrite)
   }
 }
@@ -67,6 +69,16 @@ object GraftExtensions {
     new ExpressionInfo(classOf[graft.expressions.CentroidScores].getName, "graft_cell_scores"),
     (c: Seq[Expression]) => graft.expressions.CentroidScores(c(0), c(1)))
 
+  private val pqEncodeDescriptor = (
+    FunctionIdentifier("graft_pq_encode"),
+    new ExpressionInfo(classOf[graft.expressions.PqEncode].getName, "graft_pq_encode"),
+    (c: Seq[Expression]) => graft.expressions.PqEncode(c(0), c(1)))
+
+  private val pqLutsDescriptor = (
+    FunctionIdentifier("graft_pq_luts"),
+    new ExpressionInfo(classOf[graft.expressions.PqLuts].getName, "graft_pq_luts"),
+    (c: Seq[Expression]) => graft.expressions.PqLuts(c(0), c(1)))
+
   /** Imperative registration for an already-built session: functions
     * plus the band-join optimizer rule (idempotent).
     */
@@ -87,6 +99,10 @@ object GraftExtensions {
       cellArgmaxDescriptor._1, cellArgmaxDescriptor._2, cellArgmaxDescriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
       cellScoresDescriptor._1, cellScoresDescriptor._2, cellScoresDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      pqEncodeDescriptor._1, pqEncodeDescriptor._2, pqEncodeDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      pqLutsDescriptor._1, pqLutsDescriptor._2, pqLutsDescriptor._3)
     val opt = spark.sessionState.experimentalMethods
     if (!opt.extraOptimizations.contains(graft.optimizer.BandJoinRewrite))
       opt.extraOptimizations = opt.extraOptimizations :+ graft.optimizer.BandJoinRewrite

@@ -43,15 +43,41 @@ object SimilaritySearch {
     *     forced-path parity gate compare against.
     *
     * `centroidPathOverride`: test/bench hook — `Some("native")` or
-    * `Some("literal")` forces a path, `None` = native.
-    * `GRAFT_CENTROID_PATH=native|literal` seeds it for whole-JVM runs
-    * (the Verify-with-path-forced parity gate).
+    * `Some("literal")` forces a path, `None` = native. Native is
+    * UNCONDITIONAL (the round-15 sweep showed it winning at every k,
+    * so there is no k threshold); literal exists only as the forced
+    * independent cross-check. `GRAFT_CENTROID_PATH=native|literal`
+    * seeds it for whole-JVM runs (the Verify-with-path-forced parity
+    * gate).
     */
   @volatile private[graft] var centroidPathOverride: Option[String] =
     sys.env.get("GRAFT_CENTROID_PATH").filter(Set("native", "literal"))
 
-  private def useNativeCentroids(k: Int): Boolean =
+  private def useNativeCentroids: Boolean =
     !centroidPathOverride.contains("literal")
+
+  /** PQ encode/LUT path selection — same posture as the centroid pair:
+    * native (constant code size in m·codebookSize — the
+    * expressions.PqEncode/PqLuts reference-object loops) is the
+    * unconditional default; the literal m×codebookSize struct/dot tree
+    * is kept as the forced independent cross-check.
+    * `GRAFT_PQ_PATH=native|literal` seeds it for whole-JVM runs.
+    */
+  @volatile private[graft] var pqPathOverride: Option[String] =
+    sys.env.get("GRAFT_PQ_PATH").filter(Set("native", "literal"))
+
+  private def useNativePq: Boolean =
+    !pqPathOverride.contains("literal")
+
+  /** The codebook tensor (m × codebookSize × sub) as ONE foldable
+    * literal — the PqEncode/PqLuts broadcast model artifact. Two
+    * element types because the raw codebooks are float slices and the
+    * residual codebooks exact-double residuals.
+    */
+  private def pqCbLitF(cb: Array[Array[Array[Float]]]): Column =
+    typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+  private def pqCbLitD(cb: Array[Array[Array[Double]]]): Column =
+    typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
 
   /** The centroid matrix as ONE foldable literal — cid must equal
     * position (both samplers require dense 0-based ids; re-asserted
@@ -67,10 +93,11 @@ object SimilaritySearch {
 
   /** Nearest centroid as `struct(ccos, cid)` — highest rounded
     * quantized cosine, ties to lowest cid. The assignment hot path:
-    * auto-selects literal argmax vs the broadcast-native expression.
+    * the broadcast-native expression unless the literal cross-check
+    * path is forced.
     */
   private[graft] def cellBest(vec: Column, cents: Array[(Int, Array[Float])]): Column =
-    if (useNativeCentroids(cents.length))
+    if (useNativeCentroids)
       call_function("graft_cell_argmax", vec, centroidMatrixLit(cents))
     else array_max(array(cents.map { case (cid, cv) =>
       struct(round(Vectors.cosineQNative(vec, lit(cv)), 9).as("ccos"),
@@ -81,7 +108,7 @@ object SimilaritySearch {
     * the probe side (explode → top-nprobe window).
     */
   private[graft] def cellScoresAll(vec: Column, cents: Array[(Int, Array[Float])]): Column =
-    if (useNativeCentroids(cents.length))
+    if (useNativeCentroids)
       call_function("graft_cell_scores", vec, centroidMatrixLit(cents))
     else array(cents.map { case (cid, cv) =>
       struct(round(Vectors.cosineQNative(vec, lit(cv)), 9).as("ccos"),
@@ -326,7 +353,49 @@ object SimilaritySearch {
     IvfPqModel(cents, cb, cNorm, m, sub, codebookSize)
   }
 
-  /** The stored-index side of IVF+PQ: `(id, cell, code0..m-1)` — a pure
+  /** The per-subspace argmin encode as ONE `codes array<int>` column —
+    * native `graft_pq_encode` (code size constant in m·codebookSize)
+    * unless the literal cross-check tree is forced. `vec` is the raw
+    * vector for classic IVF+PQ, the residual for the FAISS-faithful
+    * residual form; `cbLit` must be the matching codebook literal.
+    */
+  private def pqCodesCol(vec: Column, cbLit: Column,
+                         norms: Array[Array[Long]],
+                         cbRow: (Int, Int) => Column,
+                         m: Int, sub: Int, codebookSize: Int): Column =
+    if (useNativePq) call_function("graft_pq_encode", vec, cbLit)
+    else array((0 until m).map { mi =>
+      val sl = slice(vec, mi * sub + 1, sub)
+      array_min(array((0 until codebookSize).map { ki =>
+        struct((lit(norms(mi)(ki)) - lit(2L) * Vectors.dotQNative(sl, cbRow(mi, ki))).as("d"),
+          lit(ki).as("k"))
+      }: _*)).getField("k")
+    }: _*)
+
+  /** The query-side ADC tables as ONE `array<array<long>>` column
+    * (m × codebookSize quantized subvector·entry dots) — native
+    * `graft_pq_luts` unless the literal tree is forced.
+    */
+  private def pqLutsCol(vec: Column, cbLit: Column,
+                        cbRow: (Int, Int) => Column,
+                        m: Int, sub: Int, codebookSize: Int): Column =
+    if (useNativePq) call_function("graft_pq_luts", vec, cbLit)
+    else array((0 until m).map { mi =>
+      val sl = slice(vec, mi * sub + 1, sub)
+      array((0 until codebookSize).map(ki =>
+        Vectors.dotQNative(sl, cbRow(mi, ki))): _*)
+    }: _*)
+
+  /** ADC score: m integer lookups `luts[mi][codes[mi]]` — never a float
+    * op per candidate. m terms inline (m is the small axis — 8..16);
+    * the codebookSize axis lives inside the luts/codes columns.
+    */
+  private def adcCol(luts: Column, codes: Column, m: Int): Column =
+    (0 until m).map(mi =>
+      element_at(element_at(luts, mi + 1), element_at(codes, mi + 1) + 1))
+      .reduce(_ + _)
+
+  /** The stored-index side of IVF+PQ: `(id, cell, codes)` — a pure
     * map-side projection of the corpus (no join, no shuffle). At scale
     * this table IS the ANN index, persisted partitioned BY CELL so a
     * probe's FileScan prunes to its nprobe cells (see
@@ -336,17 +405,10 @@ object SimilaritySearch {
   def ivfPqEncode(corpus: DataFrame, model: IvfPqModel,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import model._
-    def codeCol(vec: Column, mi: Int): Column = {
-      val sl = slice(vec, mi * sub + 1, sub)
-      array_min(array((0 until codebookSize).map { ki =>
-        struct((lit(cNorm(mi)(ki)) - lit(2L) * Vectors.dotQNative(sl, lit(cb(mi)(ki)))).as("d"),
-          lit(ki).as("k"))
-      }: _*)).getField("k").as(s"code$mi")
-    }
-    corpus.select(
-      col(idCol) +:
-        cellBest(col(vecCol), model.cents).getField("cid").as("cell") +:
-        (0 until model.m).map(mi => codeCol(col(vecCol), mi)): _*)
+    corpus.select(col(idCol),
+      cellBest(col(vecCol), model.cents).getField("cid").as("cell"),
+      pqCodesCol(col(vecCol), pqCbLitF(cb), cNorm,
+        (mi, ki) => lit(cb(mi)(ki)), m, sub, codebookSize).as("codes"))
   }
 
   /** The serving side: `queries` (any `(idCol, vecCol)` table — a
@@ -363,24 +425,17 @@ object SimilaritySearch {
                   model: IvfPqModel, k: Int, nprobe: Int, refine: Int,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import model._
-    // query side: probe cells + the ADC lookup tables (m arrays of
-    // codebookSize quantized dots — computed once per query row)
-    val lutCols = (0 until m).map { mi =>
-      val sl = slice(col("q_vec"), mi * sub + 1, sub)
-      array((0 until codebookSize).map(ki =>
-        Vectors.dotQNative(sl, lit(cb(mi)(ki)))): _*).as(s"lut$mi")
-    }
+    // query side: probe cells + the ADC lookup tables (m × codebookSize
+    // quantized dots — computed once per query row)
     val queries = queries0
-      .select(col(idCol).as("query_id") +: col(vecCol).as("q_vec") +: lutCols: _*)
-      .withColumn("luts", struct((0 until m).map(mi => col(s"lut$mi")): _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        pqLutsCol(col(vecCol), pqCbLitF(cb),
+          (mi, ki) => lit(cb(mi)(ki)), m, sub, codebookSize).as("luts"))
     val probeCells = withProbedCells(queries, model.cents, nprobe)
       .select(col("query_id"), col("q_vec"), col("luts"), col("cell"))
-    // ADC: m integer lookups per candidate, never a float op
-    val adc = (0 until m).map(mi =>
-      element_at(col("luts").getField(s"lut$mi"), col(s"code$mi") + 1)).reduce(_ + _)
     val cands = probeCells.join(coded, Seq("cell"))
       .filter(col("query_id") =!= col(idCol))
-      .withColumn("adc", adc)
+      .withColumn("adc", adcCol(col("luts"), col("codes"), m))
     val wa = Window.partitionBy("query_id")
       .orderBy(col("adc").desc, col(idCol).asc)
     val tail = cands.withColumn("rn", row_number().over(wa))
@@ -508,53 +563,89 @@ object SimilaritySearch {
     IvfRPqModel(base.cents, rcb, rNorm, m, sub, codebookSize)
   }
 
-  def ivfRPqTopK(corpus: DataFrame, queryPred: Column, k: Int, nlist: Int,
-                 nprobe: Int, m: Int, codebookSize: Int, refine: Int,
-                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val model = ivfRPqModel(corpus, nlist, m, codebookSize, idCol, vecCol)
-    val cents = model.cents
-    val rcb = model.rcb
-    val rNorm = model.rNorm
-    val sub = model.sub
-    // centroid matrix as ONE literal double matrix, indexed by cell —
-    // shared by the encode residual and the probe-side cell constant
-    val centLit = typedLit(cents.map(_._2.map(_.toDouble).toSeq).toSeq)
-    // encode: residual to the assigned cell, then per-subspace argmin
-    // of the quantized L2 surrogate ‖c‖q − 2·dotq(r, c) (ties → lowest
-    // code id) — a pure projection, no shuffle to build the code table
-    def codeCol(mi: Int): Column = {
-      val sl = slice(col("__res"), mi * sub + 1, sub)
-      array_min(array((0 until codebookSize).map { ki =>
-        struct((lit(rNorm(mi)(ki)) - lit(2L) * Vectors.dotQNative(sl, lit(rcb(mi)(ki)))).as("d"),
-          lit(ki).as("k"))
-      }: _*)).getField("k").as(s"code$mi")
-    }
-    val coded = corpus
+  /** The centroid matrix as ONE literal double matrix, indexed by cell
+    * — shared by the residual-encode subtraction and the probe-side
+    * cell constant.
+    */
+  private def centMatrixLitD(cents: Array[(Int, Array[Float])]): Column =
+    typedLit(cents.map(_._2.map(_.toDouble).toSeq).toSeq)
+
+  /** The stored-index side of residual IVF+PQ: `(id, cell, codes)` —
+    * residual to the assigned cell (exact double subtraction), then
+    * per-subspace argmin of the quantized L2 surrogate
+    * `‖c‖q − 2·dotq(r, c)` (ties → lowest code id). A pure projection:
+    * no shuffle to build the code table — the same persistable shape
+    * as [[ivfPqEncode]], which is what lets the residual form ride the
+    * cell-partitioned on-disk index instead of re-encoding per probe.
+    */
+  def ivfRPqEncode(corpus: DataFrame, model: IvfRPqModel,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import model._
+    val centLit = centMatrixLitD(cents)
+    corpus
       .withColumn("cell", cellBest(col(vecCol), cents).getField("cid"))
       .withColumn("__res", zip_with(col(vecCol).cast("array<double>"),
         element_at(centLit, col("cell") + 1), (a, b) => a - b))
-      .select(col(idCol) +: col("cell") +: (0 until m).map(codeCol): _*)
+      .select(col(idCol), col("cell"),
+        pqCodesCol(col("__res"), pqCbLitD(rcb), rNorm,
+          (mi, ki) => lit(rcb(mi)(ki)), m, sub, codebookSize).as("codes"))
+  }
+
+  /** BOTH encodes in one corpus pass — the build side of a dual-tier
+    * stored index `(id, cell, codes, rcodes)`: raw-subvector codes for
+    * the classic ADC probe and residual codes for the FAISS-faithful
+    * one share the coarse assignment (the two models are REQUIRED to
+    * share centroids), so one cell-partitioned table serves both
+    * probes and the corpus is scanned once per generation, not once
+    * per tier.
+    */
+  def ivfPqEncodeDual(corpus: DataFrame, model: IvfPqModel, rmodel: IvfRPqModel,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(model.cents.length == rmodel.cents.length &&
+      model.cents.zip(rmodel.cents).forall { case ((i1, v1), (i2, v2)) =>
+        i1 == i2 && java.util.Arrays.equals(v1, v2) },
+      "ivfPqEncodeDual: raw and residual models must share coarse centroids")
+    val centLit = centMatrixLitD(model.cents)
+    corpus
+      .withColumn("cell", cellBest(col(vecCol), model.cents).getField("cid"))
+      .withColumn("__res", zip_with(col(vecCol).cast("array<double>"),
+        element_at(centLit, col("cell") + 1), (a, b) => a - b))
+      .select(col(idCol), col("cell"),
+        pqCodesCol(col(vecCol), pqCbLitF(model.cb), model.cNorm,
+          (mi, ki) => lit(model.cb(mi)(ki)), model.m, model.sub,
+          model.codebookSize).as("codes"),
+        pqCodesCol(col("__res"), pqCbLitD(rmodel.rcb), rmodel.rNorm,
+          (mi, ki) => lit(rmodel.rcb(mi)(ki)), rmodel.m, rmodel.sub,
+          rmodel.codebookSize).as("rcodes"))
+  }
+
+  /** The serving side of residual IVF+PQ — [[ivfPqSearch]]'s exact
+    * shape plus the inner-product decomposition's per-(query,
+    * probed-cell) constant: `adc = dotq(q, c_cell) + Σ LUT[code]`,
+    * RAW-query LUTs against the residual codebook (the query is never
+    * residualized). `coded` is a `(id, cell, codes)` residual code
+    * table — [[ivfRPqEncode]]'s output inline, or the persisted
+    * artifact's `rcodes` for the stored-index shape.
+    */
+  def ivfRPqSearch(queries0: DataFrame, corpus: DataFrame, coded: DataFrame,
+                   model: IvfRPqModel, k: Int, nprobe: Int, refine: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import model._
+    val centLit = centMatrixLitD(cents)
     // queries: RAW-query LUTs against the residual codebook, computed
     // once per query row; the per-probed-cell dotq(q, c_cell) constant
     // attaches on the probe explode
-    val lutCols = (0 until m).map { mi =>
-      val sl = slice(col("q_vec"), mi * sub + 1, sub)
-      array((0 until codebookSize).map(ki =>
-        Vectors.dotQNative(sl, lit(rcb(mi)(ki)))): _*).as(s"lut$mi")
-    }
-    val queries = corpus.filter(queryPred)
-      .select(col(idCol).as("query_id") +: col(vecCol).as("q_vec") +: lutCols: _*)
-      .withColumn("luts", struct((0 until m).map(mi => col(s"lut$mi")): _*))
+    val queries = queries0
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        pqLutsCol(col(vecCol), pqCbLitD(rcb),
+          (mi, ki) => lit(rcb(mi)(ki)), m, sub, codebookSize).as("luts"))
     val probeCells = withProbedCells(queries, cents, nprobe)
       .withColumn("cellconst",
         Vectors.dotQNative(col("q_vec"), element_at(centLit, col("cell") + 1)))
       .select(col("query_id"), col("q_vec"), col("luts"), col("cell"), col("cellconst"))
-    val adc = (0 until m).map(mi =>
-      element_at(col("luts").getField(s"lut$mi"), col(s"code$mi") + 1))
-      .reduce(_ + _) + col("cellconst")
     val cands = probeCells.join(coded, Seq("cell"))
       .filter(col("query_id") =!= col(idCol))
-      .withColumn("adc", adc)
+      .withColumn("adc", adcCol(col("luts"), col("codes"), m) + col("cellconst"))
     val wa = Window.partitionBy("query_id")
       .orderBy(col("adc").desc, col(idCol).asc)
     val tail = cands.withColumn("rn", row_number().over(wa))
@@ -569,6 +660,27 @@ object SimilaritySearch {
     pairs.withColumn("rank", row_number().over(wr).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
+  }
+
+  /** The distinct cells the residual probe will touch — the
+    * [[ivfPqProbedCells]] counterpart for [[ivfRPqSearch]], through
+    * the same [[withProbedCells]] single source.
+    */
+  def ivfRPqProbedCells(queries: DataFrame, model: IvfRPqModel,
+                        nprobe: Int, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): Seq[Int] =
+    withProbedCells(
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+        model.cents, nprobe)
+      .select("cell").distinct().collect().map(_.getInt(0)).toSeq.sorted
+
+  def ivfRPqTopK(corpus: DataFrame, queryPred: Column, k: Int, nlist: Int,
+                 nprobe: Int, m: Int, codebookSize: Int, refine: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val model = ivfRPqModel(corpus, nlist, m, codebookSize, idCol, vecCol)
+    ivfRPqSearch(corpus.filter(queryPred), corpus,
+      ivfRPqEncode(corpus, model, idCol, vecCol), model,
+      k, nprobe, refine, idCol, vecCol)
   }
 
   /** ANN via LSH buckets + exact rerank. Multi-probe is the `numTables`

@@ -159,7 +159,9 @@ object ExtQ {
     // registered so the between-queries drain releases that last handle
     // too instead of pinning one label table per invocation)
     batchBandHandles.foreach(_.unpersist())
-    if (labelsOwned) graft.CacheRegistry.register(labels)
+    // explicit owner: `labels` was built inside foreachBatch, whose
+    // cloned session would never match the caller's drain(s)
+    if (labelsOwned) graft.CacheRegistry.register(labels, s)
     labels
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))

@@ -439,23 +439,35 @@ object TextQ {
   private[graft] val AnnM = 8
   private[graft] val AnnCb = 16
 
-  /** The persisted IVF+PQ INDEX artifact `(vec_id, code0..m-1)`
+  /** The persisted IVF+PQ INDEX artifact `(vec_id, codes, rcodes)`
     * partitioned BY CELL — the fifth leg of the signature store and
     * the ANN serving posture at 100 TB: the code table is a maintained
-    * on-disk index (one byte-ish per subspace per vector), laid out so
-    * a query's nprobe cells become PartitionFilters on the FileScan
-    * and the probe never touches the other nlist−nprobe cells. The
-    * float vectors stay in the base table, joined back only for the
-    * rerank tail. Same (length, mtime) keying, `_SUCCESS` gating and
-    * params-tag invalidation as the band store.
+    * on-disk index (one byte-ish per subspace per vector per tier),
+    * laid out so a query's nprobe cells become PartitionFilters on the
+    * FileScan and the probe never touches the other nlist−nprobe
+    * cells. DUAL-TIER since round 16: `codes` is the raw-subvector
+    * encode (s09's probe), `rcodes` the residual encode (s11's) — both
+    * tiers share the coarse assignment, so one corpus pass per
+    * generation builds both and neither probe ever pays an encode.
+    * The float vectors stay in the base table, joined back only for
+    * the rerank tail. Same (length, mtime) keying, `_SUCCESS` gating
+    * and params-tag invalidation as the band store; the model
+    * artifacts (centroids + codebooks) are deterministic samples of
+    * the same generation, so probes rebuild them driver-side (a ≤
+    * codebookSize-row collect) rather than reading them from disk.
     */
   private[graft] def annArtifact(s: org.apache.spark.sql.SparkSession, d: String): String =
     graft.sources.ArtifactStore.resolve(s, "graft_ann_artifact",
       Seq(new java.io.File(d, "embeddings.parquet")),
-      sub = s"nl${AnnNlist}m${AnnM}cb$AnnCb") { dir =>
+      // "dca" = dual codes-as-array layout (round 16): the per-subspace
+      // code columns became ONE array<int> column when the encode went
+      // native, plus the residual tier's rcodes — layout changes, so
+      // the tag must invalidate older stores
+      sub = s"nl${AnnNlist}m${AnnM}cb${AnnCb}dca") { dir =>
       val emb = Tables.embeddings(s, d)
       val model = SimilaritySearch.ivfPqModel(emb, AnnNlist, AnnM, AnnCb)
-      SimilaritySearch.ivfPqEncode(emb, model)
+      val rmodel = SimilaritySearch.ivfRPqModel(emb, AnnNlist, AnnM, AnnCb)
+      SimilaritySearch.ivfPqEncodeDual(emb, model, rmodel)
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(dir)
     }
@@ -820,7 +832,14 @@ object TextQ {
     * THIS): written once per embedding generation,
     *   - `cents/` — the frozen k-means centroid model (k rows), the
     *     SemDeDup analogue of the PQ codebook: ingest batches assign
-    *     under it without re-training;
+    *     under it without re-training. NOTE (ADVICE r15): these
+    *     centroids are trained by kmeansCentroids over ALL embeddings
+    *     — including the rows the d21 batch later re-ingests — because
+    *     d21 is pinned bit-identical to d19's full-table oracle, and
+    *     d19 clusters the full table. The incremental ≡ batch identity
+    *     holds for ANY shared frozen centroid set (that is the
+    *     property d21 actually pins); unlike d22's frozen LMs, the
+    *     centroid training here is NOT itself batch-independent;
     *   - `state/` — per-CORPUS-vector `(vec_id, cluster, cos_centroid,
     *     dup_group)`: assignment under the frozen model + duplicate
     *     groups from corpus–corpus within-cluster edges at
@@ -2382,6 +2401,30 @@ object TextQ {
       (s, d) => SimilaritySearch.ivfRPqTopK(Tables.embeddings(s, d),
         queryPred = col("vec_id") < 10, k = 5, nlist = AnnNlist, nprobe = 2,
         m = AnnM, codebookSize = AnnCb, refine = 20),
+      Some(IvfRPqOracleSql)),
+
+    // s10's STORED-INDEX form — closing the gap the round-15 verdict
+    // priced (s10 inline-encoded the corpus every run, exactly the
+    // cost s09 removed for raw PQ): the RESIDUAL codes ride the same
+    // cell-partitioned dual-tier artifact as s09's raw codes
+    // (annArtifact `rcodes`), the probe's nprobe cells prune the
+    // FileScan (PlanShapeSpec pins the PartitionFilters), and the
+    // probe pays LUTs + cell constants + ADC + rerank — never the
+    // encode. Same oracle as s10: the residual code table is a
+    // deterministic projection, so stored and inline forms must
+    // answer row-identically.
+    Q("s11_ivf_rpq_store",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val rmodel = SimilaritySearch.ivfRPqModel(emb, AnnNlist, AnnM, AnnCb)
+        val queries = emb.filter(col("vec_id") < 10)
+        val cells = SimilaritySearch.ivfRPqProbedCells(queries, rmodel, nprobe = 2)
+        val coded = s.read.parquet(annArtifact(s, d))
+          .where(col("cell").isin(cells: _*))
+          .select(col("vec_id"), col("cell"), col("rcodes").as("codes"))
+        SimilaritySearch.ivfRPqSearch(queries, emb, coded, rmodel,
+          k = 5, nprobe = 2, refine = 20)
+      },
       Some(IvfRPqOracleSql)),
 
     // PII scrubbing (C4-style cleanup). The synthetic corpus carries no

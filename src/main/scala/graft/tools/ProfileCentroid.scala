@@ -9,8 +9,10 @@ import graft.operators.SimilaritySearch
   * broadcast-native graft_cell_argmax, on a replicated corpus. The
   * native path must stay ~flat per (row·k·dim) unit as k grows 8→1024;
   * the literal path is expected to degrade (interpreted fallback /
-  * codegen pressure) past a few dozen centroids — the reason the auto
-  * threshold exists. Results recorded in PLANS.md.
+  * codegen pressure) past a few dozen centroids — the measurement
+  * behind making the native path unconditional (it won at every k in
+  * the sweep, so there is no auto threshold — literal survives only
+  * as the forced cross-check). Results recorded in PLANS.md.
   *
   * Run: sbt "runMain graft.tools.ProfileCentroid"
   */

@@ -108,7 +108,14 @@ class AnnSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1)))
     val (rRaw, rRes) = (recall(raw), recall(residual))
     info(f"recall@$k raw=$rRaw%.3f residual=$rRes%.3f")
-    assert(rRes >= rRaw,
+    // small tolerance (one of 50 top-k slots) so a future testdata
+    // regeneration can't turn generation-level sample noise into a
+    // hard failure — the strict ordering (0.32 vs 0.26 on the current
+    // generation) is a data property, not a code invariant; the exact
+    // bit-parity tests above are the hard correctness check (ADVICE
+    // r15)
+    val eps = 1.0 / exact.size + 1e-9
+    assert(rRes >= rRaw - eps,
       f"residual encoding must not lose recall at equal budget: raw=$rRaw%.3f residual=$rRes%.3f")
   }
 

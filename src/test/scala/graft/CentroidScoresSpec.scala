@@ -104,7 +104,7 @@ class CentroidScoresSpec extends AnyFunSuite {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val out = SimilaritySearch.kmeansAssign(emb, k = 256, iters = 1)
     val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("graft_cell_argmax"), s"k=256 must auto-select native:\n$plan")
+    assert(plan.contains("graft_cell_argmax"), s"k=256 must use the native expression:\n$plan")
     val lines = plan.linesIterator.filter(_.contains("graft_cell_argmax")).toSeq
     assert(lines.nonEmpty && lines.forall(_.trim.matches("""^[+\-:\s]*\*\(\d+\).*""")),
       s"graft_cell_argmax must be inside WholeStageCodegen:\n${lines.mkString("\n")}")

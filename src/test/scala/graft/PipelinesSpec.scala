@@ -161,8 +161,8 @@ class PipelinesSpec extends AnyFunSuite {
     val gen1 = artifacts(Run.run(spark, "ann-maintain", Seq(s"data=$dir")))
     def result(q: String): Seq[String] =
       SparkEntry.queries(q)(spark, dir).collect().map(_.toString).sorted.toSeq
-    val before = Seq("s09_ivf_pq_store", "st8_stream_ann_probe",
-      "d21_semdedup_incremental").map(q => q -> result(q))
+    val before = Seq("s09_ivf_pq_store", "s11_ivf_rpq_store",
+      "st8_stream_ann_probe", "d21_semdedup_incremental").map(q => q -> result(q))
     // hold gen-1 relations across the regeneration
     val staleIndex = spark.read.parquet(gen1.head)
     regenerate(5000)

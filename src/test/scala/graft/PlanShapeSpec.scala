@@ -200,6 +200,39 @@ class PlanShapeSpec extends AnyFunSuite {
         scans.map(_.selectedPartitions.partitionCount).mkString(","))
   }
 
+  test("s11: stored RESIDUAL index probe partition-prunes and reads rcodes, not the vectors") {
+    // the residual tier rides the same dual-tier artifact: its probe
+    // must FileScan the store with the probed cells as
+    // PartitionFilters, read ONLY the rcodes column of the code tiers
+    // (column pruning: s09's codes must not be fetched), and never
+    // re-encode the corpus
+    val p = plan("s11_ivf_rpq_store")
+    assert(p.contains("graft_ann_artifact"),
+      s"s11 must FileScan the persisted index:\n${p.take(4000)}")
+    assert("PartitionFilters: \\[[^\\]]*".r.findAllIn(p)
+      .exists(_.contains("cell")),
+      s"index scan must carry a cell partition filter:\n${p.take(4000)}")
+    val scans = SparkEntry.queries("s11_ivf_rpq_store")(spark, dir)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("graft_ann_artifact")) => f
+      }
+    assert(scans.nonEmpty, p)
+    assert(scans.forall(f => f.requiredSchema.fieldNames.contains("rcodes") &&
+        !f.requiredSchema.fieldNames.contains("codes")),
+      s"index scan must read rcodes only, got " +
+        scans.map(_.requiredSchema.fieldNames.mkString("/")).mkString(","))
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir)
+    val rmodel = graft.operators.SimilaritySearch.ivfRPqModel(emb,
+      graft.queries.TextQ.AnnNlist, graft.queries.TextQ.AnnM, graft.queries.TextQ.AnnCb)
+    val cells = graft.operators.SimilaritySearch.ivfRPqProbedCells(
+      emb.filter(col("vec_id") < 10), rmodel, nprobe = 2)
+    assert(scans.forall(_.selectedPartitions.partitionCount == cells.length),
+      s"expected ${cells.length} partitions read, got " +
+        scans.map(_.selectedPartitions.partitionCount).mkString(","))
+  }
+
   test("d17: corpus cluster labels FileScan the persisted artifact, never re-cluster") {
     // The incremental-maintenance posture: the corpus's cluster
     // assignment is a maintained on-disk table (clusterArtifact) the
