@@ -691,9 +691,12 @@ object SimilaritySearch {
     * arithmetic — the clustering backbone for corpus-diversity analysis
     * and SemDeDup-style semantic selection.
     *
-    * Seeding and scale posture follow [[ivfTopK]]: centroids are the
-    * first `k` ids (swap for k-means‖ sampling in production) and live
-    * as LITERALS inside a per-row argmax projection, so each Lloyd
+    * Seeding (round 16): the default is a HASH-GATED order-statistics
+    * draw — the k rows with the smallest LCG key, the same
+    * oracle-replayable gate as the sampling operators — replacing the
+    * first-k-ids draw (retained as `seeding="first"`), which on a real
+    * ingest-ordered corpus is a degenerate seed. Centroids live as
+    * LITERALS inside a per-row argmax projection, so each Lloyd
     * assignment pass is a full scan with NO join and NO shuffle over
     * the vectors. The only shuffle per iteration is the centroid
     * update — `posexplode` to (cluster, dim) keys, an integer partial
@@ -708,8 +711,10 @@ object SimilaritySearch {
     * make round count data-dependent; pipelines run a fixed budget.
     */
   def kmeansAssign(vecs: DataFrame, k: Int, iters: Int,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    assignWithCentroids(vecs, kmeansCentroids(vecs, k, iters, idCol, vecCol),
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   seeding: String = "hash"): DataFrame =
+    assignWithCentroids(vecs,
+      kmeansCentroids(vecs, k, iters, idCol, vecCol, seeding),
       idCol, vecCol)
 
   /** The trained centroid MODEL from [[kmeansAssign]]'s Lloyd loop — a
@@ -720,19 +725,51 @@ object SimilaritySearch {
     */
   def kmeansCentroids(vecs: DataFrame, k: Int, iters: Int,
                       idCol: String = "vec_id",
-                      vecCol: String = "embedding"): Array[(Int, Array[Float])] = {
+                      vecCol: String = "embedding",
+                      seeding: String = "hash"): Array[(Int, Array[Float])] = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    var cents: Array[(Int, Array[Float])] = vecs.filter(col(idCol) < k)
-      .select(col(idCol).cast("int").as("cid"),
-        col(vecCol).cast("array<float>").as("cv"))
-      .collect().map { r =>
-        require(!r.isNullAt(1),
-          s"kmeansAssign seed $idCol=${r.getInt(0)} has a null $vecCol")
-        (r.getInt(0), r.getSeq[Float](1).toArray)
-      }.sortBy(_._1)
+    require(Set("hash", "first")(seeding),
+      s"seeding must be hash|first, got $seeding")
+    // "hash" (default): the k rows with the smallest LCG key
+    // pmod(id·A + C, M) (ties → lowest id), re-labeled cid 0..k-1 in
+    // key order — a deterministic, oracle-replayable ORDER-STATISTICS
+    // sample of the corpus (Spark plans the orderBy+limit as a
+    // per-partition top-k + driver merge: no full sort, no shuffle of
+    // the vectors). At 100 TB this is a uniform pseudo-random seed
+    // draw, where "first k ids" (the retained `seeding="first"`
+    // cross-check) is a degenerate, ingest-order-biased one — cluster
+    // quality (SemDeDup's Σ|cluster|² bound) inherits the seeds.
+    // Same LCG caveat as the sampling gates: swap the key for
+    // xxhash64 in production where ids approach ~8e9 (multiply
+    // overflow); swap in k-means‖ offline without touching the
+    // serving plan. KmeansSeedingSpec pins hash ≥ first on mean
+    // assignment cosine for the catalog data.
+    val seedRows =
+      if (seeding == "hash") {
+        import TextAnalysis.{SampleLcgA, SampleLcgC, SampleModulus}
+        vecs.select(col(idCol), col(vecCol).cast("array<float>").as("cv"))
+          .withColumn("__k", pmod(col(idCol) * lit(SampleLcgA) + lit(SampleLcgC),
+            lit(SampleModulus)))
+          .orderBy(col("__k"), col(idCol))
+          .limit(k)
+          .collect().zipWithIndex.map { case (r, i) =>
+            require(!r.isNullAt(1),
+              s"kmeansAssign seed $idCol=${r.get(0)} has a null $vecCol")
+            (i, r.getSeq[Float](1).toArray)
+          }
+      } else vecs.filter(col(idCol) < k)
+        .select(col(idCol).cast("int").as("cid"),
+          col(vecCol).cast("array<float>").as("cv"))
+        .collect().map { r =>
+          require(!r.isNullAt(1),
+            s"kmeansAssign seed $idCol=${r.getInt(0)} has a null $vecCol")
+          (r.getInt(0), r.getSeq[Float](1).toArray)
+        }.sortBy(_._1)
+    var cents: Array[(Int, Array[Float])] = seedRows
     require(cents.length == k,
-      s"kmeansAssign sampled ${cents.length} seed centroids, expected $k " +
-        s"— '$idCol < $k' assumes dense 0-based ids")
+      s"kmeansAssign sampled ${cents.length} seed centroids, expected $k" +
+        (if (seeding == "first") s" — '$idCol < $k' assumes dense 0-based ids"
+         else s" — corpus has fewer than $k rows"))
     for (_ <- 1 until iters) {
       val assigned = vecs.select(col(vecCol).as("v"),
         cellBest(col(vecCol), cents).getField("cid").as("cl"))

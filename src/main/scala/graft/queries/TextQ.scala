@@ -377,7 +377,16 @@ object TextQ {
     */
   private[graft] def prunedCorpusBands(s: org.apache.spark.sql.SparkSession,
                                        d: String, prefixes: Seq[String]) =
-    s.read.parquet(s"${bandArtifact(s, d)}/pfx")
+    // resolveExisting, not resolve: this is the per-trigger probe the
+    // streaming ingests (st6/st7) run inside foreachBatch — a missing
+    // store there is a maintenance outage and must fail loudly, never
+    // silently rebuild the corpus banding inside a micro-batch trigger
+    // (StreamBoundarySpec pins it; the queries' pre-stream resolve /
+    // dedup-maintain own the build)
+    s.read.parquet(graft.sources.ArtifactStore.resolveExisting(s,
+        "graft_band_artifact",
+        Seq(new java.io.File(d, "documents.parquet")),
+        sub = BandArtifactTag) + "/pfx")
       .where(col("sig_pfx").isin(prefixes: _*))
       .filter(col("source") =!= "src0")
       .select("band", "band_sig", "doc_id")
@@ -709,15 +718,20 @@ object TextQ {
         |  doc_id = cluster_id AS keep
         |FROM cc""".stripMargin
 
-  /** Shared 2-iteration Lloyd k-means oracle CTEs (k=8, seeded by
-    * the first 8 vectors) — ends in `assign(vec_id, cluster,
+  /** Shared 2-iteration Lloyd k-means oracle CTEs (k=8, hash-gated
+    * seed draw: the 8 rows with the smallest LCG key, re-labeled cid
+    * 0..7 in key order — transcribing kmeansCentroids' default
+    * `seeding="hash"`) — ends in `assign(vec_id, cluster,
     * cos_centroid)`. One copy for both consumers (s05's assignment
-    * dump and d19's SemDeDup grouping) so a centroid-formula edit
-    * cannot reach one and not the other.
+    * dump and d19's SemDeDup grouping) so a centroid-formula or
+    * seeding edit cannot reach one and not the other.
     */
   private[graft] lazy val KmeansCtes: String =
     """cents0 AS (
-        |  SELECT CAST(vec_id AS INT) AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+        |  SELECT CAST(row_number() OVER (ORDER BY (vec_id * 1103515245 + 12345) % 2147483648, vec_id) AS INT) - 1 AS cid,
+        |    embedding AS cv
+        |  FROM embeddings
+        |  QUALIFY row_number() OVER (ORDER BY (vec_id * 1103515245 + 12345) % 2147483648, vec_id) <= 8
         |), cc1 AS (
         |  SELECT v.vec_id, c.cid,
         |    CAST(sum(CAST(ROUND(CAST(v.embedding[i + 1] AS DOUBLE) * CAST(c.cv[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq,
@@ -771,6 +785,14 @@ object TextQ {
   private[graft] val SemK = 8
   private[graft] val SemIters = 2
   private[graft] val SemTau = 0.40
+
+  /** Params/layout tag for the semantic artifact (ArtifactStore sub),
+    * single-sourced between the build ([[semArtifact]]) and the
+    * probe-side resolveExisting ([[prunedSemState]]) so the two can
+    * never address different stores. "dual" = compact + byclust
+    * layouts; "hs" = hash-gated k-means seeding (round 16).
+    */
+  private[graft] val SemArtifactTag = s"k${SemK}i${SemIters}t${SemTau}dualhs"
 
   /** Ingest split for the semantic tier: vec_id ≡ 7 (mod 10) plays the
     * arriving batch (≈10% of vectors, size-invariant across SFs),
@@ -855,7 +877,7 @@ object TextQ {
       Seq(new java.io.File(d, "embeddings.parquet")),
       // layout tag: dual state layout (compact + cluster-partitioned);
       // a param OR layout change must bump this sub (ADVICE r13 rule)
-      sub = s"k${SemK}i${SemIters}t${SemTau}dual") { dir =>
+      sub = SemArtifactTag) { dir =>
       val emb = Tables.embeddings(s, d)
       val cents = graft.operators.SimilaritySearch.kmeansCentroids(
         emb, SemK, SemIters)
@@ -907,7 +929,13 @@ object TextQ {
     */
   private[graft] def prunedSemState(s: org.apache.spark.sql.SparkSession,
                                     d: String, clusters: Seq[Int]) =
-    s.read.parquet(s"${semArtifact(s, d)}/byclust")
+    // resolveExisting: probe-side twin of the semArtifact build — d21
+    // resolves the artifact before probing, and a trigger-shaped
+    // consumer must never own the corpus clustering build
+    s.read.parquet(graft.sources.ArtifactStore.resolveExisting(s,
+        "graft_sem_artifact",
+        Seq(new java.io.File(d, "embeddings.parquet")),
+        sub = SemArtifactTag) + "/byclust")
       .where(col("cluster").isin(clusters: _*))
       .select(col("cluster"), col("vec_id"))
 

@@ -46,11 +46,12 @@ import org.apache.spark.sql.SparkSession
   */
 object ArtifactStore {
 
-  /** Returns the artifact directory, building it via `build(dir)` if
-    * this generation has not been (fully) written yet.
+  /** The artifact directory this (kind, sources, sub) resolves to —
+    * shared by [[resolve]] (build-if-missing) and [[resolveExisting]]
+    * (fail-if-missing) so the two can never address different paths.
     */
-  def resolve(spark: SparkSession, kind: String, sources: Seq[java.io.File],
-              sub: String = "")(build: String => Unit): String = {
+  private def locate(kind: String, sources: Seq[java.io.File],
+                     sub: String): (String, String, String) = {
     val dsHash = {
       val md = java.security.MessageDigest.getInstance("MD5")
       sources.foreach(f => md.update(f.getAbsolutePath.getBytes("UTF-8")))
@@ -61,7 +62,37 @@ object ArtifactStore {
         .reduce(_ * 998244353L + _))
     val dsDir = s"${System.getProperty("java.io.tmpdir")}/$kind/$dsHash"
     val base = dsDir + (if (sub.nonEmpty) s"/$sub" else "")
-    val dir = s"$base/$genTag"
+    (dsDir, base, s"$base/$genTag")
+  }
+
+  /** [[resolve]]'s read-only twin for PROBE paths that must never own
+    * a build — above all the per-trigger probes inside a streaming
+    * foreachBatch: an artifact missing there means the maintenance job
+    * (dedup-maintain / ann-maintain, or the query's own pre-stream
+    * resolve) didn't run for this generation, and silently rebuilding
+    * a corpus-sized store inside a micro-batch trigger would bury a
+    * maintenance outage as a mystery slow trigger. Fails loudly
+    * instead (StreamBoundarySpec pins it).
+    */
+  def resolveExisting(spark: SparkSession, kind: String,
+                      sources: Seq[java.io.File], sub: String = ""): String = {
+    val (_, _, dir) = locate(kind, sources, sub)
+    val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) throw new IllegalStateException(
+      s"artifact $kind is not built for this data generation ($dir): " +
+        "run the maintenance path (dedup-maintain/ann-maintain or the " +
+        "query's pre-stream resolve) first — a streaming trigger never " +
+        "builds stores inline")
+    dir
+  }
+
+  /** Returns the artifact directory, building it via `build(dir)` if
+    * this generation has not been (fully) written yet.
+    */
+  def resolve(spark: SparkSession, kind: String, sources: Seq[java.io.File],
+              sub: String = "")(build: String => Unit): String = {
+    val (dsDir, base, dir) = locate(kind, sources, sub)
     val basePath = new org.apache.hadoop.fs.Path(base)
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) {
@@ -71,7 +102,7 @@ object ArtifactStore {
       // deleting first keeps peak disk at ~one generation)
       if (fs.exists(basePath))
         fs.listStatus(basePath).map(_.getPath)
-          .filter(_.getName != genTag)
+          .filter(_.getName != dir.substring(dir.lastIndexOf('/') + 1))
           .foreach(p => fs.delete(p, true))
       // GC stale PARAM/LAYOUT subs (and pre-sub flat generations) of
       // this dataset: a params change retires the whole old sub tree

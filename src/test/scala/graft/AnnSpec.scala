@@ -158,12 +158,18 @@ class AnnSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
     assert(a1.length == 60 && a1.map(_._1).distinct.length == 60)
     assert(a1.forall { case (_, cl, _) => cl >= 0 && cl < 8 })
-    // at iters=1 the centroids ARE the first 8 vectors: each seed's own
-    // quantized cosine is exactly 1.0 after the 9-decimal round, and no
-    // other centroid can beat 1.0 (ties break to the seed's own lower id
-    // only when equal — the seed still wins its own cluster)
-    for ((id, cl, cos) <- a1 if id < 8) {
-      assert(cl == id, s"seed $id assigned to $cl")
+    // at iters=1 the centroids ARE the seed draw (hash-gated since
+    // round 16: the 8 smallest LCG keys, cid = key order): each seed's
+    // own quantized cosine is exactly 1.0 after the 9-decimal round,
+    // and no other centroid can beat 1.0 (ties break to the lower cid
+    // only when equal — the seed still wins its own cluster unless it
+    // duplicates an earlier seed, which these ids don't)
+    val seedIds = (0 until 60)
+      .sortBy(id => ((id.toLong * 1103515245L + 12345L) % 2147483648L, id.toLong))
+      .take(8)
+    for (((id, expCl), _) <- seedIds.zipWithIndex.map { case (id, i) => ((id, i), i) }) {
+      val (_, cl, cos) = a1.find(_._1 == id).get
+      assert(cl == expCl, s"seed $id expected cluster $expCl, got $cl")
       assert(cos == 1.0, s"seed $id cos $cos")
     }
     // vec 40 is an exact copy of vec 10: identical rows must co-assign

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The stream/maintenance boundary (round-16 verdict item 5): the
+  * per-trigger probes the streaming ingests run inside foreachBatch
+  * (prunedCorpusBands for st6/st7, prunedSemState for d21-shaped
+  * consumers) must FAIL LOUDLY when the artifact store is missing for
+  * the data generation — never silently rebuild a corpus-sized store
+  * inside a micro-batch trigger. The build is owned by the maintenance
+  * CLI (dedup-maintain/ann-maintain) or the query's pre-stream
+  * resolve; a missing store at probe time is a maintenance outage and
+  * must read as one.
+  */
+class StreamBoundarySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def freshDir(name: String, table: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_$name").toFile
+    dir.deleteOnExit()
+    val src = spark.read.parquet(s"/root/testdata/sf0.001/$table")
+    src.coalesce(1).write.mode("overwrite")
+      .parquet(new java.io.File(dir, table).getAbsolutePath)
+    dir.getAbsolutePath
+  }
+
+  test("prunedCorpusBands fails loudly on an unbuilt band store (no inline build)") {
+    // a fresh copy of the documents table = a data generation no
+    // maintenance job has ever banded
+    val d = freshDir("sbound_docs", "documents.parquet")
+    val e = intercept[IllegalStateException] {
+      graft.queries.TextQ.prunedCorpusBands(spark, d, Seq("00", "01"))
+    }
+    assert(e.getMessage.contains("graft_band_artifact") &&
+      e.getMessage.contains("maintenance"),
+      s"missing-store probe must name the artifact and the fix: ${e.getMessage}")
+    // and the probe must NOT have built anything as a side effect
+    // (resolve() would have): a subsequent resolveExisting still throws
+    intercept[IllegalStateException] {
+      graft.queries.TextQ.prunedCorpusBands(spark, d, Seq("00"))
+    }
+    // after the maintenance build, the same probe serves
+    graft.queries.TextQ.bandArtifact(spark, d)
+    assert(graft.queries.TextQ.prunedCorpusBands(spark, d, Seq("00", "01"))
+      .columns.toSeq == Seq("band", "band_sig", "doc_id"))
+  }
+
+  test("prunedSemState fails loudly on an unbuilt semantic store") {
+    val d = freshDir("sbound_emb", "embeddings.parquet")
+    val e = intercept[IllegalStateException] {
+      graft.queries.TextQ.prunedSemState(spark, d, Seq(0, 1))
+    }
+    assert(e.getMessage.contains("graft_sem_artifact"),
+      s"missing-store probe must name the artifact: ${e.getMessage}")
+    graft.queries.TextQ.semArtifact(spark, d)
+    assert(graft.queries.TextQ.prunedSemState(spark, d, Seq(0, 1))
+      .columns.toSeq == Seq("cluster", "vec_id"))
+  }
+
+  test("resolveExisting and resolve address the same directory") {
+    // the two resolvers share locate(): a probe can never address a
+    // different store than the build wrote (path-derivation drift
+    // would turn every probe into a false maintenance outage)
+    val d = freshDir("sbound_same", "documents.parquet")
+    val built = graft.queries.TextQ.bandArtifact(spark, d)
+    val probed = graft.sources.ArtifactStore.resolveExisting(spark,
+      "graft_band_artifact",
+      Seq(new java.io.File(d, "documents.parquet")), sub = "h16b2p2dual")
+    assert(built == probed)
+  }
+}
