@@ -79,6 +79,37 @@ object SimilaritySearch {
   private def pqCbLitD(cb: Array[Array[Array[Double]]]): Column =
     typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
 
+  /** THE deterministic seed draw every model artifact samples with
+    * (round 16 — replaces first-k-ids everywhere): the n rows with the
+    * smallest LCG key `pmod(id·A + C, M)` (ties → lowest id),
+    * re-labeled 0..n-1 in key order. Spark plans the orderBy+limit as
+    * a per-partition top-k + driver merge — no full sort, no shuffle
+    * of the vectors — so at 100 TB this is a uniform order-statistics
+    * sample where first-k-ids is ingest-order-biased. Replayable in
+    * any SQL engine (QUALIFY row_number over the same key); same LCG
+    * caveat as the sampling gates (swap the key for xxhash64 where ids
+    * approach ~8e9). Swap in k-means-trained seeds offline without
+    * touching any serving plan.
+    */
+  private def hashSeeds(vecs: DataFrame, n: Int, lcgC: Long,
+                        idCol: String, vecCol: String,
+                        what: String): Array[(Int, Array[Float])] = {
+    import TextAnalysis.{SampleLcgA, SampleModulus}
+    val rows = vecs.select(col(idCol), col(vecCol).cast("array<float>").as("cv"))
+      .withColumn("__k", pmod(col(idCol) * lit(SampleLcgA) + lit(lcgC),
+        lit(SampleModulus)))
+      .orderBy(col("__k"), col(idCol))
+      .limit(n)
+      .collect().zipWithIndex.map { case (r, i) =>
+        require(!r.isNullAt(1),
+          s"$what seed $idCol=${r.get(0)} has a null $vecCol")
+        (i, r.getSeq[Float](1).toArray)
+      }
+    require(rows.length == n,
+      s"$what: sampled ${rows.length} seeds, expected $n — corpus has fewer than $n rows")
+    rows
+  }
+
   /** The centroid matrix as ONE foldable literal — cid must equal
     * position (both samplers require dense 0-based ids; re-asserted
     * here because the native expressions use position AS the cid).
@@ -236,23 +267,11 @@ object SimilaritySearch {
     // corpus cell assignment below is then a pure projection: per-row
     // array of (ccos, cid) structs + array_max argmax — NO join and NO
     // shuffle over the corpus (PLANS item: at 100 TB only the probed
-    // cells' rerank join moves data).
-    // cast to array<float> so a corpus stored as array<double> reads
-    // correctly, and reject null centroid vectors loudly (getSeq on a
-    // null would otherwise surface as an opaque NPE)
-    val cents = corpus.filter(col(idCol) < nlist)
-      .select(col(idCol).cast("int").as("cid"),
-        col(vecCol).cast("array<float>").as("cv"))
-      .collect().map { r =>
-        require(!r.isNullAt(1),
-          s"ivfTopK centroid $idCol=${r.getInt(0)} has a null $vecCol — " +
-            s"'$idCol < $nlist' assumes non-null embeddings for the sampled centroids")
-        (r.getInt(0), r.getSeq[Float](1).toArray)
-      }
-      .sortBy(_._1)
-    require(cents.length == nlist,
-      s"ivfTopK sampled ${cents.length} centroids, expected $nlist — " +
-        s"'$idCol < $nlist' assumes dense 0-based ids; train/pass centroids explicitly otherwise")
+    // cells' rerank join moves data). Seeds are the hash-gated draw
+    // ([[hashSeeds]]) — swap in k-means-trained centroids offline
+    // without touching the serving plan.
+    val cents = hashSeeds(corpus, nlist, TextAnalysis.SampleLcgC,
+      idCol, vecCol, "ivfTopK centroid")
     // struct ordering (literal path) is lexicographic: max ccos first,
     // then max -cid == min cid — identical to ORDER BY ccos DESC,
     // cid ASC rank 1; the native path encodes the same tie-break
@@ -326,21 +345,21 @@ object SimilaritySearch {
 
   def ivfPqModel(corpus: DataFrame, nlist: Int, m: Int, codebookSize: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding"): IvfPqModel = {
-    def sample(n: Int, what: String) = {
-      val rows = corpus.filter(col(idCol) < n)
-        .select(col(idCol).cast("int"), col(vecCol).cast("array<float>"))
-        .collect().map { r =>
-          require(!r.isNullAt(1),
-            s"ivfPq $what $idCol=${r.getInt(0)} has a null $vecCol")
-          (r.getInt(0), r.getSeq[Float](1).toArray)
-        }.sortBy(_._1)
-      require(rows.length == n,
-        s"ivfPq sampled ${rows.length} $what seeds, expected $n — " +
-          s"'$idCol < $n' assumes dense 0-based ids")
-      rows
-    }
-    val cents = sample(nlist, "centroid")
-    val cbVecs = sample(codebookSize, "codebook")
+    // ONE shared hash stream for both draws. Two consequences, both
+    // fine: the first min(nlist, codebookSize) codebook seeds are
+    // exactly the centroids, so the RESIDUAL codebook gets that many
+    // zero codewords ("sits at the centroid" — a codeword FAISS's
+    // trained residual codebooks grow organically) and the raw form
+    // spends them on centroid subvectors (representative prototypes).
+    // A second LCG INCREMENT would not decorrelate anyway — changing C
+    // shifts every key by a constant, which preserves the ordering
+    // except across the modulus wrap (~n·ΔC/M rows, ≈0 here); real
+    // decorrelation needs a different multiplier or hash, and nothing
+    // here needs it.
+    val cents = hashSeeds(corpus, nlist, TextAnalysis.SampleLcgC,
+      idCol, vecCol, "ivfPq centroid")
+    val cbVecs = hashSeeds(corpus, codebookSize, TextAnalysis.SampleLcgC,
+      idCol, vecCol, "ivfPq codebook")
     val dims = cbVecs.head._2.length
     require(dims % m == 0, s"m=$m must divide dims=$dims")
     val sub = dims / m
@@ -745,19 +764,9 @@ object SimilaritySearch {
     // serving plan. KmeansSeedingSpec pins hash ≥ first on mean
     // assignment cosine for the catalog data.
     val seedRows =
-      if (seeding == "hash") {
-        import TextAnalysis.{SampleLcgA, SampleLcgC, SampleModulus}
-        vecs.select(col(idCol), col(vecCol).cast("array<float>").as("cv"))
-          .withColumn("__k", pmod(col(idCol) * lit(SampleLcgA) + lit(SampleLcgC),
-            lit(SampleModulus)))
-          .orderBy(col("__k"), col(idCol))
-          .limit(k)
-          .collect().zipWithIndex.map { case (r, i) =>
-            require(!r.isNullAt(1),
-              s"kmeansAssign seed $idCol=${r.get(0)} has a null $vecCol")
-            (i, r.getSeq[Float](1).toArray)
-          }
-      } else vecs.filter(col(idCol) < k)
+      if (seeding == "hash")
+        hashSeeds(vecs, k, TextAnalysis.SampleLcgC, idCol, vecCol, "kmeansAssign")
+      else vecs.filter(col(idCol) < k)
         .select(col(idCol).cast("int").as("cid"),
           col(vecCol).cast("array<float>").as("cv"))
         .collect().map { r =>

@@ -468,11 +468,13 @@ object TextQ {
   private[graft] def annArtifact(s: org.apache.spark.sql.SparkSession, d: String): String =
     graft.sources.ArtifactStore.resolve(s, "graft_ann_artifact",
       Seq(new java.io.File(d, "embeddings.parquet")),
-      // "dca" = dual codes-as-array layout (round 16): the per-subspace
-      // code columns became ONE array<int> column when the encode went
-      // native, plus the residual tier's rcodes — layout changes, so
-      // the tag must invalidate older stores
-      sub = s"nl${AnnNlist}m${AnnM}cb${AnnCb}dca") { dir =>
+      // "dcah" = dual codes-as-array layout + hash-drawn model seeds
+      // (round 16): the per-subspace code columns became ONE array<int>
+      // column when the encode went native, the residual tier's rcodes
+      // joined them, and the centroid/codebook seeds moved to the
+      // hash-gated draw — layout AND params changes, so the tag must
+      // invalidate older stores
+      sub = s"nl${AnnNlist}m${AnnM}cb${AnnCb}dcah") { dir =>
       val emb = Tables.embeddings(s, d)
       val model = SimilaritySearch.ivfPqModel(emb, AnnNlist, AnnM, AnnCb)
       val rmodel = SimilaritySearch.ivfRPqModel(emb, AnnNlist, AnnM, AnnCb)
@@ -1057,9 +1059,24 @@ object TextQ {
     * `dotq(q, c_cell) + Σ LUT[code]` — the per-(query, probed-cell)
     * constant is exactly `cellcos.dq`. Refine + exact rerank as s08.
     */
+  /** The hash-gated seed draw in DuckDB text — transcribes
+    * SimilaritySearch.hashSeeds: the n rows with the smallest LCG key
+    * (ties → lowest vec_id), re-labeled `label` 0..n-1 in key order.
+    * One shared stream (lcgC 12345, the sampling increment) serves
+    * both the centroid and codebook draws — see ivfPqModel's design
+    * note on why the overlap is deliberate. Emits (vec_id, `label`,
+    * cv) so residual-codebook oracles can join back by vec_id.
+    */
+  private def seedDrawSql(n: Int, lcgC: Long, label: String): String =
+    s"""SELECT vec_id,
+        |    CAST(row_number() OVER (ORDER BY (vec_id * 1103515245 + $lcgC) % 2147483648, vec_id) AS INT) - 1 AS $label,
+        |    embedding AS cv
+        |  FROM embeddings
+        |  QUALIFY row_number() OVER (ORDER BY (vec_id * 1103515245 + $lcgC) % 2147483648, vec_id) <= $n""".stripMargin
+
   private[graft] lazy val IvfRPqOracleSql: String =
-    """WITH cents AS (
-        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+    s"""WITH cents AS (
+        |  ${seedDrawSql(8, 12345L, "cid")}
         |), cellcos AS (
         |  SELECT v.vec_id, c.cid,
         |    CAST(sum(CAST(ROUND(CAST(v.embedding[i + 1] AS DOUBLE) * CAST(c.cv[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq,
@@ -1085,8 +1102,10 @@ object TextQ {
         |  FROM embeddings e
         |  JOIN cells ce ON ce.vec_id = e.vec_id
         |  JOIN cents c ON c.cid = ce.cell, range(64) j(j)
+        |), cbsel AS (
+        |  ${seedDrawSql(16, 12345L, "ki")}
         |), rcb AS (
-        |  SELECT CAST(vec_id AS INT) AS ki, j, rv FROM resv WHERE vec_id < 16
+        |  SELECT cs.ki, v.j, v.rv FROM resv v JOIN cbsel cs ON cs.vec_id = v.vec_id
         |), rnorm AS (
         |  SELECT ki, j // 8 AS mi,
         |    CAST(sum(CAST(ROUND(rv * rv * 1e12) AS BIGINT)) AS BIGINT) AS nc
@@ -1147,8 +1166,8 @@ object TextQ {
         |WHERE rank <= 5""".stripMargin
 
   private[graft] lazy val IvfPqOracleSql: String =
-    """WITH cents AS (
-        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+    s"""WITH cents AS (
+        |  ${seedDrawSql(8, 12345L, "cid")}
         |), cellcos AS (
         |  SELECT v.vec_id, c.cid,
         |    CAST(sum(CAST(ROUND(CAST(v.embedding[i + 1] AS DOUBLE) * CAST(c.cv[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq,
@@ -1169,7 +1188,7 @@ object TextQ {
         |), probes AS (
         |  SELECT vec_id AS query_id, cid AS cell FROM ranked WHERE rn <= 2 AND vec_id < 10
         |), cbv AS (
-        |  SELECT CAST(vec_id AS INT) AS ki, embedding AS cv FROM embeddings WHERE vec_id < 16
+        |  ${seedDrawSql(16, 12345L, "ki")}
         |), cnorm AS (
         |  SELECT ki, mi.m AS mi,
         |    CAST(sum(CAST(ROUND(CAST(cv[mi.m * 8 + j.j + 1] AS DOUBLE) * CAST(cv[mi.m * 8 + j.j + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nc
@@ -1969,8 +1988,8 @@ object TextQ {
     Q("s04_ivf_topk",
       (s, d) => SimilaritySearch.ivfTopK(Tables.embeddings(s, d),
         queryPred = col("vec_id") < 10, k = 5, nlist = 8, nprobe = 2),
-      Some("""WITH cents AS (
-        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+      Some(s"""WITH cents AS (
+        |  ${seedDrawSql(8, 12345L, "cid")}
         |), cellcos AS (
         |  SELECT v.vec_id, c.cid,
         |    CAST(sum(CAST(ROUND(CAST(v.embedding[i + 1] AS DOUBLE) * CAST(c.cv[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq,

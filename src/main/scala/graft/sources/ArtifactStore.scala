@@ -87,11 +87,31 @@ object ArtifactStore {
     dir
   }
 
+  /** Per-directory build monitors: two concurrent resolves of the SAME
+    * (kind, dataset, sub, generation) inside one JVM must not both run
+    * `build` — the second writer's `mode("overwrite")` deletes files
+    * the first (already finished and being read) just committed, which
+    * surfaces as FILE_NOT_EXIST on a reader mid-scan (hit by parallel
+    * test suites the moment a sub bump invalidates a shared store).
+    * In-JVM exclusion is the honest scope here: cross-process writers
+    * (the driver vs a local shell) are serialized by the `_SUCCESS`
+    * re-check under the lock in the common case, and a real deployment
+    * puts the store on storage with atomic rename/commit semantics.
+    */
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Returns the artifact directory, building it via `build(dir)` if
     * this generation has not been (fully) written yet.
     */
   def resolve(spark: SparkSession, kind: String, sources: Seq[java.io.File],
-              sub: String = "")(build: String => Unit): String = {
+              sub: String = "")(build: String => Unit): String =
+    buildLocks.computeIfAbsent(locate(kind, sources, sub)._3, _ => new Object)
+      .synchronized { resolveLocked(spark, kind, sources, sub)(build) }
+
+  private def resolveLocked(spark: SparkSession, kind: String,
+                            sources: Seq[java.io.File], sub: String)(
+                            build: String => Unit): String = {
     val (dsDir, base, dir) = locate(kind, sources, sub)
     val basePath = new org.apache.hadoop.fs.Path(base)
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -113,14 +113,21 @@ class EdgeCaseSpec extends AnyFunSuite {
         nprobe = 2, m = 5, codebookSize = 8, refine = 10)
     }
     assert(e1.getMessage.contains("divide"))
-    // sparse ids past the centroid range: dense 0..3 satisfies
-    // nlist=4, but a hole at id 7 breaks the 8-entry codebook sampling
+    // sparse ids are FINE since the hash-gated seed draw (round 16):
+    // a hole at id 7 just shifts the drawn order statistics — the
+    // dense-0-based-ids assumption is gone by design
     val sparse = emb.filter(col("vec_id") =!= 7)
+    assert(SimilaritySearch.ivfPqTopK(sparse, col("vec_id") < 2, k = 2,
+      nlist = 4, nprobe = 2, m = 4, codebookSize = 8, refine = 10).count() > 0)
+    // the draw's remaining hard precondition: a corpus smaller than the
+    // codebook must fail loudly, never emit a short codebook
     val e2 = intercept[IllegalArgumentException] {
-      SimilaritySearch.ivfPqTopK(sparse, col("vec_id") < 2, k = 2, nlist = 4,
+      SimilaritySearch.ivfPqTopK(emb.filter(col("vec_id") < 6),
+        col("vec_id") < 2, k = 2, nlist = 4,
         nprobe = 2, m = 4, codebookSize = 8, refine = 10)
     }
-    assert(e2.getMessage.contains("codebook"))
+    assert(e2.getMessage.contains("codebook") &&
+      e2.getMessage.contains("fewer than"))
   }
 
   test("prunedCorpusBands with no matching prefixes returns empty, not an error") {
