@@ -24,6 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cellScoresDescriptor)
     ext.injectFunction(GraftExtensions.pqEncodeDescriptor)
     ext.injectFunction(GraftExtensions.pqLutsDescriptor)
+    ext.injectFunction(GraftExtensions.bloomAggDescriptor)
+    ext.injectFunction(GraftExtensions.mightContainDescriptor)
     ext.injectOptimizerRule(_ => graft.optimizer.BandJoinRewrite)
   }
 }
@@ -79,6 +81,33 @@ object GraftExtensions {
     new ExpressionInfo(classOf[graft.expressions.PqLuts].getName, "graft_pq_luts"),
     (c: Seq[Expression]) => graft.expressions.PqLuts(c(0), c(1)))
 
+  // Spark's OWN Bloom expressions (the machinery behind its runtime
+  // row-group filters), surfaced as callable functions — Spark ships
+  // them but does not register them in the public FunctionRegistry.
+  // graft_bloom_agg(longCol, estimatedItems, numBits) → binary sketch;
+  // graft_might_contain(binary, longCol) → boolean. Used by the
+  // Bloom-prefilter decontamination tier (TextAnalysis
+  // .decontaminateBloom): the eval-side sketch is ~10 bits/gram where
+  // the exact hash relation is ~64+, which is the difference between
+  // a broadcastable prefilter and an unbroadcastable eval set at
+  // 100 TB.
+  private val bloomAggDescriptor = (
+    FunctionIdentifier("graft_bloom_agg"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+      "graft_bloom_agg"),
+    (c: Seq[Expression]) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        c(0), c(1), c(2)).toAggregateExpression(): Expression)
+
+  private val mightContainDescriptor = (
+    FunctionIdentifier("graft_might_contain"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+      "graft_might_contain"),
+    (c: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(c(0), c(1)): Expression)
+
   /** Imperative registration for an already-built session: functions
     * plus the band-join optimizer rule (idempotent).
     */
@@ -103,6 +132,10 @@ object GraftExtensions {
       pqEncodeDescriptor._1, pqEncodeDescriptor._2, pqEncodeDescriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
       pqLutsDescriptor._1, pqLutsDescriptor._2, pqLutsDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      bloomAggDescriptor._1, bloomAggDescriptor._2, bloomAggDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      mightContainDescriptor._1, mightContainDescriptor._2, mightContainDescriptor._3)
     val opt = spark.sessionState.experimentalMethods
     if (!opt.extraOptimizations.contains(graft.optimizer.BandJoinRewrite))
       opt.extraOptimizations = opt.extraOptimizations :+ graft.optimizer.BandJoinRewrite

@@ -713,6 +713,53 @@ object TextAnalysis {
       .withColumn("contaminated", col("n_contaminated_grams") > 0)
   }
 
+  /** Decontamination for eval sets past broadcastability — the 100 TB
+    * tier of [[decontaminate]]: the exact eval-gram hash relation is
+    * ~64+ bits/gram plus join-map overhead, so at benchmark-suite ×
+    * many-epochs scale it stops fitting a broadcast; a Bloom sketch of
+    * the same grams is ~`numBits/estimatedItems` bits per gram (10
+    * bits ≈ 1% fpp) and always ships. Plan shape:
+    *   1. ONE aggregation builds the sketch over the distinct eval
+    *      gram hashes (Spark's own BloomFilterAggregate — map-side
+    *      partials, driver-merged, collected as a bounded artifact);
+    *   2. the train-gram stream drops every gram the sketch rules out
+    *      — a MAP-SIDE semi-join reduction, no shuffle, pure codegen
+    *      predicate (graft_might_contain);
+    *   3. the survivors (true hits + ~fpp false positives) take the
+    *      exact equi-join against the eval grams — now a join whose
+    *      probe side is ~fpp·|train grams| instead of all of them, so
+    *      it can SHUFFLE instead of broadcasting.
+    * False positives cannot survive step 3, so the output is
+    * bit-identical to [[decontaminate]] — d23 shares d10's oracle;
+    * the sketch only decides how much data reaches the join.
+    */
+  def decontaminateBloom(train: DataFrame, evalSet: DataFrame, n: Int = 5,
+                         textCol: String = "text",
+                         estimatedItems: Long = 1000000L,
+                         numBits: Long = 8000000L): DataFrame = {
+    val evalGrams = gramHashes(evalSet, n, textCol).select("g").distinct()
+    val bloom = evalGrams
+      .agg(call_function("graft_bloom_agg", col("g"),
+        lit(estimatedItems), lit(numBits)).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val base = train.select("doc_id", "source")
+    // empty eval set → null sketch → nothing is contaminated (the
+    // exact path's semantics: zero grams can't hit anything)
+    val hits =
+      if (bloom == null)
+        base.limit(0).select(col("doc_id"),
+          lit(0L).as("n_contaminated_grams"))
+      else gramHashes(train, n, textCol)
+        .where(call_function("graft_might_contain", lit(bloom), col("g")))
+        .join(evalGrams, Seq("g"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated_grams"))
+    base
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_contaminated_grams",
+        coalesce(col("n_contaminated_grams"), lit(0L)))
+      .withColumn("contaminated", col("n_contaminated_grams") > 0)
+  }
+
   /** Per-doc distinct n-gram xxhash64 fingerprints `(doc_id, g)` for
     * the decontamination family. The token array is MATERIALIZED into
     * a column before shingling: `Text.shingles` references its input

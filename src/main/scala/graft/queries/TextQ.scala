@@ -1059,6 +1059,34 @@ object TextQ {
     * `dotq(q, c_cell) + Σ LUT[code]` — the per-(query, probed-cell)
     * constant is exactly `cellcos.dq`. Refine + exact rerank as s08.
     */
+  /** d10/d23 shared oracle — the exact n-gram-overlap flags. d23's
+    * Bloom prefilter is a pure semi-join reduction (false positives
+    * die in the exact verify join), so both engines' answers — and
+    * therefore both queries' oracle — are IDENTICAL by construction.
+    */
+  private[graft] lazy val DecontaminationOracleSql: String =
+    """WITH toked AS (
+        |  SELECT doc_id, source, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS toks
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, source, list_distinct(
+        |    list_transform(range(1, len(toks) - 3),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS gs
+        |  FROM toked WHERE len(toks) >= 5
+        |), evalg AS (
+        |  SELECT DISTINCT unnest(gs) AS g FROM grams WHERE source = 'src19'
+        |), traing AS (
+        |  SELECT doc_id, unnest(gs) AS g FROM grams WHERE source <> 'src19'
+        |), hits AS (
+        |  SELECT t.doc_id, count(*) AS n FROM traing t JOIN evalg e ON t.g = e.g
+        |  GROUP BY t.doc_id
+        |)
+        |SELECT d.doc_id, d.source,
+        |  CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_grams,
+        |  coalesce(h.n, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        |WHERE d.source <> 'src19'""".stripMargin
+
   /** The hash-gated seed draw in DuckDB text — transcribes
     * SimilaritySearch.hashSeeds: the n rows with the smallest LCG key
     * (ties → lowest vec_id), re-labeled `label` 0..n-1 in key order.
@@ -1850,27 +1878,26 @@ object TextQ {
           train = docs.filter(col("source") =!= "src19"),
           evalSet = docs.filter(col("source") === "src19"), n = 5)
       },
-      Some("""WITH toked AS (
-        |  SELECT doc_id, source, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS toks
-        |  FROM documents
-        |), grams AS (
-        |  SELECT doc_id, source, list_distinct(
-        |    list_transform(range(1, len(toks) - 3),
-        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS gs
-        |  FROM toked WHERE len(toks) >= 5
-        |), evalg AS (
-        |  SELECT DISTINCT unnest(gs) AS g FROM grams WHERE source = 'src19'
-        |), traing AS (
-        |  SELECT doc_id, unnest(gs) AS g FROM grams WHERE source <> 'src19'
-        |), hits AS (
-        |  SELECT t.doc_id, count(*) AS n FROM traing t JOIN evalg e ON t.g = e.g
-        |  GROUP BY t.doc_id
-        |)
-        |SELECT d.doc_id, d.source,
-        |  CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_grams,
-        |  coalesce(h.n, 0) > 0 AS contaminated
-        |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
-        |WHERE d.source <> 'src19'""".stripMargin)),
+      Some(DecontaminationOracleSql)),
+
+    // Bloom-prefilter decontamination — d10's 100 TB tier for eval
+    // sets past broadcastability: one aggregation builds a Bloom
+    // sketch of the eval grams (~10 bits/gram vs 64+ for the exact
+    // hash relation), the train-gram stream drops non-members
+    // MAP-SIDE (graft_might_contain — a codegen predicate, no
+    // shuffle), and only the survivors (~fpp of the stream + true
+    // hits) take the exact equi-join verify. False positives cannot
+    // survive the verify, so d23 shares d10's oracle verbatim — the
+    // sketch decides how much data moves, never what the answer is.
+    Q("d23_decontam_bloom",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        TextAnalysis.decontaminateBloom(
+          train = docs.filter(col("source") =!= "src19"),
+          evalSet = docs.filter(col("source") === "src19"), n = 5,
+          estimatedItems = 200000L, numBits = 2000000L)
+      },
+      Some(DecontaminationOracleSql)),
 
     // Decontamination provenance: WHICH eval doc each contaminated
     // train doc shares 5-grams with, and how many — the audit
