@@ -619,6 +619,91 @@ object TextAnalysis {
                            textCol: String = "text"): DataFrame =
     bigramLmScoreUnder(bigramLmModel(train, vocabSize, textCol), score, textCol)
 
+  /** Supervised hashed-feature class scorer — the fastText-shaped
+    * classifier stage of a data pipeline (CCNet-style quality/language
+    * filtering, corpus domain annotation): train a multinomial
+    * unigram model per label on a deterministic half of the corpus,
+    * score the held-out half, predict per doc.
+    *
+    * The 100 TB design decisions, in order of importance:
+    *   - **Feature hashing bounds the model by construction.** Tokens
+    *     map to one of 16^`hashHexChars` buckets via a prefix of
+    *     md5(token) (the [[graft.functions.Text.md5s]] cross-engine
+    *     hash, the d02 precedent) — the model is `labels × buckets`
+    *     COUNTS regardless of corpus vocabulary, the Vowpal/fastText
+    *     trick that makes the classifier trainable in ONE aggregation
+    *     over any corpus size.
+    *   - **Scoring never multiplies the token stream by the label
+    *     count.** The model is pivoted to one row per bucket with a
+    *     count column per label and broadcast; the held-out token
+    *     stream takes a single 1:1 broadcast join, computes every
+    *     label's per-token term in one codegen projection, and the
+    *     only exchange is the per-doc sum with map-side partials.
+    *   - **Scores are quantized-integer** (round((c+1)/(N_l+B)·1e9)
+    *     summed as BIGINT — the [[bigramLmScoreUnder]] determinism
+    *     pattern): order-independent, bit-replayable in any SQL
+    *     engine, no libm-dependent log in sight. The score is the
+    *     summed smoothed class-conditional token probability (the
+    *     mean-probability form of the NB decision rule, same
+    *     trade as d20's DSIR scorer); argmax ties break to the
+    *     lexicographically smallest label.
+    *   - **The train/holdout split is the shared LCG hash gate**
+    *     ([[stratifiedSampleByHash]]): replayable, partition-
+    *     independent, no RNG state.
+    *
+    * Output (held-out docs with ≥1 token only): `(idCol, label,
+    * pred_label, n_tokens, score_q)` where `label` is the true label,
+    * `pred_label` the argmax and `score_q` its quantized score. The
+    * label set is collected from the TRAIN side (bounded — labels are
+    * languages/domains, never corpus-cardinality) and sorted, so the
+    * plan inlines it; fails loudly if the train split is empty.
+    */
+  def hashClassifier(docs: DataFrame, labelCol: String = "lang",
+                     idCol: String = "doc_id", textCol: String = "text",
+                     hashHexChars: Int = 4): DataFrame = {
+    require(hashHexChars >= 1 && hashHexChars <= 8,
+      s"hashClassifier: hashHexChars must be in [1,8], got $hashHexChars")
+    val buckets = 1L << (4 * hashHexChars)
+    val half = SampleModulus / 2
+    val tok = docs
+      .withColumn("__ws", Text.tokens(col(textCol)))
+      .filter(size(col("__ws")) > 0)
+      .select(col(idCol), col(labelCol).as("label"),
+        pmod(col(idCol) * lit(SampleLcgA) + lit(SampleLcgC),
+          lit(SampleModulus)).as("__gate"),
+        explode(col("__ws")).as("__tok"))
+      .withColumn("__b", substring(Text.md5s(col("__tok")), 1, hashHexChars))
+    val model = tok.filter(col("__gate") < half)
+      .groupBy("label", "__b").agg(count(lit(1)).as("c"))
+    val labels = model.select("label").distinct()
+      .orderBy("label").collect().map(_.getString(0)).toSeq
+    require(labels.nonEmpty,
+      "hashClassifier: train split is empty — no labels to score under")
+    val totals: Map[String, Long] = model.groupBy("label")
+      .agg(sum("c").cast("long").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pivot = model.groupBy("__b").pivot("label", labels).sum("c")
+      .select(col("__b") +: labels.map(l => col(s"`$l`").as(s"c_$l")): _*)
+    def q(l: String): Column =
+      round((coalesce(col(s"c_$l"), lit(0L)) + lit(1L)).cast("double") /
+        lit((totals(l) + buckets).toDouble) * lit(1e9)).cast("long")
+    val scores = tok.filter(col("__gate") >= half)
+      .join(broadcast(pivot), Seq("__b"), "left")
+      .groupBy(col(idCol), col("label"))
+      .agg(count(lit(1)).as("n_tokens"),
+        labels.map(l => sum(q(l)).as(s"s_$l")): _*)
+    val sCols = labels.map(l => col(s"s_$l"))
+    val best = if (sCols.size == 1) sCols.head else greatest(sCols: _*)
+    // first match in ascending label order → ties break to the
+    // lexicographically smallest label, pinned in the spec
+    val pred = labels.tail.foldLeft(
+      when(sCols.head === best, labels.head)) { case (acc, l) =>
+      acc.when(col(s"s_$l") === best, l)
+    }
+    scores.select(col(idCol), col("label"), pred.as("pred_label"),
+      col("n_tokens"), best.as("score_q"))
+  }
+
   /** Apply a [[domainMixAllocation]] result as a deterministic
     * downsample: keep a document iff `lcg(doc_id) mod M < thr(source)`
     * where `thr = (alloc·M) div cap` — the same hash gate as
@@ -801,5 +886,43 @@ object TextAnalysis {
       .join(evalGrams, Seq("g"))
       .groupBy("train_doc_id", "eval_doc_id")
       .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  /** Provenance past broadcastability — [[decontaminationProvenance]]
+    * with the [[decontaminateBloom]] prefilter, completing the Bloom
+    * tier across BOTH decontamination shapes: the sketch is built over
+    * the DISTINCT eval gram hashes (doc_id-free — a gram shared by
+    * many eval docs is one sketch entry), the train-gram stream drops
+    * non-members map-side (no shuffle, pure codegen predicate), and
+    * the survivors take the exact `(g → eval_doc_id)` join — now
+    * carrying the eval doc_ids and therefore allowed to SHUFFLE (no
+    * broadcast hint: the whole premise of this tier is that the eval
+    * relation no longer fits one). False positives cannot survive the
+    * exact join, so the pair table is bit-identical to the broadcast
+    * form — d24 shares d13's oracle; the sketch only decides how much
+    * of the train stream reaches the join.
+    */
+  def decontaminationProvenanceBloom(train: DataFrame, evalSet: DataFrame,
+                                     n: Int = 5, textCol: String = "text",
+                                     estimatedItems: Long = 1000000L,
+                                     numBits: Long = 8000000L): DataFrame = {
+    val evalGrams = gramHashes(evalSet, n, textCol)
+      .select(col("doc_id").as("eval_doc_id"), col("g"))
+    val bloom = evalGrams.select("g").distinct()
+      .agg(call_function("graft_bloom_agg", col("g"),
+        lit(estimatedItems), lit(numBits)).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+    // empty eval set → null sketch → no contaminated pairs (the exact
+    // form's semantics: the pair table contains hits only)
+    if (bloom == null)
+      train.limit(0).select(col("doc_id").as("train_doc_id"),
+        lit(0L).as("eval_doc_id"), lit(0L).as("n_shared_grams"))
+    else
+      gramHashes(train, n, textCol)
+        .withColumnRenamed("doc_id", "train_doc_id")
+        .where(call_function("graft_might_contain", lit(bloom), col("g")))
+        .join(evalGrams, Seq("g"))
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(count(lit(1)).as("n_shared_grams"))
   }
 }

@@ -1087,6 +1087,30 @@ object TextQ {
         |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
         |WHERE d.source <> 'src19'""".stripMargin
 
+  /** d13/d24 shared oracle — the exact contaminated-pair table. d24's
+    * Bloom prefilter is the same pure semi-join reduction as d23's
+    * (false positives die in the exact pair join), so both queries
+    * share this text verbatim.
+    */
+  private[graft] lazy val ProvenanceOracleSql: String =
+    """WITH toked AS (
+        |  SELECT doc_id, source, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS toks
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, source, list_distinct(
+        |    list_transform(range(1, len(toks) - 3),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS gs
+        |  FROM toked WHERE len(toks) >= 5
+        |), evalg AS (
+        |  SELECT doc_id AS eval_doc_id, unnest(gs) AS g FROM grams WHERE source = 'src19'
+        |), traing AS (
+        |  SELECT doc_id AS train_doc_id, unnest(gs) AS g FROM grams WHERE source <> 'src19'
+        |)
+        |SELECT t.train_doc_id, e.eval_doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_shared_grams
+        |FROM traing t JOIN evalg e ON t.g = e.g
+        |GROUP BY t.train_doc_id, e.eval_doc_id""".stripMargin
+
   /** The hash-gated seed draw in DuckDB text — transcribes
     * SimilaritySearch.hashSeeds: the n rows with the smallest LCG key
     * (ties → lowest vec_id), re-labeled `label` 0..n-1 in key order.
@@ -1911,23 +1935,23 @@ object TextQ {
           train = docs.filter(col("source") =!= "src19"),
           evalSet = docs.filter(col("source") === "src19"), n = 5)
       },
-      Some("""WITH toked AS (
-        |  SELECT doc_id, source, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS toks
-        |  FROM documents
-        |), grams AS (
-        |  SELECT doc_id, source, list_distinct(
-        |    list_transform(range(1, len(toks) - 3),
-        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS gs
-        |  FROM toked WHERE len(toks) >= 5
-        |), evalg AS (
-        |  SELECT doc_id AS eval_doc_id, unnest(gs) AS g FROM grams WHERE source = 'src19'
-        |), traing AS (
-        |  SELECT doc_id AS train_doc_id, unnest(gs) AS g FROM grams WHERE source <> 'src19'
-        |)
-        |SELECT t.train_doc_id, e.eval_doc_id,
-        |  CAST(count(*) AS BIGINT) AS n_shared_grams
-        |FROM traing t JOIN evalg e ON t.g = e.g
-        |GROUP BY t.train_doc_id, e.eval_doc_id""".stripMargin)),
+      Some(ProvenanceOracleSql)),
+
+    // Bloom-prefilter provenance — d13's 100 TB tier, completing the
+    // d23 pattern on the pair-valued shape: sketch over the DISTINCT
+    // eval grams, map-side might_contain drop, exact (g, eval_doc_id)
+    // join allowed to shuffle instead of broadcasting. False
+    // positives die in the exact join, so d24 shares d13's oracle
+    // verbatim.
+    Q("d24_provenance_bloom",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        TextAnalysis.decontaminationProvenanceBloom(
+          train = docs.filter(col("source") =!= "src19"),
+          evalSet = docs.filter(col("source") === "src19"), n = 5,
+          estimatedItems = 200000L, numBits = 2000000L)
+      },
+      Some(ProvenanceOracleSql)),
 
     // Span-level exact dedup (the C4/RefinedWeb line-dedup shape):
     // 10-word spans, global first-occurrence keep, documents
@@ -2542,6 +2566,55 @@ object TextQ {
         |      '${TextAnalysis.Ipv4Re}', '<IP>', 'g'),
         |    '${TextAnalysis.PhoneRe}', '<PHONE>', 'g')) AS clean_hash
         |FROM injected""".stripMargin)),
+
+    // Supervised hashed-feature classifier (the fastText-shaped
+    // CCNet-style filtering stage): per-lang multinomial unigram
+    // counts over md5-prefix feature buckets, trained on the LCG-gated
+    // half of the corpus, scoring the held-out half. Model bounded at
+    // labels × 16^4 counts regardless of corpus size; one 1:1
+    // broadcast join + one per-doc aggregation; quantized-integer
+    // scores (the d20 determinism pattern); ties → smallest label.
+    // On the synthetic catalog corpus every lang draws from ONE shared
+    // vocabulary, so the argmax correctly collapses to the
+    // token-mass-dominant class — the oracle checks the decision MATH
+    // (counts, smoothing, quantization, tie order); discrimination on
+    // separable data is pinned in HashClassifierSpec (the s10-recall
+    // lesson: class separation is a property of the data, not the
+    // operator).
+    Q("t17_hash_classifier",
+      (s, d) => TextAnalysis.hashClassifier(Tables.documents(s, d)),
+      Some {
+        import graft.operators.TextAnalysis.{SampleLcgA, SampleLcgC, SampleModulus}
+        val half = SampleModulus / 2
+        s"""WITH toked AS (
+        |  SELECT doc_id, lang, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS toks
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, lang, gate, substr(md5(tok), 1, 4) AS b FROM (
+        |    SELECT doc_id, lang,
+        |      ((doc_id * $SampleLcgA + $SampleLcgC) % $SampleModulus + $SampleModulus) % $SampleModulus AS gate,
+        |      unnest(toks) AS tok
+        |    FROM toked WHERE len(toks) > 0) t
+        |), model AS (
+        |  SELECT lang AS lbl, b, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok WHERE gate < $half GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT lbl, CAST(sum(c) AS BIGINT) AS n FROM model GROUP BY 1
+        |), scored AS (
+        |  SELECT t.doc_id, t.lang, tt.lbl,
+        |    CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CAST(ROUND(CAST(coalesce(m.c, 0) + 1 AS DOUBLE)
+        |      / CAST(tt.n + 65536 AS DOUBLE) * 1e9) AS BIGINT)) AS BIGINT) AS s
+        |  FROM tok t
+        |  CROSS JOIN tot tt
+        |  LEFT JOIN model m ON m.lbl = tt.lbl AND m.b = t.b
+        |  WHERE t.gate >= $half
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT doc_id, lang AS label, lbl AS pred_label, n_tokens, s AS score_q
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lbl ASC) = 1""".stripMargin
+      }),
 
     // TF-IDF keyword extraction: top-3 terms per document over the
     // 100-term highest-df vocabulary. idf is quantized to an integer

@@ -56,4 +56,34 @@ class BloomDecontamSpec extends AnyFunSuite {
     assert(out.forall(r => r.getAs[Long]("n_contaminated_grams") == 0L &&
       !r.getAs[Boolean]("contaminated")))
   }
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.select("train_doc_id", "eval_doc_id", "n_shared_grams")
+      .collect().map(_.toString).sorted.toSeq
+
+  test("provenance bloom tier (d24) matches the exact pair table, even near-100% fpp") {
+    val train = docs.filter(col("source") =!= "src19")
+    val eval_ = docs.filter(col("source") === "src19")
+    val exact = pairsOf(TextAnalysis.decontaminationProvenance(train, eval_, n = 5))
+    assert(exact.nonEmpty, "fixture must produce contaminated pairs")
+    val bloom = pairsOf(TextAnalysis.decontaminationProvenanceBloom(
+      train, eval_, n = 5, estimatedItems = 50000L, numBits = 500000L))
+    val tiny = pairsOf(TextAnalysis.decontaminationProvenanceBloom(
+      train, eval_, n = 5, estimatedItems = 10L, numBits = 64L))
+    assert(bloom == exact)
+    assert(tiny == exact)
+  }
+
+  test("provenance bloom: prefilter in the plan; empty eval set yields an empty pair table") {
+    val train = docs.filter(col("source") =!= "src19")
+    val eval_ = docs.filter(col("source") === "src19")
+    val plan = TextAnalysis.decontaminationProvenanceBloom(train, eval_, n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"bloom prefilter must appear in the physical plan:\n${plan.take(3000)}")
+    val out = TextAnalysis.decontaminationProvenanceBloom(train, docs.limit(0), n = 5)
+    assert(out.columns.toSeq ==
+      Seq("train_doc_id", "eval_doc_id", "n_shared_grams"))
+    assert(out.collect().isEmpty)
+  }
 }
