@@ -112,7 +112,8 @@ object Run {
         val clusters = graft.queries.TextQ.clusterArtifact(spark, dir)
         val simhash = graft.queries.TextQ.simhashArtifact(spark, dir)
         val dsir = graft.queries.TextQ.dsirArtifact(spark, dir)
-        s"dedup-maintain: band=$band gram=$gram clusters=$clusters simhash=$simhash dsir=$dsir"
+        val clf = graft.queries.TextQ.clfArtifact(spark, dir)
+        s"dedup-maintain: band=$band gram=$gram clusters=$clusters simhash=$simhash dsir=$dsir clf=$clf"
       case "ann-maintain" =>
         // the EMBEDDING-side maintenance job: (re)build the
         // cell-partitioned IVF+PQ code table AND the semantic-dedup

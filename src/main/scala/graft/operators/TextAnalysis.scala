@@ -661,33 +661,76 @@ object TextAnalysis {
   def hashClassifier(docs: DataFrame, labelCol: String = "lang",
                      idCol: String = "doc_id", textCol: String = "text",
                      hashHexChars: Int = 4): DataFrame = {
-    require(hashHexChars >= 1 && hashHexChars <= 8,
-      s"hashClassifier: hashHexChars must be in [1,8], got $hashHexChars")
-    val buckets = 1L << (4 * hashHexChars)
     val half = SampleModulus / 2
-    val tok = docs
-      .withColumn("__ws", Text.tokens(col(textCol)))
-      .filter(size(col("__ws")) > 0)
-      .select(col(idCol), col(labelCol).as("label"),
-        pmod(col(idCol) * lit(SampleLcgA) + lit(SampleLcgC),
-          lit(SampleModulus)).as("__gate"),
-        explode(col("__ws")).as("__tok"))
-      .withColumn("__b", substring(Text.md5s(col("__tok")), 1, hashHexChars))
-    val model = tok.filter(col("__gate") < half)
+    val gate = pmod(col(idCol) * lit(SampleLcgA) + lit(SampleLcgC),
+      lit(SampleModulus))
+    val model = hashClfTrain(docs.filter(gate < half),
+      labelCol, textCol, hashHexChars)
+    hashClassifierScoreUnder(model, docs.filter(gate >= half),
+      labelCol, idCol, textCol)
+  }
+
+  /** The frozen model behind [[hashClassifier]]: the hashed-bucket
+    * counts table (`label, __b, c` — at most `labels × 16^hashHexChars`
+    * rows by construction), with the sorted label set and per-label
+    * token totals derived from it (derived, not stored: they are pure
+    * functions of the counts, and storing both invites drift — the
+    * [[BigramLm]] `cp` principle). t18 persists `counts` as an
+    * artifact and rebuilds the wrapper at probe time.
+    */
+  case class HashClfModel(labels: Seq[String], counts: DataFrame,
+                          totals: Map[String, Long], hashHexChars: Int)
+
+  /** Train a [[HashClfModel]] on `train` (the caller owns the split —
+    * [[hashClassifier]] gates on the LCG; t18's artifact additionally
+    * excludes the arriving batch). ONE aggregation over the corpus;
+    * the label/total collects are bounded by the label count, never
+    * corpus cardinality. Fails loudly on an empty train side.
+    */
+  def hashClfTrain(train: DataFrame, labelCol: String = "lang",
+                   textCol: String = "text",
+                   hashHexChars: Int = 4): HashClfModel = {
+    require(hashHexChars >= 1 && hashHexChars <= 8,
+      s"hashClfTrain: hashHexChars must be in [1,8], got $hashHexChars")
+    val counts = clfTokens(train, labelCol, textCol, hashHexChars)
       .groupBy("label", "__b").agg(count(lit(1)).as("c"))
-    val labels = model.select("label").distinct()
+    hashClfModelOf(counts, hashHexChars)
+  }
+
+  /** Wrap a persisted counts table back into a [[HashClfModel]] —
+    * the probe-side constructor (labels and totals re-derived).
+    */
+  def hashClfModelOf(counts: DataFrame, hashHexChars: Int): HashClfModel = {
+    val labels = counts.select("label").distinct()
       .orderBy("label").collect().map(_.getString(0)).toSeq
     require(labels.nonEmpty,
       "hashClassifier: train split is empty — no labels to score under")
-    val totals: Map[String, Long] = model.groupBy("label")
+    val totals: Map[String, Long] = counts.groupBy("label")
       .agg(sum("c").cast("long").as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val pivot = model.groupBy("__b").pivot("label", labels).sum("c")
+    HashClfModel(labels, counts, totals, hashHexChars)
+  }
+
+  /** Score `score` docs under a FROZEN [[HashClfModel]] — the
+    * incremental/serving path (t18 probes a persisted model; a new
+    * batch never touches the corpus or retrains). The model is
+    * pivoted to one row per bucket and broadcast; tokens unseen in
+    * training resolve to the add-one floor through the left join, the
+    * exact analogue of [[bigramLmScoreUnder]]'s new-batch path.
+    */
+  def hashClassifierScoreUnder(model: HashClfModel, score: DataFrame,
+                               labelCol: String = "lang",
+                               idCol: String = "doc_id",
+                               textCol: String = "text"): DataFrame = {
+    val buckets = 1L << (4 * model.hashHexChars)
+    val labels = model.labels
+    val pivot = model.counts.groupBy("__b").pivot("label", labels).sum("c")
       .select(col("__b") +: labels.map(l => col(s"`$l`").as(s"c_$l")): _*)
     def q(l: String): Column =
       round((coalesce(col(s"c_$l"), lit(0L)) + lit(1L)).cast("double") /
-        lit((totals(l) + buckets).toDouble) * lit(1e9)).cast("long")
-    val scores = tok.filter(col("__gate") >= half)
+        lit((model.totals(l) + buckets).toDouble) * lit(1e9)).cast("long")
+    val scores = clfTokens(score, labelCol, textCol, model.hashHexChars,
+        idCol = Some(idCol))
       .join(broadcast(pivot), Seq("__b"), "left")
       .groupBy(col(idCol), col("label"))
       .agg(count(lit(1)).as("n_tokens"),
@@ -702,6 +745,19 @@ object TextAnalysis {
     }
     scores.select(col(idCol), col("label"), pred.as("pred_label"),
       col("n_tokens"), best.as("score_q"))
+  }
+
+  /** Tokenize → md5-prefix bucket rows for the classifier family. */
+  private def clfTokens(df: DataFrame, labelCol: String, textCol: String,
+                        hashHexChars: Int,
+                        idCol: Option[String] = None): DataFrame = {
+    val base = df
+      .withColumn("__ws", Text.tokens(col(textCol)))
+      .filter(size(col("__ws")) > 0)
+    val cols = idCol.toSeq.map(col) ++
+      Seq(col(labelCol).as("label"), explode(col("__ws")).as("__tok"))
+    base.select(cols: _*)
+      .withColumn("__b", substring(Text.md5s(col("__tok")), 1, hashHexChars))
   }
 
   /** Apply a [[domainMixAllocation]] result as a deterministic

@@ -1045,6 +1045,83 @@ object TextQ {
       p.getFileSystem(s.sparkContext.hadoopConfiguration).create(p, true).close()
     }
 
+  /** Classifier tier parameters — single-sourced across t17 (full
+    * train/holdout), t18 (frozen-artifact batch serving) and
+    * [[clfArtifact]]'s builder.
+    */
+  private[graft] val ClfHashHexChars = 4
+  private[graft] val ClfGateHalf = graft.operators.TextAnalysis.SampleModulus / 2
+
+  /** Shared classifier oracle scaffolding — ONE copy of the
+    * tokenization, md5-prefix bucketing, count model, add-one
+    * quantized scoring and tie-broken argmax, consumed by t17 (model
+    * = the LCG train half, output = the holdout) and t18 (model = the
+    * train half minus the batch, output = the batch): a smoothing or
+    * tie-order edit cannot reach one oracle and not the other.
+    * `trainWhere` filters the model's token rows, `scoreWhere` the
+    * scored docs; both see `(doc_id, lang, gate)`.
+    */
+  private[graft] def hashClfOracleSql(trainWhere: String,
+                                      scoreWhere: String): String = {
+    import graft.operators.TextAnalysis.{SampleLcgA, SampleLcgC, SampleModulus}
+    val buckets = 1L << (4 * ClfHashHexChars)
+    s"""WITH toked AS (
+        |  SELECT doc_id, lang, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS toks
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, lang, gate, substr(md5(tok), 1, $ClfHashHexChars) AS b FROM (
+        |    SELECT doc_id, lang,
+        |      ((doc_id * $SampleLcgA + $SampleLcgC) % $SampleModulus + $SampleModulus) % $SampleModulus AS gate,
+        |      unnest(toks) AS tok
+        |    FROM toked WHERE len(toks) > 0) t
+        |), model AS (
+        |  SELECT lang AS lbl, b, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok WHERE $trainWhere GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT lbl, CAST(sum(c) AS BIGINT) AS n FROM model GROUP BY 1
+        |), scored AS (
+        |  SELECT t.doc_id, t.lang, tt.lbl,
+        |    CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CAST(ROUND(CAST(coalesce(m.c, 0) + 1 AS DOUBLE)
+        |      / CAST(tt.n + $buckets AS DOUBLE) * 1e9) AS BIGINT)) AS BIGINT) AS s
+        |  FROM tok t
+        |  CROSS JOIN tot tt
+        |  LEFT JOIN model m ON m.lbl = tt.lbl AND m.b = t.b
+        |  WHERE $scoreWhere
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT doc_id, lang AS label, lbl AS pred_label, n_tokens, s AS score_q
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lbl ASC) = 1""".stripMargin
+  }
+
+  /** The persisted frozen-model artifact of the classifier tier: the
+    * hashed-bucket counts table (`label, __b, c`, ≤ labels ×
+    * 16^[[ClfHashHexChars]] rows), trained on the LCG train half with
+    * the arriving batch excluded (no lookahead — the d22 stance; the
+    * oracle freezes the same slice). Labels and per-label totals are
+    * re-derived at probe time (pure functions of the counts — the
+    * dsirArtifact `cp` principle). Same `_SUCCESS`-at-root gating and
+    * generation GC as every other artifact family.
+    */
+  private[graft] def clfArtifact(s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.sources.ArtifactStore.resolve(s, "graft_clf_artifact",
+      Seq(new java.io.File(d, "documents.parquet")),
+      // params tag: bucket width + batch-split residue — retuning
+      // either must invalidate the store (ADVICE r13 rule)
+      sub = s"h${ClfHashHexChars}b7") { dir =>
+      import graft.operators.TextAnalysis.{SampleLcgA, SampleLcgC, SampleModulus}
+      val gate = pmod(col("doc_id") * lit(SampleLcgA) + lit(SampleLcgC),
+        lit(SampleModulus))
+      val train = Tables.documents(s, d)
+        .filter(gate < ClfGateHalf).filter(!DocBatchPred)
+      val m = graft.operators.TextAnalysis.hashClfTrain(
+        train, hashHexChars = ClfHashHexChars)
+      m.counts.coalesce(1).write.mode("overwrite").parquet(s"$dir/counts")
+      val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).create(p, true).close()
+    }
+
   /** Shared IVF+PQ oracle — ONE replay of coarse-assign / encode /
     * LUT / ADC / rerank for both its consumers: s08 (inline encode)
     * and s09 (the cell-partitioned stored index) — the two must be
@@ -2583,38 +2660,31 @@ object TextQ {
     // operator).
     Q("t17_hash_classifier",
       (s, d) => TextAnalysis.hashClassifier(Tables.documents(s, d)),
-      Some {
-        import graft.operators.TextAnalysis.{SampleLcgA, SampleLcgC, SampleModulus}
-        val half = SampleModulus / 2
-        s"""WITH toked AS (
-        |  SELECT doc_id, lang, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS toks
-        |  FROM documents
-        |), tok AS (
-        |  SELECT doc_id, lang, gate, substr(md5(tok), 1, 4) AS b FROM (
-        |    SELECT doc_id, lang,
-        |      ((doc_id * $SampleLcgA + $SampleLcgC) % $SampleModulus + $SampleModulus) % $SampleModulus AS gate,
-        |      unnest(toks) AS tok
-        |    FROM toked WHERE len(toks) > 0) t
-        |), model AS (
-        |  SELECT lang AS lbl, b, CAST(count(*) AS BIGINT) AS c
-        |  FROM tok WHERE gate < $half GROUP BY 1, 2
-        |), tot AS (
-        |  SELECT lbl, CAST(sum(c) AS BIGINT) AS n FROM model GROUP BY 1
-        |), scored AS (
-        |  SELECT t.doc_id, t.lang, tt.lbl,
-        |    CAST(count(*) AS BIGINT) AS n_tokens,
-        |    CAST(sum(CAST(ROUND(CAST(coalesce(m.c, 0) + 1 AS DOUBLE)
-        |      / CAST(tt.n + 65536 AS DOUBLE) * 1e9) AS BIGINT)) AS BIGINT) AS s
-        |  FROM tok t
-        |  CROSS JOIN tot tt
-        |  LEFT JOIN model m ON m.lbl = tt.lbl AND m.b = t.b
-        |  WHERE t.gate >= $half
-        |  GROUP BY 1, 2, 3
-        |)
-        |SELECT doc_id, lang AS label, lbl AS pred_label, n_tokens, s AS score_q
-        |FROM scored
-        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lbl ASC) = 1""".stripMargin
-      }),
+      Some(hashClfOracleSql(
+        trainWhere = s"gate < $ClfGateHalf",
+        scoreWhere = s"gate >= $ClfGateHalf"))),
+
+    // Incremental classifier serving — the maintenance tier of t17
+    // (the pattern d22 set for DSIR): the hashed-count model is FROZEN
+    // in a persisted artifact built once per documents generation from
+    // the train half MINUS the arriving batch (scoring data with
+    // statistics it contributed is lookahead — the d22 stance), and
+    // each batch (doc_id ≡ 7 mod 10) is scored under it: tokenize +
+    // one 1:1 broadcast join + one per-doc aggregation, no corpus
+    // scan, no retrain. This is the CCNet/fastText deployment shape —
+    // the classifier is trained once, then the corpus streams through
+    // it.
+    Q("t18_classifier_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val art = clfArtifact(s, d)
+        val model = TextAnalysis.hashClfModelOf(
+          s.read.parquet(s"$art/counts"), ClfHashHexChars)
+        TextAnalysis.hashClassifierScoreUnder(model, docs.filter(DocBatchPred))
+      },
+      Some(hashClfOracleSql(
+        trainWhere = s"gate < $ClfGateHalf AND $DocBatchPredSqlNot",
+        scoreWhere = "((doc_id % 10) + 10) % 10 = 7"))),
 
     // TF-IDF keyword extraction: top-3 terms per document over the
     // 100-term highest-df vocabulary. idf is quantized to an integer

@@ -85,6 +85,25 @@ class HashClassifierSpec extends AnyFunSuite {
     assert(e.getMessage.contains("train split is empty"))
   }
 
+  test("a model persisted to parquet and rebuilt scores identically (the t18 round-trip)") {
+    val docs = separable
+    val half = SampleModulus / 2
+    val g = pmod(col("doc_id") * lit(SampleLcgA) + lit(SampleLcgC),
+      lit(SampleModulus))
+    val model = TextAnalysis.hashClfTrain(docs.filter(g < half))
+    val direct = TextAnalysis.hashClassifierScoreUnder(model, docs.filter(g >= half))
+      .collect().map(_.toString).sorted.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_clf_rt").toString
+    model.counts.write.mode("overwrite").parquet(s"$dir/counts")
+    val rebuilt = TextAnalysis.hashClfModelOf(
+      spark.read.parquet(s"$dir/counts"), model.hashHexChars)
+    assert(rebuilt.labels == model.labels)
+    assert(rebuilt.totals == model.totals)
+    val probed = TextAnalysis.hashClassifierScoreUnder(rebuilt, docs.filter(g >= half))
+      .collect().map(_.toString).sorted.toSeq
+    assert(probed == direct)
+  }
+
   test("every held-out doc with tokens appears exactly once (catalog fixture)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = TextAnalysis.hashClassifier(docs)
