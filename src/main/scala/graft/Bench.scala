@@ -212,10 +212,11 @@ object Bench {
     if (sorted.exists { case (n, _) => n.startsWith("d22") })
       try graft.queries.TextQ.dsirArtifact(spark, sfDir)
       catch { case _: Throwable => () }
-    // t18's frozen classifier model: same posture — trained once per
-    // documents generation; the timed region is the batch's scoring
+    // t18/st9's frozen classifier model: same posture — trained once
+    // per documents generation; the timed region is the batch's scoring
     // probe (tokenize + broadcast bucket join + per-doc agg)
-    if (sorted.exists { case (n, _) => n.startsWith("t18") })
+    if (sorted.exists { case (n, _) =>
+        n.startsWith("t18") || n.startsWith("st9") })
       try graft.queries.TextQ.clfArtifact(spark, sfDir)
       catch { case _: Throwable => () }
     // Same posture for the MOT-shaped input tables: gt/tracks/gt_emb/

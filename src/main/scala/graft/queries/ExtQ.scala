@@ -213,6 +213,39 @@ object ExtQ {
     }
   }
 
+  /** The st9 micro-batch classifier probe, shared with the multi-batch
+    * spec: each batch of the document stream is scored under the FROZEN
+    * persisted model (loaded once, pre-stream, through the fail-loud
+    * [[graft.queries.TextQ.clfModelOfStore]]) — tokenize + one
+    * broadcast bucket join + one per-doc aggregation per trigger, no
+    * corpus scan, no retrain. Per-doc scores depend only on the frozen
+    * counts, so any micro-batch split of the same rows must answer
+    * row-identically to t18's single batch — which is why st9 shares
+    * t18's oracle verbatim.
+    */
+  private[graft] def streamClassify(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      docStream: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.operators.TextAnalysis
+    val model = TextQ.clfModelOfStore(s, d)
+    val outDir = boundedSink("graft_st9_out", d)
+    withStreamShuffle(s) {
+      // schema derived statically (analysis only) so a zero-trigger
+      // stream returns an empty typed result instead of NPE-ing
+      val outSchema = TextAnalysis.hashClassifierScoreUnder(
+        model, Tables.documents(s, d).limit(0)).schema
+      val q = docStream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          TextAnalysis.hashClassifierScoreUnder(model, batch)
+            .write.mode("append").parquet(outDir)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      readSink(s, outDir, outSchema)
+    }
+  }
+
   val defs: Seq[Q] = Seq(
 
     // F1/F2/F4 — the cascade predicates on the derived corner-format
@@ -640,6 +673,28 @@ object ExtQ {
     // and the PQ encode is deterministic, so all three forms — inline
     // (s08), stored (s09), streaming (st8) — share ONE oracle and must
     // answer row-identically.
+    // Streaming classifier serving — the third form of the classifier
+    // tier (t17 batch train/holdout, t18 incremental artifact probe,
+    // st9 the live ingest stream): each arriving micro-batch is scored
+    // under the frozen persisted model, the CCNet deployment loop as a
+    // running stream. The batch slice (doc_id ≡ 7 mod 10) arrives as
+    // an AvailableNow stream and must answer row-identically to t18 —
+    // the two share one oracle; the spec-level multi-batch run
+    // (StreamingParitySpec) additionally pins that a split into
+    // several triggers is invisible in the final sink.
+    Q("st9_stream_classify",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        TextQ.clfArtifact(s, d)  // build/refresh at batch parallelism
+        streamClassify(s, d,
+          s.readStream.schema(docs.schema)
+            .option("pathGlobFilter", "documents.parquet").parquet(d)
+            .filter(TextQ.DocBatchPred))
+      },
+      Some(TextQ.hashClfOracleSql(
+        trainWhere = s"gate < ${TextQ.ClfGateHalf} AND ${TextQ.DocBatchPredSqlNot}",
+        scoreWhere = "((doc_id % 10) + 10) % 10 = 7"))),
+
     Q("st8_stream_ann_probe",
       (s, d) => {
         val emb = Tables.embeddings(s, d)

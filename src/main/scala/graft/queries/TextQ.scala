@@ -1104,12 +1104,19 @@ object TextQ {
     * dsirArtifact `cp` principle). Same `_SUCCESS`-at-root gating and
     * generation GC as every other artifact family.
     */
-  private[graft] def clfArtifact(s: org.apache.spark.sql.SparkSession, d: String): String =
-    graft.sources.ArtifactStore.resolve(s, "graft_clf_artifact",
-      Seq(new java.io.File(d, "documents.parquet")),
-      // params tag: bucket width + batch-split residue — retuning
-      // either must invalidate the store (ADVICE r13 rule)
-      sub = s"h${ClfHashHexChars}b7") { dir =>
+  /** The (kind, sources, sub) key of the classifier store — ONE
+    * definition shared by the build ([[clfArtifact]]) and the probe
+    * ([[clfModelOfStore]]) so the two can never address different
+    * directories. The sub is the params tag: bucket width +
+    * batch-split residue — retuning either must invalidate the store
+    * (ADVICE r13 rule).
+    */
+  private def clfStoreKey(d: String) = ("graft_clf_artifact",
+    Seq(new java.io.File(d, "documents.parquet")), s"h${ClfHashHexChars}b7")
+
+  private[graft] def clfArtifact(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val (kind, srcs, sub) = clfStoreKey(d)
+    graft.sources.ArtifactStore.resolve(s, kind, srcs, sub = sub) { dir =>
       import graft.operators.TextAnalysis.{SampleLcgA, SampleLcgC, SampleModulus}
       val gate = pmod(col("doc_id") * lit(SampleLcgA) + lit(SampleLcgC),
         lit(SampleModulus))
@@ -1121,6 +1128,24 @@ object TextQ {
       val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
       p.getFileSystem(s.sparkContext.hadoopConfiguration).create(p, true).close()
     }
+  }
+
+  /** Probe-side loader of the frozen classifier model —
+    * resolveExisting, never resolve: a missing store at probe time
+    * (above all inside a streaming trigger, st9) means the maintenance
+    * path (`dedup-maintain` or the query's own pre-stream
+    * [[clfArtifact]]) didn't run for this generation, and it fails
+    * loudly naming that fix instead of training a model inside a
+    * micro-batch. Labels/totals are re-derived from the counts
+    * ([[graft.operators.TextAnalysis.hashClfModelOf]]).
+    */
+  private[graft] def clfModelOfStore(s: org.apache.spark.sql.SparkSession,
+      d: String): graft.operators.TextAnalysis.HashClfModel = {
+    val (kind, srcs, sub) = clfStoreKey(d)
+    val dir = graft.sources.ArtifactStore.resolveExisting(s, kind, srcs, sub = sub)
+    graft.operators.TextAnalysis.hashClfModelOf(
+      s.read.parquet(s"$dir/counts"), ClfHashHexChars)
+  }
 
   /** Shared IVF+PQ oracle — ONE replay of coarse-assign / encode /
     * LUT / ADC / rerank for both its consumers: s08 (inline encode)
@@ -2677,10 +2702,9 @@ object TextQ {
     Q("t18_classifier_incremental",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val art = clfArtifact(s, d)
-        val model = TextAnalysis.hashClfModelOf(
-          s.read.parquet(s"$art/counts"), ClfHashHexChars)
-        TextAnalysis.hashClassifierScoreUnder(model, docs.filter(DocBatchPred))
+        clfArtifact(s, d)  // build/refresh at batch parallelism
+        TextAnalysis.hashClassifierScoreUnder(clfModelOfStore(s, d),
+          docs.filter(DocBatchPred))
       },
       Some(hashClfOracleSql(
         trainWhere = s"gate < $ClfGateHalf AND $DocBatchPredSqlNot",

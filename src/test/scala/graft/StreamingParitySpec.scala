@@ -119,6 +119,29 @@ class StreamingParitySpec extends AnyFunSuite {
     queries.unpersist()
   }
 
+  test("st9 multi-batch classifier probe: split doc stream answers identically to t18") {
+    import org.apache.spark.sql.functions.col
+    val d = "/root/testdata/sf0.001"
+    // the batch fixpoint: t18's single-batch artifact probe, which
+    // shares its oracle with st9 — the two must answer row-identically
+    val batch = SparkEntry.queries("t18_classifier_incremental")(spark, d)
+      .collect().map(_.toString).sorted.toSeq
+    assert(batch.nonEmpty)
+    val docs = Tables.documents(spark, d)
+      .filter(graft.queries.TextQ.DocBatchPred).cache()
+    val dir = Files.createTempDirectory("st9_batches").toString
+    // split the batch slice into TWO micro-batches — per-doc scores
+    // depend only on the frozen model, so the split must be invisible
+    docs.filter(col("doc_id") < 250).coalesce(1).write.parquet(s"$dir/b=0")
+    docs.filter(col("doc_id") >= 250).coalesce(1).write.parquet(s"$dir/b=1")
+    val multi = graft.queries.ExtQ.streamClassify(spark, d,
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir))
+      .collect().map(_.toString).sorted.toSeq
+    assert(multi == batch, "multi-batch classifier probe diverged from t18")
+    docs.unpersist()
+  }
+
   test("session window spanning micro-batches merges state across batches") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
