@@ -113,7 +113,8 @@ object Run {
         val simhash = graft.queries.TextQ.simhashArtifact(spark, dir)
         val dsir = graft.queries.TextQ.dsirArtifact(spark, dir)
         val clf = graft.queries.TextQ.clfArtifact(spark, dir)
-        s"dedup-maintain: band=$band gram=$gram clusters=$clusters simhash=$simhash dsir=$dsir clf=$clf"
+        val decontam = graft.queries.TextQ.decontamArtifact(spark, dir)
+        s"dedup-maintain: band=$band gram=$gram clusters=$clusters simhash=$simhash dsir=$dsir clf=$clf decontam=$decontam"
       case "ann-maintain" =>
         // the EMBEDDING-side maintenance job: (re)build the
         // cell-partitioned IVF+PQ code table AND the semantic-dedup

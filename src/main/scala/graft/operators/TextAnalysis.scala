@@ -901,6 +901,57 @@ object TextAnalysis {
       .withColumn("contaminated", col("n_contaminated_grams") > 0)
   }
 
+  /** The frozen decontamination model: the eval set's distinct gram
+    * fingerprints as a persistable relation plus the Bloom sketch built
+    * over them — what the decontam artifact stores once per documents
+    * generation and every ingest probe scores under. `bloom` is null
+    * when the eval set carried no gram (the exact path's semantics:
+    * zero grams can't hit anything).
+    */
+  case class DecontamModel(bloom: Array[Byte], evalGrams: DataFrame)
+
+  /** The eval side of the decontamination family as a standalone
+    * relation — distinct gram hashes `(g)` — so the artifact build and
+    * the inline queries derive the SAME fingerprints from one code
+    * path.
+    */
+  def evalGramHashes(evalSet: DataFrame, n: Int = 5,
+                     textCol: String = "text"): DataFrame =
+    gramHashes(evalSet, n, textCol).select("g").distinct()
+
+  /** Score one ingest batch under a FROZEN decontamination model — the
+    * serving form of [[decontaminateBloom]] (d25 incremental / st10
+    * streaming): the batch's grams drop non-members map-side through
+    * the persisted sketch (pure codegen predicate, no shuffle), and
+    * only the survivors take the exact equi-join against the persisted
+    * eval-gram relation — which is allowed to SHUFFLE, never hinted
+    * broadcast, because the tier's premise is an eval suite past
+    * broadcastability (in practice the survivor side is batch-sized,
+    * so AQE picks the cheap join anyway). No corpus scan, no sketch
+    * rebuild: per-trigger cost is the batch's grams. False positives
+    * cannot survive the exact join, so any batch split answers
+    * row-identically to [[decontaminate]] restricted to those docs —
+    * the probes share d10's oracle scaffolding.
+    */
+  def decontaminateUnder(model: DecontamModel, batch: DataFrame,
+                         n: Int = 5, textCol: String = "text"): DataFrame = {
+    val base = batch.select("doc_id", "source")
+    val hits =
+      if (model.bloom == null)
+        base.limit(0).select(col("doc_id"),
+          lit(0L).as("n_contaminated_grams"))
+      else gramHashes(batch, n, textCol)
+        .where(call_function("graft_might_contain",
+          lit(model.bloom), col("g")))
+        .join(model.evalGrams, Seq("g"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated_grams"))
+    base
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_contaminated_grams",
+        coalesce(col("n_contaminated_grams"), lit(0L)))
+      .withColumn("contaminated", col("n_contaminated_grams") > 0)
+  }
+
   /** Per-doc distinct n-gram xxhash64 fingerprints `(doc_id, g)` for
     * the decontamination family. The token array is MATERIALIZED into
     * a column before shingling: `Text.shingles` references its input

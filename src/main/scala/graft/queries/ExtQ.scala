@@ -246,6 +246,40 @@ object ExtQ {
     }
   }
 
+  /** The st10 micro-batch decontamination probe, shared with the
+    * multi-batch spec: each batch of the document stream is scored
+    * under the FROZEN persisted eval-gram model (loaded once,
+    * pre-stream, through the fail-loud
+    * [[graft.queries.TextQ.decontamModelOfStore]]) — map-side sketch
+    * drop + exact verify join + per-doc count per trigger, no eval
+    * re-tokenization, no corpus scan. Per-doc flags depend only on the
+    * frozen model, so any micro-batch split of the same rows must
+    * answer row-identically to d25's single batch — which is why st10
+    * shares d25's oracle verbatim.
+    */
+  private[graft] def streamDecontam(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      docStream: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.operators.TextAnalysis
+    val model = TextQ.decontamModelOfStore(s, d)
+    val outDir = boundedSink("graft_st10_out", d)
+    withStreamShuffle(s) {
+      // schema derived statically (analysis only) so a zero-trigger
+      // stream returns an empty typed result instead of NPE-ing
+      val outSchema = TextAnalysis.decontaminateUnder(
+        model, Tables.documents(s, d).limit(0)).schema
+      val q = docStream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          TextAnalysis.decontaminateUnder(model, batch)
+            .write.mode("append").parquet(outDir)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      readSink(s, outDir, outSchema)
+    }
+  }
+
   val defs: Seq[Q] = Seq(
 
     // F1/F2/F4 — the cascade predicates on the derived corner-format
@@ -694,6 +728,27 @@ object ExtQ {
       Some(TextQ.hashClfOracleSql(
         trainWhere = s"gate < ${TextQ.ClfGateHalf} AND ${TextQ.DocBatchPredSqlNot}",
         scoreWhere = "((doc_id % 10) + 10) % 10 = 7"))),
+
+    // Streaming decontamination — the live-ingest form of the frozen
+    // eval-gram tier (d10/d23 batch, d25 incremental artifact probe,
+    // st10 the running stream): each arriving micro-batch of train
+    // documents is checked for eval overlap under the persisted sketch
+    // + exact relation, the pre-training hygiene gate as a stream. The
+    // batch slice arrives as an AvailableNow stream and must answer
+    // row-identically to d25 — the two share one oracle; the
+    // spec-level multi-batch run (StreamingParitySpec) additionally
+    // pins that a split into several triggers is invisible.
+    Q("st10_stream_decontam",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        TextQ.decontamArtifact(s, d)  // build/refresh at batch parallelism
+        streamDecontam(s, d,
+          s.readStream.schema(docs.schema)
+            .option("pathGlobFilter", "documents.parquet").parquet(d)
+            .filter(TextQ.DocBatchPred &&
+              col("source") =!= TextQ.DecontamEvalSrc))
+      },
+      Some(TextQ.decontamOracleSql(TextQ.DecontamBatchWhereSql))),
 
     Q("st8_stream_ann_probe",
       (s, d) => {

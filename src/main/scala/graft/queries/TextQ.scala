@@ -1147,6 +1147,68 @@ object TextQ {
       s.read.parquet(s"$dir/counts"), ClfHashHexChars)
   }
 
+  /** Decontamination tier parameters — single-sourced across d23/d24
+    * (inline sketches), the frozen artifact, and the d25/st10 probes:
+    * gram width, the eval slice, and the sketch size. */
+  private[graft] val DecontamN = 5
+  private[graft] val DecontamEvalSrc = "src19"
+  private[graft] val DecontamSketchItems = 200000L
+  private[graft] val DecontamSketchBits = 2000000L
+
+  /** The (kind, sources, sub) key of the decontamination store — one
+    * definition shared by build and probe (the clfStoreKey rule). The
+    * sub carries gram width, eval slice, and sketch size: retuning any
+    * of them must invalidate the store (ADVICE r13 rule).
+    */
+  private def decontamStoreKey(d: String) = ("graft_decontam_artifact",
+    Seq(new java.io.File(d, "documents.parquet")),
+    s"n${DecontamN}s19e200kb2m")
+
+  /** The persisted frozen eval-gram model of the decontamination tier:
+    * the held-out suite's distinct gram fingerprints (`grams/`, the
+    * exact-verify relation) plus the Bloom sketch aggregated over them
+    * (`bloom/`, one row, ≤ [[DecontamSketchBits]]/8 bytes — the
+    * map-side prefilter). Built ONCE per documents generation — eval
+    * suites change when benchmarks do, not per ingest batch — so the
+    * d25/st10 probes never re-tokenize the eval side. The sketch is
+    * aggregated from the PERSISTED grams (not the source) so the two
+    * files can never disagree. Same `_SUCCESS`-at-root gating and
+    * generation GC as every artifact family.
+    */
+  private[graft] def decontamArtifact(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val (kind, srcs, sub) = decontamStoreKey(d)
+    graft.sources.ArtifactStore.resolve(s, kind, srcs, sub = sub) { dir =>
+      import graft.operators.TextAnalysis
+      TextAnalysis.evalGramHashes(
+          Tables.documents(s, d).filter(col("source") === DecontamEvalSrc),
+          n = DecontamN)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/grams")
+      s.read.parquet(s"$dir/grams")
+        .agg(call_function("graft_bloom_agg", col("g"),
+          lit(DecontamSketchItems), lit(DecontamSketchBits)).as("bf"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/bloom")
+      val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).create(p, true).close()
+    }
+  }
+
+  /** Probe-side loader of the frozen decontamination model —
+    * resolveExisting, never resolve (the clfModelOfStore rule): a
+    * missing store at probe time fails loudly naming the maintenance
+    * fix instead of tokenizing the eval suite inside a micro-batch.
+    * The sketch row is a bounded driver collect (≤ sketchBits/8
+    * bytes); the gram relation stays a lazy DataFrame for the exact
+    * verify join.
+    */
+  private[graft] def decontamModelOfStore(s: org.apache.spark.sql.SparkSession,
+      d: String): graft.operators.TextAnalysis.DecontamModel = {
+    val (kind, srcs, sub) = decontamStoreKey(d)
+    val dir = graft.sources.ArtifactStore.resolveExisting(s, kind, srcs, sub = sub)
+    graft.operators.TextAnalysis.DecontamModel(
+      s.read.parquet(s"$dir/bloom").collect()(0).getAs[Array[Byte]](0),
+      s.read.parquet(s"$dir/grams"))
+  }
+
   /** Shared IVF+PQ oracle — ONE replay of coarse-assign / encode /
     * LUT / ADC / rerank for both its consumers: s08 (inline encode)
     * and s09 (the cell-partitioned stored index) — the two must be
@@ -1166,8 +1228,19 @@ object TextQ {
     * die in the exact verify join), so both engines' answers — and
     * therefore both queries' oracle — are IDENTICAL by construction.
     */
-  private[graft] lazy val DecontaminationOracleSql: String =
-    """WITH toked AS (
+  /** d10/d23/d25/st10 shared oracle scaffolding — ONE copy of the
+    * tokenization, gram derivation, eval side, and hit count.
+    * `trainWhere` filters the scored documents (d10/d23: the whole
+    * non-eval corpus; d25/st10: the arriving batch slice — the frozen
+    * artifact's sketch/grams are pure functions of the eval slice, so
+    * restricting the train side is the ONLY difference between the
+    * inline and the frozen-model forms). The text is written so the
+    * same `trainWhere` applies unqualified in both places (hits
+    * exposes `hdoc`, keeping `doc_id`/`source` unambiguous in the
+    * outer query).
+    */
+  private[graft] def decontamOracleSql(trainWhere: String): String =
+    s"""WITH toked AS (
         |  SELECT doc_id, source, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS toks
         |  FROM documents
         |), grams AS (
@@ -1178,16 +1251,24 @@ object TextQ {
         |), evalg AS (
         |  SELECT DISTINCT unnest(gs) AS g FROM grams WHERE source = 'src19'
         |), traing AS (
-        |  SELECT doc_id, unnest(gs) AS g FROM grams WHERE source <> 'src19'
+        |  SELECT doc_id, unnest(gs) AS g FROM grams WHERE $trainWhere
         |), hits AS (
-        |  SELECT t.doc_id, count(*) AS n FROM traing t JOIN evalg e ON t.g = e.g
+        |  SELECT t.doc_id AS hdoc, count(*) AS n FROM traing t JOIN evalg e ON t.g = e.g
         |  GROUP BY t.doc_id
         |)
-        |SELECT d.doc_id, d.source,
+        |SELECT doc_id, source,
         |  CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_grams,
         |  coalesce(h.n, 0) > 0 AS contaminated
-        |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
-        |WHERE d.source <> 'src19'""".stripMargin
+        |FROM documents d LEFT JOIN hits h ON h.hdoc = d.doc_id
+        |WHERE $trainWhere""".stripMargin
+
+  private[graft] lazy val DecontaminationOracleSql: String =
+    decontamOracleSql("source <> 'src19'")
+
+  /** The d25/st10 train slice: the arriving batch (DocBatchPred) minus
+    * the eval slice, in both engines' text. */
+  private[graft] val DecontamBatchWhereSql =
+    "source <> 'src19' AND ((doc_id % 10) + 10) % 10 = 7"
 
   /** d13/d24 shared oracle — the exact contaminated-pair table. d24's
     * Bloom prefilter is the same pure semi-join reduction as d23's
@@ -2054,6 +2135,24 @@ object TextQ {
           estimatedItems = 200000L, numBits = 2000000L)
       },
       Some(ProvenanceOracleSql)),
+
+    // Incremental decontamination — the frozen-model serving form of
+    // d23 (the d22/t18 posture on the decontamination tier): the eval
+    // suite's gram sketch + exact relation persist once per documents
+    // generation (`dedup-maintain` owns the build), and the arriving
+    // batch is scored under them — map-side sketch drop, exact verify
+    // join, no eval re-tokenization, no corpus scan. False positives
+    // die in the exact join, so the probe shares d10's oracle
+    // scaffolding restricted to the batch slice.
+    Q("d25_decontam_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        decontamArtifact(s, d)  // build/refresh at batch parallelism
+        TextAnalysis.decontaminateUnder(decontamModelOfStore(s, d),
+          docs.filter(DocBatchPred && col("source") =!= DecontamEvalSrc),
+          n = DecontamN)
+      },
+      Some(decontamOracleSql(DecontamBatchWhereSql))),
 
     // Span-level exact dedup (the C4/RefinedWeb line-dedup shape):
     // 10-word spans, global first-occurrence keep, documents

@@ -96,7 +96,7 @@ class PipelinesSpec extends AnyFunSuite {
     val msg = Run.run(spark, "dedup-maintain", Seq(s"data=$data"))
     assert(msg.startsWith("dedup-maintain:"), msg)
     val paths = msg.split(' ').tail.map(_.split("=", 2)(1))
-    assert(paths.length == 6)
+    assert(paths.length == 7)
     paths.foreach { p =>
       assert(java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS")),
         s"artifact $p must be _SUCCESS-gated")
@@ -212,7 +212,7 @@ class PipelinesSpec extends AnyFunSuite {
       SparkEntry.queries(q)(spark, dir).collect().map(_.toString).sorted.toSeq
     val before = Seq("d09_incremental_dedup", "d17_incremental_cc",
       "d18_simhash64_incremental", "d22_dsir_incremental",
-      "t18_classifier_incremental")
+      "t18_classifier_incremental", "d25_decontam_incremental")
       .map(q => q -> result(q))
     // hold a gen-1 memoized relation across the regeneration
     val stale = graft.queries.TextQ.bandSigs(spark, dir)

@@ -142,6 +142,30 @@ class StreamingParitySpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("st10 multi-batch decontamination probe: split doc stream answers identically to d25") {
+    import org.apache.spark.sql.functions.col
+    val d = "/root/testdata/sf0.001"
+    // the batch fixpoint: d25's single-batch artifact probe, which
+    // shares its oracle with st10 — the two must answer row-identically
+    val batch = SparkEntry.queries("d25_decontam_incremental")(spark, d)
+      .collect().map(_.toString).sorted.toSeq
+    assert(batch.nonEmpty)
+    val docs = Tables.documents(spark, d)
+      .filter(graft.queries.TextQ.DocBatchPred && col("source") =!= "src19")
+      .cache()
+    val dir = Files.createTempDirectory("st10_batches").toString
+    // split the batch slice into TWO micro-batches — per-doc flags
+    // depend only on the frozen model, so the split must be invisible
+    docs.filter(col("doc_id") < 250).coalesce(1).write.parquet(s"$dir/b=0")
+    docs.filter(col("doc_id") >= 250).coalesce(1).write.parquet(s"$dir/b=1")
+    val multi = graft.queries.ExtQ.streamDecontam(spark, d,
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir))
+      .collect().map(_.toString).sorted.toSeq
+    assert(multi == batch, "multi-batch decontamination probe diverged from d25")
+    docs.unpersist()
+  }
+
   test("session window spanning micro-batches merges state across batches") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
