@@ -127,7 +127,8 @@ object Run {
           "embeddings.parquet")
         val index = graft.queries.TextQ.annArtifact(spark, dir)
         val sem = graft.queries.TextQ.semArtifact(spark, dir)
-        s"ann-maintain: index=$index sem=$sem"
+        val corpus = graft.queries.TextQ.annCorpusArtifact(spark, dir)
+        s"ann-maintain: index=$index sem=$sem corpus=$corpus"
       case other =>
         throw new IllegalArgumentException(
           s"unknown mode: $other (track|eval|features|visualize|dedup-maintain|ann-maintain)")

@@ -280,6 +280,52 @@ object ExtQ {
     }
   }
 
+  /** The st11 micro-batch delta-ingest, shared with the multi-batch
+    * spec: each batch of the vector stream is encoded under the FROZEN
+    * corpus model (rebuilt driver-side from the corpus slice — a
+    * bounded deterministic collect, the s09 practice) and appended to
+    * a delta code table — a batch-sized map-side projection per
+    * trigger, no retrain, no index rebuild. The corpus index itself is
+    * located through the fail-loud
+    * [[graft.queries.TextQ.annCorpusIndexOfStore]]. After the stream
+    * drains, ONE probe searches main ∪ delta. Codes are per-row
+    * functions of the frozen model, so any micro-batch split of the
+    * same vectors yields the same delta table — st11 must answer
+    * row-identically to s12, and the two share one oracle.
+    */
+  private[graft] def streamAnnDelta(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      vecStream: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.operators.SimilaritySearch
+    val emb = Tables.embeddings(s, d)
+    val model = SimilaritySearch.ivfPqModel(
+      emb.filter(!TextQ.SemBatchPred), TextQ.AnnNlist, TextQ.AnnM, TextQ.AnnCb)
+    val index = TextQ.annCorpusIndexOfStore(s, d)
+    val deltaDir = boundedSink("graft_st11_delta", d)
+    withStreamShuffle(s) {
+      val deltaSchema = SimilaritySearch.ivfPqEncode(emb.limit(0), model).schema
+      val q = vecStream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          SimilaritySearch.ivfPqEncode(batch, model)
+            .write.mode("append").parquet(deltaDir)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val delta = readSink(s, deltaDir, deltaSchema)
+      val queries = emb.filter(col("vec_id") < 10)
+      val cells = SimilaritySearch.ivfPqProbedCells(queries, model, nprobe = 2)
+      val main = s.read.parquet(index)
+        .where(col("cell").isin(cells: _*))
+        .select(col("vec_id"), col("cell"), col("codes"))
+      val coded = main.unionByName(delta
+        .where(col("cell").isin(cells: _*))
+        .select(col("vec_id"), col("cell"), col("codes")))
+      SimilaritySearch.ivfPqSearch(queries, emb, coded, model,
+        k = 5, nprobe = 2, refine = 20)
+    }
+  }
+
   val defs: Seq[Q] = Seq(
 
     // F1/F2/F4 — the cascade predicates on the derived corner-format
@@ -759,6 +805,28 @@ object ExtQ {
             .filter(col("vec_id") < 10))
       },
       Some(TextQ.IvfPqOracleSql)),
+
+    // Streaming ANN DELTA INGEST — st8 streams the QUERIES against a
+    // frozen index; this streams the CORPUS side: arriving vectors are
+    // encoded under the frozen corpus model per trigger and appended
+    // to the delta code table, making the stored index append-only
+    // between maintenance generations (the FAISS main+delta serving
+    // shape as a live stream). The batch slice arrives as an
+    // AvailableNow stream and the post-drain probe over main ∪ delta
+    // must answer row-identically to s12 — the two share one oracle;
+    // the spec-level multi-batch run (StreamingParitySpec)
+    // additionally pins that a split into several triggers is
+    // invisible.
+    Q("st11_stream_ann_delta",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        TextQ.annCorpusArtifact(s, d)  // build/refresh at batch parallelism
+        streamAnnDelta(s, d,
+          s.readStream.schema(emb.schema)
+            .option("pathGlobFilter", "embeddings.parquet").parquet(d)
+            .filter(TextQ.SemBatchPred))
+      },
+      Some(TextQ.ivfPqOracleSql(TextQ.VecCorpusWhereSql))),
 
     // Streaming incremental CLUSTER MAINTENANCE — st6 gates ingest;
     // this closes the loop: each micro-batch's verified duplicate

@@ -483,6 +483,50 @@ object TextQ {
         .write.mode("overwrite").partitionBy("cell").parquet(dir)
     }
 
+  /** The (kind, sources, sub) key of the CORPUS-slice index store —
+    * the delta-ingest tier's main index (the clfStoreKey rule: one
+    * definition for build and probe). The sub carries the model
+    * params plus the batch-split residue: retuning either must
+    * invalidate the store (ADVICE r13 rule).
+    */
+  private def annCorpusStoreKey(d: String) = ("graft_ann_corpus_artifact",
+    Seq(new java.io.File(d, "embeddings.parquet")),
+    s"nl${AnnNlist}m${AnnM}cb${AnnCb}b7")
+
+  /** The delta-ingest tier's MAIN index: the raw-PQ code table of the
+    * CORPUS slice only, encoded under a model whose seeds are drawn
+    * from the corpus only (no lookahead into the arriving batch — the
+    * d22/t18/d25 stance applied to the ANN model), cell-partitioned
+    * like [[annArtifact]]. This is the index that exists BEFORE a
+    * batch arrives; s12/st11 encode the batch under the same frozen
+    * model and union the delta codes into the probe, so new vectors
+    * become searchable without touching (let alone rebuilding) this
+    * store — between `ann-maintain` generations the index is
+    * append-only. `ann-maintain` owns the build.
+    */
+  private[graft] def annCorpusArtifact(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val (kind, srcs, sub) = annCorpusStoreKey(d)
+    graft.sources.ArtifactStore.resolve(s, kind, srcs, sub = sub) { dir =>
+      val corpus = Tables.embeddings(s, d).filter(!SemBatchPred)
+      val model = SimilaritySearch.ivfPqModel(corpus, AnnNlist, AnnM, AnnCb)
+      SimilaritySearch.ivfPqEncode(corpus, model)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    }
+  }
+
+  /** Probe-side locator of the corpus index — resolveExisting, never
+    * resolve (the clfModelOfStore rule): a missing store at probe time
+    * (above all inside st11's stream) means `ann-maintain` didn't run
+    * for this generation, and it fails loudly naming that fix instead
+    * of encoding the corpus inside a micro-batch.
+    */
+  private[graft] def annCorpusIndexOfStore(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val (kind, srcs, sub) = annCorpusStoreKey(d)
+    graft.sources.ArtifactStore.resolveExisting(s, kind, srcs, sub = sub)
+  }
+
   /** The persisted CORPUS CLUSTER-LABEL artifact `(doc_id, cluster_id)`
     * — batch connected components over the corpus slice's verified
     * duplicate edges (source <> 'src0', Jaccard >= 0.9), written once
@@ -803,6 +847,9 @@ object TextQ {
     */
   private[graft] def SemBatchPred: org.apache.spark.sql.Column =
     pmod(col("vec_id"), lit(10)) === lit(7)
+  /** The corpus (non-batch) side of [[SemBatchPred]] in DuckDB text —
+    * the seed-draw restriction of the s12/st11 delta-tier oracle. */
+  private[graft] val VecCorpusWhereSql = "((vec_id % 10) + 10) % 10 <> 7"
 
   /** Shared SemDeDup oracle — d19's FULL-table replay (Lloyd ×2,
     * within-cluster pair scoring, recursive-CTE grouping, keep rule),
@@ -1301,13 +1348,19 @@ object TextQ {
     * both the centroid and codebook draws — see ivfPqModel's design
     * note on why the overlap is deliberate. Emits (vec_id, `label`,
     * cv) so residual-codebook oracles can join back by vec_id.
+    * `where` restricts the draw's source rows (the s12/st11 delta
+    * tier draws from the corpus slice only — no lookahead into the
+    * arriving batch); "" = the full table.
     */
-  private def seedDrawSql(n: Int, lcgC: Long, label: String): String =
+  private def seedDrawSql(n: Int, lcgC: Long, label: String,
+                          where: String = ""): String = {
+    val w = if (where.isEmpty) "" else s"\n  WHERE $where"
     s"""SELECT vec_id,
         |    CAST(row_number() OVER (ORDER BY (vec_id * 1103515245 + $lcgC) % 2147483648, vec_id) AS INT) - 1 AS $label,
         |    embedding AS cv
-        |  FROM embeddings
+        |  FROM embeddings$w
         |  QUALIFY row_number() OVER (ORDER BY (vec_id * 1103515245 + $lcgC) % 2147483648, vec_id) <= $n""".stripMargin
+  }
 
   private[graft] lazy val IvfRPqOracleSql: String =
     s"""WITH cents AS (
@@ -1400,9 +1453,20 @@ object TextQ {
         |  FROM cos) t
         |WHERE rank <= 5""".stripMargin
 
-  private[graft] lazy val IvfPqOracleSql: String =
+  private[graft] lazy val IvfPqOracleSql: String = ivfPqOracleSql("")
+
+  /** The raw-PQ oracle, parameterized by the MODEL TRAINING slice:
+    * s08/s09 train on the full table (`seedWhere` = ""); the delta
+    * tier (s12/st11) freezes the model on the corpus slice — the
+    * batch never reaches a seed draw (no lookahead), while assignment
+    * and encode still cover every vector (corpus from the stored
+    * index, batch from the delta encode). Everything downstream of
+    * the two draws is shared text — a smoothing or tie-break edit
+    * cannot reach one consumer and not the others.
+    */
+  private[graft] def ivfPqOracleSql(seedWhere: String): String =
     s"""WITH cents AS (
-        |  ${seedDrawSql(8, 12345L, "cid")}
+        |  ${seedDrawSql(8, 12345L, "cid", seedWhere)}
         |), cellcos AS (
         |  SELECT v.vec_id, c.cid,
         |    CAST(sum(CAST(ROUND(CAST(v.embedding[i + 1] AS DOUBLE) * CAST(c.cv[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq,
@@ -1423,7 +1487,7 @@ object TextQ {
         |), probes AS (
         |  SELECT vec_id AS query_id, cid AS cell FROM ranked WHERE rn <= 2 AND vec_id < 10
         |), cbv AS (
-        |  ${seedDrawSql(16, 12345L, "ki")}
+        |  ${seedDrawSql(16, 12345L, "ki", seedWhere)}
         |), cnorm AS (
         |  SELECT ki, mi.m AS mi,
         |    CAST(sum(CAST(ROUND(CAST(cv[mi.m * 8 + j.j + 1] AS DOUBLE) * CAST(cv[mi.m * 8 + j.j + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nc
@@ -2725,6 +2789,39 @@ object TextQ {
           k = 5, nprobe = 2, refine = 20)
       },
       Some(IvfRPqOracleSql)),
+
+    // ANN DELTA INGEST — the serving shape that makes the stored index
+    // APPEND-ONLY between maintenance generations: the corpus index
+    // (annCorpusArtifact) was built before the batch existed, under a
+    // model whose seeds never saw the batch; the arriving vectors are
+    // encoded under that frozen model (a batch-sized map-side
+    // projection — never a retrain, never an index rebuild) and their
+    // codes union into the probe alongside the pruned index scan. New
+    // vectors become searchable the moment their codes land — the
+    // FAISS main+delta deployment shape. Assignment and encode are
+    // per-row functions of the frozen model, so the probe must answer
+    // exactly the full-table plan trained on the corpus slice — the
+    // oracle is the s08 replay with both seed draws restricted to the
+    // corpus.
+    Q("s12_ann_delta",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val corpus = emb.filter(!SemBatchPred)
+        val model = SimilaritySearch.ivfPqModel(corpus, AnnNlist, AnnM, AnnCb)
+        val delta = SimilaritySearch.ivfPqEncode(
+          emb.filter(SemBatchPred), model)
+        val queries = emb.filter(col("vec_id") < 10)
+        val cells = SimilaritySearch.ivfPqProbedCells(queries, model, nprobe = 2)
+        val main = s.read.parquet(annCorpusArtifact(s, d))
+          .where(col("cell").isin(cells: _*))
+          .select(col("vec_id"), col("cell"), col("codes"))
+        val coded = main.unionByName(delta
+          .where(col("cell").isin(cells: _*))
+          .select(col("vec_id"), col("cell"), col("codes")))
+        SimilaritySearch.ivfPqSearch(queries, emb, coded, model,
+          k = 5, nprobe = 2, refine = 20)
+      },
+      Some(ivfPqOracleSql(VecCorpusWhereSql))),
 
     // PII scrubbing (C4-style cleanup). The synthetic corpus carries no
     // PII, so the query INJECTS deterministic emails/IPs/phones from

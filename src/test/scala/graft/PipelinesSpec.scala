@@ -120,7 +120,11 @@ class PipelinesSpec extends AnyFunSuite {
     val msg = Run.run(spark, "ann-maintain", Seq(s"data=$data"))
     assert(msg.startsWith("ann-maintain: index="), msg)
     val paths = msg.split(' ').tail.map(_.split("=", 2)(1)).toSeq
-    assert(paths.length == 2, msg)
+    assert(paths.length == 3, msg)
+    // the delta tier's corpus index shares the cell-partitioned layout
+    val corpusDirs = Option(new java.io.File(paths(2)).listFiles()).getOrElse(Array.empty)
+    assert(corpusDirs.exists(_.getName.startsWith("cell=")),
+      s"corpus index must be partitioned by cell: ${corpusDirs.map(_.getName).mkString(",")}")
     paths.foreach { p =>
       assert(java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS")),
         s"artifact $p must be _SUCCESS-gated")
@@ -162,7 +166,8 @@ class PipelinesSpec extends AnyFunSuite {
     def result(q: String): Seq[String] =
       SparkEntry.queries(q)(spark, dir).collect().map(_.toString).sorted.toSeq
     val before = Seq("s09_ivf_pq_store", "s11_ivf_rpq_store",
-      "st8_stream_ann_probe", "d21_semdedup_incremental").map(q => q -> result(q))
+      "st8_stream_ann_probe", "d21_semdedup_incremental",
+      "s12_ann_delta").map(q => q -> result(q))
     // hold gen-1 relations across the regeneration
     val staleIndex = spark.read.parquet(gen1.head)
     regenerate(5000)

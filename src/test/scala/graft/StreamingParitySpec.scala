@@ -166,6 +166,32 @@ class StreamingParitySpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("st11 multi-batch delta ingest: split vector stream answers identically to s12") {
+    import org.apache.spark.sql.functions.col
+    val d = "/root/testdata/sf0.001"
+    // the batch fixpoint: s12's single-batch delta probe, which shares
+    // its oracle with st11 — the two must answer row-identically
+    val batch = SparkEntry.queries("s12_ann_delta")(spark, d)
+      .collect().map(_.toString).sorted.toSeq
+    assert(batch.nonEmpty)
+    val vecs = Tables.embeddings(spark, d)
+      .filter(graft.queries.TextQ.SemBatchPred).cache()
+    val mid = vecs.agg(org.apache.spark.sql.functions
+      .percentile_approx(col("vec_id"), org.apache.spark.sql.functions.lit(0.5),
+        org.apache.spark.sql.functions.lit(100))).collect()(0).getLong(0)
+    val dir = Files.createTempDirectory("st11_batches").toString
+    // split the batch slice into TWO micro-batches — codes are per-row
+    // functions of the frozen model, so the split must be invisible
+    vecs.filter(col("vec_id") < mid).coalesce(1).write.parquet(s"$dir/b=0")
+    vecs.filter(col("vec_id") >= mid).coalesce(1).write.parquet(s"$dir/b=1")
+    val multi = graft.queries.ExtQ.streamAnnDelta(spark, d,
+        spark.readStream.schema(vecs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir))
+      .collect().map(_.toString).sorted.toSeq
+    assert(multi == batch, "multi-batch delta ingest diverged from s12")
+    vecs.unpersist()
+  }
+
   test("session window spanning micro-batches merges state across batches") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
