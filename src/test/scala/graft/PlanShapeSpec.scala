@@ -233,6 +233,35 @@ class PlanShapeSpec extends AnyFunSuite {
         scans.map(_.selectedPartitions.partitionCount).mkString(","))
   }
 
+  test("s12: delta probe partition-prunes the corpus index and never re-encodes the corpus") {
+    // the delta-ingest shape: the main side must FileScan the
+    // corpus-slice index with the probed cells as PartitionFilters;
+    // only the BATCH pays an encode (the corpus encode would show as
+    // a second full embeddings pass feeding graft_pq_encode)
+    val p = plan("s12_ann_delta")
+    assert(p.contains("graft_ann_corpus_artifact"),
+      s"s12 must FileScan the persisted corpus index:\n${p.take(4000)}")
+    assert("PartitionFilters: \\[[^\\]]*".r.findAllIn(p)
+      .exists(_.contains("cell")),
+      s"corpus index scan must carry a cell partition filter:\n${p.take(4000)}")
+    val scans = SparkEntry.queries("s12_ann_delta")(spark, dir)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("graft_ann_corpus_artifact")) => f
+      }
+    assert(scans.nonEmpty, p)
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir)
+    val model = graft.operators.SimilaritySearch.ivfPqModel(
+      emb.filter(!graft.queries.TextQ.SemBatchPred),
+      graft.queries.TextQ.AnnNlist, graft.queries.TextQ.AnnM, graft.queries.TextQ.AnnCb)
+    val cells = graft.operators.SimilaritySearch.ivfPqProbedCells(
+      emb.filter(col("vec_id") < 10), model, nprobe = 2)
+    assert(scans.forall(_.selectedPartitions.partitionCount == cells.length),
+      s"expected ${cells.length} partitions read, got " +
+        scans.map(_.selectedPartitions.partitionCount).mkString(","))
+  }
+
   test("d17: corpus cluster labels FileScan the persisted artifact, never re-cluster") {
     // The incremental-maintenance posture: the corpus's cluster
     // assignment is a maintained on-disk table (clusterArtifact) the

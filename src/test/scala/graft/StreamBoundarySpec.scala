@@ -57,6 +57,17 @@ class StreamBoundarySpec extends AnyFunSuite {
       .columns.toSeq == Seq("cluster", "vec_id"))
   }
 
+  test("annCorpusIndexOfStore fails loudly on an unbuilt corpus index") {
+    val d = freshDir("sbound_annc", "embeddings.parquet")
+    val e = intercept[IllegalStateException] {
+      graft.queries.TextQ.annCorpusIndexOfStore(spark, d)
+    }
+    assert(e.getMessage.contains("graft_ann_corpus_artifact"),
+      s"missing-store probe must name the artifact: ${e.getMessage}")
+    val built = graft.queries.TextQ.annCorpusArtifact(spark, d)
+    assert(graft.queries.TextQ.annCorpusIndexOfStore(spark, d) == built)
+  }
+
   test("resolveExisting and resolve address the same directory") {
     // the two resolvers share locate(): a probe can never address a
     // different store than the build wrote (path-derivation drift
