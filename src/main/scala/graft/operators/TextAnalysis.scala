@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Text
 
@@ -618,6 +619,56 @@ object TextAnalysis {
                            vocabSize: Int = 64,
                            textCol: String = "text"): DataFrame =
     bigramLmScoreUnder(bigramLmModel(train, vocabSize, textCol), score, textCol)
+
+  /** CCNet-style perplexity bucketing: score every document under the
+    * corpus bigram LM ([[bigramLmScore]]'s quantized-integer scores),
+    * derive per-LANGUAGE tercile cutoffs, and tag each document
+    * `head` / `middle` / `tail` (head = highest mean conditional
+    * probability = lowest perplexity) with a `kept` gate that drops
+    * the tail — the CCNet/LLaMA pre-training data-quality split.
+    *
+    * CCNet buckets by THRESHOLD, not by rank: the cutoffs are order
+    * statistics of the score distribution, and every document
+    * compares against them map-side. That is also what makes the
+    * operator scale: the corpus is never globally sorted — the only
+    * corpus-sized exchanges are the LM scoring aggregation and one
+    * `(lang, score) → count` histogram, the per-lang cumulative walk
+    * runs over the HISTOGRAM (bounded by distinct quantized scores,
+    * never rows), and the ≤|langs| threshold rows broadcast back into
+    * a codegen bucket projection. (p02's sketch quantiles are the
+    * approximate tier when even the histogram is too wide.)
+    *
+    * All arithmetic is exact: the per-doc quality key is the integer
+    * division `prob_sum_q9 * 1000 div n_bigrams` (never an FP ratio —
+    * the t09 rule), cutoffs are the smallest key whose cumulative
+    * count reaches ceil(n/3) / ceil(2n/3), and score ties land in ONE
+    * bucket by construction (a rank-based ntile would split them
+    * arbitrarily). Zero-token documents carry no bigram and are
+    * absent, matching [[bigramLmScore]].
+    */
+  def perplexityBuckets(docs: DataFrame, vocabSize: Int = 64,
+                        textCol: String = "text"): DataFrame = {
+    val scored = bigramLmScore(docs, vocabSize, textCol)
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .withColumn("qk", expr("prob_sum_q9 * 1000 div n_bigrams"))
+    val hist = scored.groupBy("lang", "qk").agg(count(lit(1)).as("hc"))
+    val wcum = Window.partitionBy("lang").orderBy("qk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum("hc").over(wcum))
+      .withColumn("n", sum("hc").over(Window.partitionBy("lang")))
+    val th = cum.groupBy("lang").agg(
+      min(when(col("cum") >= expr("(n + 2) div 3"), col("qk"))).as("t1"),
+      min(when(col("cum") >= expr("(n * 2 + 2) div 3"), col("qk"))).as("t2"))
+    scored.join(broadcast(th), Seq("lang"))
+      .withColumn("ppl_bucket",
+        when(col("qk") <= col("t1"), lit("tail"))
+          .when(col("qk") <= col("t2"), lit("middle"))
+          .otherwise(lit("head")))
+      .withColumn("kept", col("qk") > col("t1"))
+      .select("doc_id", "lang", "n_bigrams", "prob_sum_q9", "qk",
+        "ppl_bucket", "kept")
+  }
 
   /** Supervised hashed-feature class scorer — the fastText-shaped
     * classifier stage of a data pipeline (CCNet-style quality/language

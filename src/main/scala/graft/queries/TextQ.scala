@@ -1917,6 +1917,64 @@ object TextQ {
         |  CAST(CAST(sum(pq) AS BIGINT) AS DOUBLE) / count(*) / 1e9 AS mean_cond_prob
         |FROM scored GROUP BY doc_id""".stripMargin)),
 
+    // CCNet-style perplexity bucketing: per-LANGUAGE tercile cutoffs
+    // over the corpus-LM quality scores, head/middle/tail tags, tail
+    // dropped — the CCNet/LLaMA pre-training quality split. Cutoffs
+    // are THRESHOLDS (order statistics off a score histogram), not
+    // ranks: ties land in one bucket, the corpus is never globally
+    // sorted, and the bucket assignment is a broadcast-join codegen
+    // projection — see TextAnalysis.perplexityBuckets.
+    Q("t19_ppl_buckets",
+      (s, d) => TextAnalysis.perplexityBuckets(
+        Tables.documents(s, d), vocabSize = 64),
+      Some("""WITH toked AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS ws
+        |  FROM documents
+        |), nonempty AS (
+        |  SELECT doc_id, list_prepend('^', ws) AS m, len(ws) AS n FROM toked WHERE len(ws) > 0
+        |), vocab AS (
+        |  SELECT tok FROM (SELECT unnest(ws) AS tok FROM toked) t
+        |  GROUP BY tok ORDER BY count(*) DESC, tok ASC LIMIT 64
+        |), idx AS (
+        |  SELECT doc_id, m, unnest(range(1, n + 1)) AS i FROM nonempty
+        |), bg AS (
+        |  SELECT doc_id,
+        |    CASE WHEN m[i] = '^' OR m[i] IN (SELECT tok FROM vocab) THEN m[i] ELSE '<oov>' END AS prev,
+        |    CASE WHEN m[i+1] IN (SELECT tok FROM vocab) THEN m[i+1] ELSE '<oov>' END AS cur
+        |  FROM idx
+        |), cb AS (
+        |  SELECT prev, cur, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2
+        |), cp AS (
+        |  SELECT prev, CAST(sum(c) AS BIGINT) AS cpc FROM cb GROUP BY 1
+        |), pdoc AS (
+        |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(CAST(sum(CAST(ROUND(CAST(b.c + 1 AS DOUBLE) / CAST(p.cpc + 66 AS DOUBLE) * 1e9) AS BIGINT)) AS BIGINT) AS BIGINT) AS prob_sum_q9
+        |  FROM bg g JOIN cb b ON b.prev = g.prev AND b.cur = g.cur
+        |            JOIN cp p ON p.prev = g.prev
+        |  GROUP BY g.doc_id
+        |), wl AS (
+        |  SELECT s.doc_id, d.lang, s.n_bigrams, s.prob_sum_q9,
+        |    (s.prob_sum_q9 * 1000) // s.n_bigrams AS qk
+        |  FROM pdoc s JOIN documents d ON d.doc_id = s.doc_id
+        |), hist AS (
+        |  SELECT lang, qk, CAST(count(*) AS BIGINT) AS hc FROM wl GROUP BY 1, 2
+        |), cumt AS (
+        |  SELECT lang, qk,
+        |    CAST(sum(hc) OVER (PARTITION BY lang ORDER BY qk) AS BIGINT) AS cum,
+        |    CAST(sum(hc) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM hist
+        |), th AS (
+        |  SELECT lang,
+        |    min(CASE WHEN cum >= (n + 2) // 3 THEN qk END) AS t1,
+        |    min(CASE WHEN cum >= (n * 2 + 2) // 3 THEN qk END) AS t2
+        |  FROM cumt GROUP BY lang
+        |)
+        |SELECT w.doc_id, w.lang, w.n_bigrams, w.prob_sum_q9, w.qk,
+        |  CASE WHEN w.qk <= t.t1 THEN 'tail'
+        |       WHEN w.qk <= t.t2 THEN 'middle' ELSE 'head' END AS ppl_bucket,
+        |  w.qk > t.t1 AS kept
+        |FROM wl w JOIN th t ON t.lang = w.lang""".stripMargin)),
+
     // Exact dedup on a truncated-content key (the corpus has no full
     // duplicates; prefix dedup exercises the operator).
     Q("d01_exact_dedup",

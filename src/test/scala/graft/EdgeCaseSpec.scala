@@ -396,6 +396,42 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 500000000L + 428571429L)))
   }
 
+  test("perplexityBuckets: threshold invariants, tie cohesion, degenerate collapse") {
+    // data-independent invariants of the threshold form (hold on ANY
+    // input, unlike bucket-size equalities a rank ntile would give):
+    // buckets are monotone score bands, ties share a bucket, the tail
+    // covers at least ceil(n/3) rows, tail+middle at least ceil(2n/3)
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = TextAnalysis.perplexityBuckets(docs, vocabSize = 64)
+      .select("lang", "qk", "ppl_bucket", "kept").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getBoolean(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      val n = rows.length
+      def qs(b: String) = rows.filter(_._3 == b).map(_._2)
+      val (tail, mid, head) = (qs("tail"), qs("middle"), qs("head"))
+      assert(tail.length >= (n + 2) / 3, s"$lang tail too small")
+      assert(tail.length + mid.length >= (n * 2 + 2) / 3, s"$lang tail+middle too small")
+      if (tail.nonEmpty && mid.nonEmpty) assert(tail.max < mid.min, lang)
+      if (mid.nonEmpty && head.nonEmpty) assert(mid.max < head.min, lang)
+      if (tail.nonEmpty && head.nonEmpty) assert(tail.max < head.min, lang)
+      // a score value can never span two buckets
+      rows.groupBy(_._2).foreach { case (_, same) =>
+        assert(same.map(_._3).distinct.length == 1, s"$lang tie split across buckets")
+      }
+      rows.foreach { case (_, _, b, kept) => assert(kept == (b != "tail")) }
+    }
+    // degenerate distribution: one distinct score => both cutoffs are
+    // that score => everything is tail (threshold semantics collapse
+    // where a rank ntile would fabricate a split among exact ties)
+    import spark.implicits._
+    val flat = Seq((1L, "x y", "en"), (2L, "x y", "en"), (3L, "x y", "en"))
+      .toDF("doc_id", "text", "lang")
+    val fb = TextAnalysis.perplexityBuckets(flat, vocabSize = 2)
+      .select("ppl_bucket").collect().map(_.getString(0))
+    assert(fb.length == 3 && fb.forall(_ == "tail"))
+  }
+
   test("combine of a single sequence equals that sequence's counts") {
     val gt = oneBox("s", 1, 1, 0, 0).union(oneBox("s", 2, 1, 0, 0))
     val tr = oneBox("s", 1, 1, 1, 1).union(oneBox("s", 2, 1, 1, 1))
