@@ -92,6 +92,20 @@ abstract class PqExprBase extends BinaryExpression {
       }
     }
     require(m.nonEmpty && m(0).nonEmpty, s"$prettyName: empty codebooks")
+    // uniform-tensor guard (ADVICE r16): subLen is cb(0)(0).length and
+    // is used as the slice stride for EVERY subspace — a ragged
+    // codebook (an empty later subspace, or entries of differing
+    // lengths) would silently mis-offset subvectors or emit code -1
+    // that later crashes ADC's element_at with an opaque error. Fail
+    // loudly at analysis time instead.
+    m.iterator.zipWithIndex.foreach { case (sub, mi) =>
+      require(sub.nonEmpty, s"$prettyName: codebook subspace $mi is empty")
+      sub.iterator.zipWithIndex.foreach { case (e, ki) =>
+        require(e.length == m(0)(0).length,
+          s"$prettyName: ragged codebook — entry ($mi, $ki) has length " +
+            s"${e.length}, expected ${m(0)(0).length}")
+      }
+    }
     m
   }
 

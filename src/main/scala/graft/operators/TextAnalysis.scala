@@ -775,10 +775,15 @@ object TextAnalysis {
                                textCol: String = "text"): DataFrame = {
     val buckets = 1L << (4 * model.hashHexChars)
     val labels = model.labels
+    // label-derived column names are backtick-quoted on every col()
+    // resolution (ADVICE r16): a label containing '.' would otherwise
+    // parse as a nested-field path and break scoring for valid label
+    // sets; a literal '`' is escaped by doubling, per Spark quoting
+    def bq(name: String): Column = col("`" + name.replace("`", "``") + "`")
     val pivot = model.counts.groupBy("__b").pivot("label", labels).sum("c")
-      .select(col("__b") +: labels.map(l => col(s"`$l`").as(s"c_$l")): _*)
+      .select(col("__b") +: labels.map(l => bq(l).as(s"c_$l")): _*)
     def q(l: String): Column =
-      round((coalesce(col(s"c_$l"), lit(0L)) + lit(1L)).cast("double") /
+      round((coalesce(bq(s"c_$l"), lit(0L)) + lit(1L)).cast("double") /
         lit((model.totals(l) + buckets).toDouble) * lit(1e9)).cast("long")
     val scores = clfTokens(score, labelCol, textCol, model.hashHexChars,
         idCol = Some(idCol))
@@ -786,13 +791,13 @@ object TextAnalysis {
       .groupBy(col(idCol), col("label"))
       .agg(count(lit(1)).as("n_tokens"),
         labels.map(l => sum(q(l)).as(s"s_$l")): _*)
-    val sCols = labels.map(l => col(s"s_$l"))
+    val sCols = labels.map(l => bq(s"s_$l"))
     val best = if (sCols.size == 1) sCols.head else greatest(sCols: _*)
     // first match in ascending label order → ties break to the
     // lexicographically smallest label, pinned in the spec
     val pred = labels.tail.foldLeft(
       when(sCols.head === best, labels.head)) { case (acc, l) =>
-      acc.when(col(s"s_$l") === best, l)
+      acc.when(bq(s"s_$l") === best, l)
     }
     scores.select(col(idCol), col("label"), pred.as("pred_label"),
       col("n_tokens"), best.as("score_q"))

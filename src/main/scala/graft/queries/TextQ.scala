@@ -774,10 +774,10 @@ object TextQ {
     */
   private[graft] lazy val KmeansCtes: String =
     """cents0 AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY (vec_id * 1103515245 + 12345) % 2147483648, vec_id) AS INT) - 1 AS cid,
+        |  SELECT CAST(row_number() OVER (ORDER BY (((vec_id * 1103515245 + 12345) % 2147483648) + 2147483648) % 2147483648, vec_id) AS INT) - 1 AS cid,
         |    embedding AS cv
         |  FROM embeddings
-        |  QUALIFY row_number() OVER (ORDER BY (vec_id * 1103515245 + 12345) % 2147483648, vec_id) <= 8
+        |  QUALIFY row_number() OVER (ORDER BY (((vec_id * 1103515245 + 12345) % 2147483648) + 2147483648) % 2147483648, vec_id) <= 8
         |), cc1 AS (
         |  SELECT v.vec_id, c.cid,
         |    CAST(sum(CAST(ROUND(CAST(v.embedding[i + 1] AS DOUBLE) * CAST(c.cv[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq,
@@ -1356,10 +1356,10 @@ object TextQ {
                           where: String = ""): String = {
     val w = if (where.isEmpty) "" else s"\n  WHERE $where"
     s"""SELECT vec_id,
-        |    CAST(row_number() OVER (ORDER BY (vec_id * 1103515245 + $lcgC) % 2147483648, vec_id) AS INT) - 1 AS $label,
+        |    CAST(row_number() OVER (ORDER BY (((vec_id * 1103515245 + $lcgC) % 2147483648) + 2147483648) % 2147483648, vec_id) AS INT) - 1 AS $label,
         |    embedding AS cv
         |  FROM embeddings$w
-        |  QUALIFY row_number() OVER (ORDER BY (vec_id * 1103515245 + $lcgC) % 2147483648, vec_id) <= $n""".stripMargin
+        |  QUALIFY row_number() OVER (ORDER BY (((vec_id * 1103515245 + $lcgC) % 2147483648) + 2147483648) % 2147483648, vec_id) <= $n""".stripMargin
   }
 
   private[graft] lazy val IvfRPqOracleSql: String =

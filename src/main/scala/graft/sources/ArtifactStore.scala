@@ -103,10 +103,18 @@ object ArtifactStore {
 
   /** Returns the artifact directory, building it via `build(dir)` if
     * this generation has not been (fully) written yet.
+    *
+    * The monitor is keyed by the SUB-LEVEL BASE path (stable across
+    * data generations), not the per-generation dir: a long-lived
+    * driver cycling many generations would otherwise grow one lock
+    * object per generation forever (ADVICE r16). Two resolves of
+    * DIFFERENT generations of one store serializing against each
+    * other is correct anyway — the second would GC the first's tree
+    * mid-build if they ran concurrently.
     */
   def resolve(spark: SparkSession, kind: String, sources: Seq[java.io.File],
               sub: String = "")(build: String => Unit): String =
-    buildLocks.computeIfAbsent(locate(kind, sources, sub)._3, _ => new Object)
+    buildLocks.computeIfAbsent(locate(kind, sources, sub)._2, _ => new Object)
       .synchronized { resolveLocked(spark, kind, sources, sub)(build) }
 
   private def resolveLocked(spark: SparkSession, kind: String,
