@@ -128,7 +128,23 @@ object Run {
         val index = graft.queries.TextQ.annArtifact(spark, dir)
         val sem = graft.queries.TextQ.semArtifact(spark, dir)
         val corpus = graft.queries.TextQ.annCorpusArtifact(spark, dir)
-        s"ann-maintain: index=$index sem=$sem corpus=$corpus"
+        // delta growth check (VERDICT r16 #6): the corpus index covers
+        // the non-batch slice only; the batch slice is the un-indexed
+        // delta the s12/st11 probes union in. Past the fold-in ratio
+        // the delta erodes the main tier's partition pruning — the fix
+        // is this very command after widening the corpus slice (a
+        // rebuild folds the delta in by construction on the next
+        // generation). One cheap count per side; both are columnar
+        // row-group counts, not scans.
+        val emb = graft.Tables.embeddings(spark, dir)
+        val deltaRows = emb.filter(graft.queries.TextQ.SemBatchPred).count()
+        val mainRows = emb.filter(!graft.queries.TextQ.SemBatchPred).count()
+        val ratio = if (mainRows == 0L) Double.PositiveInfinity
+          else deltaRows.toDouble / mainRows.toDouble
+        val fold = if (ratio > graft.queries.TextQ.AnnDeltaFoldRatio)
+          "recommended" else "no"
+        f"ann-maintain: index=$index sem=$sem corpus=$corpus " +
+          f"delta_main_ratio=$ratio%.4f fold_in=$fold"
       case other =>
         throw new IllegalArgumentException(
           s"unknown mode: $other (track|eval|features|visualize|dedup-maintain|ann-maintain)")

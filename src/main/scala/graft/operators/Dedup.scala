@@ -157,6 +157,51 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** [[minhashCandidatesFromBands]] with a per-bucket blow-up GUARD —
+    * the audit-tier safety the no-silent-caps rule's dual demands (no
+    * silent blow-ups): the bucket self-join is quadratic in bucket
+    * size, so one pathological band bucket (a boilerplate page
+    * duplicated 10⁶ times) silently emits ~10¹² pairs. Here each
+    * (band, band_sig) bucket contributes pairs from its first
+    * `maxDocsPerBucket` docs ONLY (doc_id order — deterministic), and
+    * the truncation is OBSERVABLE, never silent: the returned plan
+    * carries an `observe("graft_lsh_bucket_guard", truncated_doc_slots,
+    * doc_slots)` metric the caller's QueryExecutionListener (or the
+    * driver UI) reads after any action. Pairs among the kept docs are
+    * unaffected; a nonzero `truncated_doc_slots` is the signal to
+    * route the bucket to the exact tiers (d01/d12) instead of
+    * pairwise audit.
+    *
+    * The rank window shuffles on the same (band, band_sig) keys the
+    * join itself needs, so the guard adds no new shuffle stage shape.
+    */
+  def minhashCandidatesFromBandsCapped(banded: DataFrame,
+                                       maxDocsPerBucket: Int,
+                                       observation: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    require(maxDocsPerBucket >= 2,
+      s"maxDocsPerBucket must be >= 2 to emit any pair, got $maxDocsPerBucket")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("band", "band_sig").orderBy("doc_id")
+    val withR = banded.select(col("band"), col("band_sig"), col("doc_id"))
+      .withColumn("__r", row_number().over(w))
+    val metrics = Seq(
+      sum(when(col("__r") > maxDocsPerBucket, 1L).otherwise(0L))
+        .as("truncated_doc_slots"),
+      count(lit(1)).as("doc_slots"))
+    // the Observation overload blocks on `get` after an action — the
+    // spec's read path; the named form feeds listeners/the SQL UI
+    val ranked = observation
+      .map(o => withR.observe(o, metrics.head, metrics.tail: _*))
+      .getOrElse(withR.observe("graft_lsh_bucket_guard",
+        metrics.head, metrics.tail: _*))
+      .filter(col("__r") <= maxDocsPerBucket)
+    val a = ranked.select(col("band"), col("band_sig"), col("doc_id").as("doc_a"))
+    val b = ranked.select(col("band"), col("band_sig"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "band_sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
   /** Asymmetric LSH candidates for INCREMENTAL dedup: band buckets of a
     * new batch joined against band buckets of an existing corpus —
     * `(doc_a = new, doc_b = corpus)` pairs only, never new×new or

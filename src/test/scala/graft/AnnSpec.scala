@@ -210,6 +210,117 @@ class AnnSpec extends AnyFunSuite {
     assert(out.map(t => (t._1, t._2)).distinct.length == out.length)
   }
 
+  /** Mixture-of-Gaussians embedding fixture (deterministic, seeded —
+    * the FIXTURES.md pattern): 8 cluster centers (scale 3 vs noise
+    * σ = 1.5, so assignment boundaries genuinely matter), cluster
+    * membership on an IMBALANCED 16-cycle (cluster 0 holds 5/16 of
+    * the corpus, clusters 4..7 hold 1/16 each) so the sampled seed
+    * draw lands ∝ cluster mass — doubling seeds in heavy clusters and
+    * starving light ones — exactly the skew Lloyd training exists to
+    * fix. The near-uniform sf0.01 synthetic corpus can't measure any
+    * of this (r16's honest finding: residual-vs-raw ordering there
+    * was a seed-set artifact); THIS corpus has the structure the
+    * structural claims below need. Recalls quoted in the asserts are
+    * the r17 sweep's measurements — deterministic data and models, so
+    * they are pins, not floors-with-noise.
+    */
+  private val mogClusterOf = Array(0, 1, 2, 3, 4, 5, 6, 7, 0, 0, 0, 0, 1, 1, 2, 3)
+  private def mogEmb(n: Int, dims: Int = 32): org.apache.spark.sql.DataFrame = {
+    val rng = new scala.util.Random(7)
+    val centers = Array.fill(8)(Array.fill(dims)(rng.nextGaussian().toFloat * 3f))
+    val rows = (0 until n).map { i =>
+      val c = centers(mogClusterOf(i % 16))
+      (i, c.map(x => x + rng.nextGaussian().toFloat * 1.5f))
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private def mogExactTop(emb: org.apache.spark.sql.DataFrame, k: Int): Set[(Int, Int)] =
+    SimilaritySearch.bruteForceTopK(emb.filter(col("vec_id") < 40), emb, k = k)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+
+  test("MoG fixture: Lloyd-trained centroids beat sampled seeds on IVF-flat recall") {
+    // IVF-flat is the cell-quality instrument: the rerank inside
+    // probed cells is exact, so recall depends ONLY on whether the
+    // true neighbors' cells get probed — i.e. on the centroids.
+    // Measured on this fixture: nprobe=1 sampled 0.610 / lloyd 0.890;
+    // nprobe=2 sampled 0.825 / lloyd 0.990.
+    val emb = mogEmb(400)
+    val k = 5
+    val exact = mogExactTop(emb, k)
+    def recallOf(nprobe: Int, train: String): Double = {
+      val res = SimilaritySearch.ivfTopK(emb, col("vec_id") < 40, k = k,
+          nlist = 8, nprobe = nprobe, train = train)
+        .select("query_id", "corpus_id").collect()
+        .map(r => (r.getInt(0), r.getInt(1)))
+      res.count(exact.contains).toDouble / exact.size
+    }
+    val (s1, l1) = (recallOf(1, "sample"), recallOf(1, "lloyd"))
+    val (s2, l2) = (recallOf(2, "sample"), recallOf(2, "lloyd"))
+    info(f"MoG IVF-flat recall@$k nprobe=1 sampled=$s1%.3f lloyd=$l1%.3f; nprobe=2 sampled=$s2%.3f lloyd=$l2%.3f")
+    assert(l1 > s1,
+      f"Lloyd training must beat sampled seeds at nprobe=1 on a clustered corpus: lloyd=$l1%.3f <= sampled=$s1%.3f")
+    assert(l2 >= s2,
+      f"Lloyd training lost recall at nprobe=2: lloyd=$l2%.3f < sampled=$s2%.3f")
+    assert(l1 >= 0.8 && l2 >= 0.95,
+      f"trained recall collapsed on the structured fixture: np1=$l1%.3f np2=$l2%.3f")
+  }
+
+  test("MoG fixture: residual PQ >= raw PQ at equal code budget") {
+    // residual coding spends its resolution on within-cell detail the
+    // raw form wastes on cell-level offsets; with trained codebooks
+    // at a TIGHT code budget (m=4, codebookSize=8 — where the budget
+    // actually binds) the r17 sweep measured residual >= raw on every
+    // (scale, noise) fixture tried (this one: raw 0.320, res 0.360)
+    val emb = mogEmb(400)
+    val k = 5
+    val exact = mogExactTop(emb, k)
+    def recallOf(residual: Boolean): Double = {
+      val df =
+        if (residual) SimilaritySearch.ivfRPqTopK(emb, col("vec_id") < 40,
+          k = k, nlist = 8, nprobe = 2, m = 4, codebookSize = 8,
+          refine = 2 * k, train = "lloyd")
+        else SimilaritySearch.ivfPqTopK(emb, col("vec_id") < 40,
+          k = k, nlist = 8, nprobe = 2, m = 4, codebookSize = 8,
+          refine = 2 * k, train = "lloyd")
+      val res = df.select("query_id", "corpus_id").collect()
+        .map(r => (r.getInt(0), r.getInt(1)))
+      res.count(exact.contains).toDouble / exact.size
+    }
+    val (rRaw, rRes) = (recallOf(residual = false), recallOf(residual = true))
+    info(f"MoG recall@$k raw=$rRaw%.3f residual=$rRes%.3f")
+    assert(rRes >= rRaw,
+      f"residual coding lost to raw on a clustered corpus: " +
+        f"residual=$rRes%.3f < raw=$rRaw%.3f")
+    assert(rRes >= 0.3, f"residual recall collapsed: $rRes%.3f")
+  }
+
+  test("MoG fixture: recall is monotone in nprobe with a closed top end") {
+    // with the refine tail wider than the corpus the rerank is exact
+    // within the probed cells, so a larger nprobe probes a SUPERSET of
+    // candidates — recall can only grow, and at nprobe = nlist it is 1
+    val emb = mogEmb(400)
+    val k = 5
+    val exact = mogExactTop(emb, k)
+    val sweep = Seq(1, 2, 4, 8).map { nprobe =>
+      val res = SimilaritySearch.ivfPqTopK(emb, col("vec_id") < 40, k = k,
+          nlist = 8, nprobe = nprobe, m = 4, codebookSize = 8, refine = 1000,
+          train = "lloyd")
+        .select("query_id", "corpus_id").collect()
+        .map(r => (r.getInt(0), r.getInt(1)))
+      nprobe -> res.count(exact.contains).toDouble / exact.size
+    }
+    info(sweep.map { case (np, r) => f"nprobe=$np r=$r%.3f" }.mkString(" "))
+    sweep.sliding(2).foreach {
+      case Seq((np1, r1), (np2, r2)) =>
+        assert(r2 >= r1, f"recall fell from $r1%.3f (nprobe=$np1) to $r2%.3f (nprobe=$np2)")
+      case _ =>
+    }
+    assert(sweep.last._2 == 1.0,
+      f"nprobe = nlist with an exhaustive refine tail must be exact, got ${sweep.last._2}%.3f")
+  }
+
   test("lshTables emits exactly one bucket per (id, table)") {
     val emb = syntheticEmb(30)
     val sigs = SimilaritySearch.lshTables(emb, numTables = 3, planesPerTable = 4, dims = 16)

@@ -119,8 +119,14 @@ class PipelinesSpec extends AnyFunSuite {
     val data = "/root/testdata/sf0.001"
     val msg = Run.run(spark, "ann-maintain", Seq(s"data=$data"))
     assert(msg.startsWith("ann-maintain: index="), msg)
-    val paths = msg.split(' ').tail.map(_.split("=", 2)(1)).toSeq
-    assert(paths.length == 3, msg)
+    val kvs = msg.split(' ').tail.map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+    val paths = Seq(kvs("index"), kvs("sem"), kvs("corpus"))
+    // the delta growth guard surfaces in the maintenance output: the
+    // catalog's batch slice is ~1/9 of the corpus, below the fold-in
+    // threshold
+    val ratio = kvs("delta_main_ratio").toDouble
+    assert(ratio > 0.0 && ratio < graft.queries.TextQ.AnnDeltaFoldRatio, msg)
+    assert(kvs("fold_in") == "no", msg)
     // the delta tier's corpus index shares the cell-partitioned layout
     val corpusDirs = Option(new java.io.File(paths(2)).listFiles()).getOrElse(Array.empty)
     assert(corpusDirs.exists(_.getName.startsWith("cell=")),
@@ -161,7 +167,7 @@ class PipelinesSpec extends AnyFunSuite {
     }
     regenerate(0)
     def artifacts(msg: String): Seq[String] =
-      msg.split(' ').tail.map(_.split("=", 2)(1)).toSeq
+      msg.split(' ').tail.map(_.split("=", 2)(1)).filter(_.startsWith("/")).toSeq
     val gen1 = artifacts(Run.run(spark, "ann-maintain", Seq(s"data=$dir")))
     def result(q: String): Seq[String] =
       SparkEntry.queries(q)(spark, dir).collect().map(_.toString).sorted.toSeq
@@ -211,7 +217,7 @@ class PipelinesSpec extends AnyFunSuite {
     }
     regenerate(0)
     def artifacts(msg: String): Seq[String] =
-      msg.split(' ').tail.map(_.split("=", 2)(1)).toSeq
+      msg.split(' ').tail.map(_.split("=", 2)(1)).filter(_.startsWith("/")).toSeq
     val gen1 = artifacts(Run.run(spark, "dedup-maintain", Seq(s"data=$dir")))
     def result(q: String): Seq[String] =
       SparkEntry.queries(q)(spark, dir).collect().map(_.toString).sorted.toSeq

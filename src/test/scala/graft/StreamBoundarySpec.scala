@@ -68,6 +68,27 @@ class StreamBoundarySpec extends AnyFunSuite {
     assert(graft.queries.TextQ.annCorpusIndexOfStore(spark, d) == built)
   }
 
+  test("annDeltaCoded emits the delta/main growth metric and unions losslessly") {
+    // the delta-tier growth guard (VERDICT r16 #6): the probe's code
+    // table carries an observable delta/main row balance — an
+    // append-only delta outgrowing its main index must be a metric,
+    // never a silent pruning erosion
+    import spark.implicits._
+    import org.apache.spark.sql.Observation
+    val main = Seq((1L, 0, Seq(1, 2)), (2L, 0, Seq(3, 4)), (3L, 1, Seq(5, 6)))
+      .toDF("vec_id", "cell", "codes")
+    val delta = Seq((10L, 0, Seq(7, 8)), (11L, 1, Seq(9, 10)))
+      .toDF("vec_id", "cell", "codes")
+    val obs = Observation("ann_delta_guard_spec")
+    val coded = graft.queries.TextQ.annDeltaCoded(main, delta, Some(obs))
+    val rows = coded.collect()
+    assert(rows.length == 5, "union must keep every main and delta row")
+    assert(coded.columns.toSeq == Seq("vec_id", "cell", "codes"),
+      "the guard tag must not leak into the probe's schema")
+    assert(obs.get("main_rows") == 3L && obs.get("delta_rows") == 2L,
+      s"guard metric wrong: ${obs.get}")
+  }
+
   test("resolveExisting and resolve address the same directory") {
     // the two resolvers share locate(): a probe can never address a
     // different store than the build wrote (path-derivation drift
