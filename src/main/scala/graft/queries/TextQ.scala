@@ -1467,8 +1467,9 @@ object TextQ {
     * GRAFT_ANN_TRAIN), so a Verify run's oracle_sql.json can never
     * disagree with the mode that produced its parquet dumps.
     */
-  private def centsSql(where: String): String =
-    if (graft.operators.SimilaritySearch.annTrain == "lloyd")
+  private def centsSql(where: String,
+      mode: String = graft.operators.SimilaritySearch.annTrain): String =
+    if (mode == "lloyd")
       lloydCentsSql(AnnNlist, graft.operators.SimilaritySearch.AnnTrainIters, where)
     else
       s"""cents AS (
@@ -1500,11 +1501,12 @@ object TextQ {
     * only) — the update scan inherits the restriction through its
     * assignment join.
     */
-  private def pqCblSql(seedWhere: String): String = {
+  private def pqCblSql(seedWhere: String,
+      mode: String = graft.operators.SimilaritySearch.annTrain): String = {
     val expand =
       s"""  SELECT ki, mi.m AS mi, j.j AS j, cv[mi.m * $AnnSub + j.j + 1] AS comp
          |  FROM cbv, range($AnnM) mi(m), range($AnnSub) j(j)""".stripMargin
-    if (graft.operators.SimilaritySearch.annTrain != "lloyd")
+    if (mode != "lloyd")
       s"cbl AS (\n$expand\n)"
     else {
       val iters = graft.operators.SimilaritySearch.AnnTrainIters
@@ -1553,10 +1555,11 @@ object TextQ {
     * model-slice variant (s10/s11 train on the full table), so the
     * training scans are unrestricted like resv itself.
     */
-  private def rcbSql: String = {
+  private def rcbSql(
+      mode: String = graft.operators.SimilaritySearch.annTrain): String = {
     val seedRes =
       "  SELECT cs.ki, v.j, v.rv FROM resv v JOIN cbsel cs ON cs.vec_id = v.vec_id"
-    if (graft.operators.SimilaritySearch.annTrain != "lloyd")
+    if (mode != "lloyd")
       s"rcb AS (\n$seedRes\n)"
     else {
       val iters = graft.operators.SimilaritySearch.AnnTrainIters
@@ -1624,7 +1627,7 @@ object TextQ {
         |  JOIN cents c ON c.cid = ce.cell, range(64) j(j)
         |), cbsel AS (
         |  ${seedDrawSql(AnnCb, 12345L, "ki")}
-        |), $rcbSql, rnorm AS (
+        |), ${rcbSql()}, rnorm AS (
         |  SELECT ki, j // 8 AS mi,
         |    CAST(sum(CAST(ROUND(rv * rv * 1e12) AS BIGINT)) AS BIGINT) AS nc
         |  FROM rcb GROUP BY ki, j // 8
@@ -1694,8 +1697,9 @@ object TextQ {
     * the two draws is shared text — a smoothing or tie-break edit
     * cannot reach one consumer and not the others.
     */
-  private[graft] def ivfPqOracleSql(seedWhere: String): String =
-    s"""WITH ${centsSql(seedWhere)}, cellcos AS (
+  private[graft] def ivfPqOracleSql(seedWhere: String,
+      mode: String = graft.operators.SimilaritySearch.annTrain): String =
+    s"""WITH ${centsSql(seedWhere, mode)}, cellcos AS (
         |  SELECT v.vec_id, c.cid,
         |    CAST(sum(CAST(ROUND(CAST(v.embedding[i + 1] AS DOUBLE) * CAST(c.cv[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq,
         |    CAST(sum(CAST(ROUND(CAST(v.embedding[i + 1] AS DOUBLE) * CAST(v.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nv,
@@ -1716,7 +1720,7 @@ object TextQ {
         |  SELECT vec_id AS query_id, cid AS cell FROM ranked WHERE rn <= 2 AND vec_id < 10
         |), cbv AS (
         |  ${seedDrawSql(AnnCb, 12345L, "ki", seedWhere)}
-        |), ${pqCblSql(seedWhere)}, cnorm AS (
+        |), ${pqCblSql(seedWhere, mode)}, cnorm AS (
         |  SELECT ki, mi,
         |    CAST(sum(CAST(ROUND(CAST(comp AS DOUBLE) * CAST(comp AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nc
         |  FROM cbl GROUP BY ki, mi
@@ -3010,6 +3014,22 @@ object TextQ {
         queryPred = col("vec_id") < 10, k = 5, nlist = 8, nprobe = 2,
         m = 8, codebookSize = 16, refine = 20),
       Some(IvfPqOracleSql)),
+
+    // s08 under the TRAINED model (train="lloyd", round 17) — the
+    // FAISS-faithful tier as a PERMANENT driver-gated catalog row,
+    // not only a forced-mode parity gate: coarse centroids are the
+    // hash seeds refined by the s05 Lloyd loop, and BOTH codebook
+    // tensors are subspace-k-means-trained (pqLloyd — assignment by
+    // the encode's own quantized-L2 argmin, 1e6-integer means, REAL
+    // narrowing per pass). The oracle replays every training pass
+    // (lloydCentsSql + pqCblSql with mode forced), then shares s08's
+    // entire downstream text — encode, LUTs, ADC, refine, rerank.
+    // Serving plan identical to s08; only the literal model differs.
+    Q("s13_ivf_pq_lloyd",
+      (s, d) => SimilaritySearch.ivfPqTopK(Tables.embeddings(s, d),
+        queryPred = col("vec_id") < 10, k = 5, nlist = 8, nprobe = 2,
+        m = 8, codebookSize = 16, refine = 20, train = "lloyd"),
+      Some(ivfPqOracleSql("", mode = "lloyd"))),
 
     // s08's STORED-INDEX form — the ANN analogue of d15: the PQ code
     // table is read back from the cell-partitioned on-disk artifact
