@@ -143,8 +143,19 @@ object Run {
           else deltaRows.toDouble / mainRows.toDouble
         val fold = if (ratio > graft.queries.TextQ.AnnDeltaFoldRatio)
           "recommended" else "no"
+        // cell-balance report: the skew signal the trained mode exists
+        // to fix — a hot cell concentrates every probe's rerank join.
+        // One scan of the freshly built code table (maintenance-time
+        // cost, never probe-time); ideal balance is 1/nlist.
+        // refresh first: this JVM may hold a cached FileIndex for the
+        // same path from a read that predates a rebuild
+        spark.catalog.refreshByPath(index)
+        val cellSizes = spark.read.parquet(index)
+          .groupBy("cell").count().collect().map(_.getLong(1))
+        val maxCellFrac = cellSizes.max.toDouble / cellSizes.sum.toDouble
         f"ann-maintain: index=$index sem=$sem corpus=$corpus " +
-          f"delta_main_ratio=$ratio%.4f fold_in=$fold"
+          f"delta_main_ratio=$ratio%.4f fold_in=$fold " +
+          f"max_cell_frac=$maxCellFrac%.4f"
       case other =>
         throw new IllegalArgumentException(
           s"unknown mode: $other (track|eval|features|visualize|dedup-maintain|ann-maintain)")

@@ -127,6 +127,10 @@ class PipelinesSpec extends AnyFunSuite {
     val ratio = kvs("delta_main_ratio").toDouble
     assert(ratio > 0.0 && ratio < graft.queries.TextQ.AnnDeltaFoldRatio, msg)
     assert(kvs("fold_in") == "no", msg)
+    // the cell-balance report: a fraction of the index in its hottest
+    // cell — at least the ideal 1/nlist, at most 1
+    val maxCellFrac = kvs("max_cell_frac").toDouble
+    assert(maxCellFrac >= 1.0 / graft.queries.TextQ.AnnNlist && maxCellFrac <= 1.0, msg)
     // the delta tier's corpus index shares the cell-partitioned layout
     val corpusDirs = Option(new java.io.File(paths(2)).listFiles()).getOrElse(Array.empty)
     assert(corpusDirs.exists(_.getName.startsWith("cell=")),
