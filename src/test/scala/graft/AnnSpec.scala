@@ -321,6 +321,78 @@ class AnnSpec extends AnyFunSuite {
       f"nprobe = nlist with an exhaustive refine tail must be exact, got ${sweep.last._2}%.3f")
   }
 
+  test("pqLloyd: a codeword that attracts no subvectors keeps its seed entry") {
+    // the empty-codeword rule of the codebook training (the subspace
+    // analogue of kmeansCentroids' empty-cluster rule, transcribed by
+    // the oracle's coalesce): build a corpus whose smallest-LCG-key
+    // seeds include one vector far from everything — after a Lloyd
+    // pass, codewords that won assignments move to quantized means,
+    // and any codeword that attracted nothing must keep its seed
+    // slice verbatim
+    val dims = 8
+    // 6 rows, codebookSize=4: the seed draw is the 4 smallest LCG
+    // keys (ids 0,2,4,1 in key order). ids 0 and 2 are IDENTICAL, so
+    // their two seed codewords are equal and the argmin tie sends
+    // both to the lower ki — the OTHER duplicate attracts NOTHING
+    // (the empty case). The two non-seed rows (ids 3, 5) are near-but-
+    // distinct, so the winning codeword's member mean provably MOVES
+    // off its seed (the update case is non-trivial).
+    val far = Array.fill(dims)(100f)
+    val other = Array.tabulate(dims)(j => if (j >= 4) 5f else 0f)
+    val near = Array.tabulate(dims)(j => if (j < 4) 1f else 0f)
+    val near2 = near.map(_ * 1.1f)
+    val rows = Seq((0, near), (1, other), (2, near.clone()), (3, near2),
+      (4, far), (5, near2.clone()))
+    val emb = rows.toDF("vec_id", "embedding")
+    val model = graft.operators.SimilaritySearch.ivfPqModel(
+      emb, nlist = 2, m = 2, codebookSize = 4, train = "lloyd")
+    // recover the seed order: ids sorted by (id·A + C) mod M, then id
+    val seedOrder = rows.map(_._1)
+      .sortBy(id => ((id.toLong * 1103515245L + 12345L) % 2147483648L, id.toLong))
+    val sub = dims / 2
+    // every corpus subvector's argmin codeword: compute expected
+    // assignment per the quantized-L2 rule and check the update
+    def dotq(a: Array[Float], b: Array[Float]): Long =
+      a.zip(b).map { case (x, y) =>
+        val p = x.toDouble * y.toDouble * 1e12
+        if (p < 0) -Math.round(-p) else Math.round(p)
+      }.sum
+    val byId = rows.toMap
+    val cb0 = Array.tabulate(2, 4)((mi, ki) =>
+      byId(seedOrder(ki)).slice(mi * sub, (mi + 1) * sub))
+    var sawEmpty = false
+    var sawMoved = false
+    for (mi <- 0 until 2) {
+      val assigned = rows.map { case (_, v) =>
+        val sl = v.slice(mi * sub, (mi + 1) * sub)
+        (0 until 4).minBy(ki => (dotq(cb0(mi)(ki), cb0(mi)(ki)) -
+          2L * dotq(sl, cb0(mi)(ki)), ki))
+      }
+      for (ki <- 0 until 4) {
+        val members = rows.zip(assigned).collect { case ((_, v), a) if a == ki =>
+          v.slice(mi * sub, (mi + 1) * sub) }
+        val got = model.cb(mi)(ki)
+        if (members.isEmpty) {
+          sawEmpty = true
+          assert(got.sameElements(cb0(mi)(ki)),
+            s"empty codeword ($mi,$ki) must keep its seed entry")
+        } else {
+          val mean = Array.tabulate(sub) { j =>
+            (members.map(v => Math.round(v(j).toDouble * 1e6)).sum.toDouble /
+              members.length / 1e6).toFloat
+          }
+          if (!mean.sameElements(cb0(mi)(ki))) sawMoved = true
+          assert(got.sameElements(mean),
+            s"codeword ($mi,$ki) must move to the quantized member mean")
+        }
+      }
+    }
+    // the fixture must exercise BOTH branches non-trivially, or the
+    // asserts above prove nothing
+    assert(sawEmpty, "fixture regression: no codeword went empty")
+    assert(sawMoved, "fixture regression: no codeword mean moved off its seed")
+  }
+
   test("lshTables emits exactly one bucket per (id, table)") {
     val emb = syntheticEmb(30)
     val sigs = SimilaritySearch.lshTables(emb, numTables = 3, planesPerTable = 4, dims = 16)
