@@ -411,9 +411,8 @@ object SimilaritySearch {
     // shifts every key by a constant, which preserves the ordering
     // except across the modulus wrap (~n·ΔC/M rows, ≈0 here); real
     // decorrelation needs a different multiplier or hash, and nothing
-    // here needs it. `train` refines the COARSE centroids only — the
-    // codebooks stay the deterministic draw (subspace k-means is a
-    // separate axis, swappable offline like any model artifact).
+    // here needs it. `train="lloyd"` refines BOTH: the coarse
+    // centroids here, and the codebook tensor below via [[pqLloyd]].
     val cents = coarseCentroids(corpus, nlist, train,
       idCol, vecCol, "ivfPq centroid")
     val cbVecs = hashSeeds(corpus, codebookSize, TextAnalysis.SampleLcgC,
