@@ -92,7 +92,14 @@ object SimilaritySearch {
     * the override for whole-JVM runs (the forced-mode parity gate).
     */
   @volatile private[graft] var annTrainOverride: Option[String] =
-    sys.env.get("GRAFT_ANN_TRAIN").filter(Set("lloyd", "sample"))
+    sys.env.get("GRAFT_ANN_TRAIN").map { v =>
+      // unlike the value-identical path overrides, this mode CHANGES
+      // results — a typo silently falling back to "sample" would brand
+      // a forced-lloyd gate green without running it. Fail at startup.
+      require(Set("lloyd", "sample")(v),
+        s"GRAFT_ANN_TRAIN must be lloyd|sample, got '$v'")
+      v
+    }
 
   private[graft] def annTrain: String = annTrainOverride.getOrElse("sample")
 
