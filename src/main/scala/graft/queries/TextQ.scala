@@ -2249,7 +2249,7 @@ object TextQ {
             col("inter").cast("long").as("inter"),
             round(col("jaccard"), 9).as("jaccard"))
       },
-      Some("""WITH toks AS (
+      Some(s"""WITH toks AS (
         |  SELECT DISTINCT doc_id, tok FROM (
         |    SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS tok
         |    FROM documents) t
@@ -2261,9 +2261,15 @@ object TextQ {
         |    md5(string_agg(CAST(seed AS VARCHAR) || ':' || mh, '|'
         |        ORDER BY CAST(seed AS VARCHAR) || ':' || mh)) AS band_sig
         |  FROM per_seed GROUP BY doc_id, CAST(seed // 8 AS INT)
+        |), kept AS (
+        |  SELECT doc_id, band, band_sig FROM (
+        |    SELECT doc_id, band, band_sig,
+        |      row_number() OVER (PARTITION BY band, band_sig ORDER BY doc_id) AS rn
+        |    FROM banded) t
+        |  WHERE rn <= $D05MaxBucket
         |), cands AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM banded a JOIN banded b ON a.band = b.band AND a.band_sig = b.band_sig
+        |  FROM kept a JOIN kept b ON a.band = b.band AND a.band_sig = b.band_sig
         |  WHERE a.doc_id < b.doc_id
         |), sets AS (
         |  SELECT doc_id, list_distinct(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS gs
