@@ -113,17 +113,53 @@ object SimilaritySearch {
     * through — the single source that keeps [[ivfTopK]],
     * [[ivfPqModel]] and [[ivfRPqModel]] (and through them every
     * stored/streaming/delta probe) on the same centroids for a given
-    * mode.
+    * mode. `trainDf` is the (possibly sample-bounded) Lloyd training
+    * relation — see [[trainSlice]].
     */
-  private def coarseCentroids(corpus: DataFrame, nlist: Int, train: String,
+  private def coarseCentroids(trainDf: DataFrame, nlist: Int, train: String,
                               idCol: String, vecCol: String,
                               what: String): Array[(Int, Array[Float])] = {
     require(Set("sample", "lloyd")(train),
       s"$what: train must be sample|lloyd, got $train")
     if (train == "lloyd")
-      kmeansCentroids(corpus, nlist, AnnTrainIters, idCol, vecCol)
-    else hashSeeds(corpus, nlist, TextAnalysis.SampleLcgC, idCol, vecCol, what)
+      kmeansCentroids(trainDf, nlist, AnnTrainIters, idCol, vecCol)
+    else hashSeeds(trainDf, nlist, TextAnalysis.SampleLcgC, idCol, vecCol, what)
   }
+
+  /** The Lloyd TRAINING relation: the whole corpus (`trainSample <=
+    * 0`), or the `trainSample` rows with the smallest LCG keys —
+    * the SAME deterministic order statistic as every seed draw, so
+    * the model seeds (top-nlist / top-codebookSize of the same
+    * stream) are always inside the sample — MATERIALIZED driver-side
+    * as a bounded local relation. That is the FAISS training posture
+    * at 100 TB: one top-k scan selects the sample, and every
+    * subsequent training pass (coarse assignment/update, subspace
+    * k-means over raw and residual codebooks) scans `trainSample`
+    * rows instead of the corpus — training cost is bounded by
+    * construction, while the ENCODE still covers every vector.
+    * Replayable in SQL (the oracle joins its training scans against
+    * the same QUALIFY top-N).
+    */
+  private def trainSlice(corpus: DataFrame, trainSample: Int,
+                         idCol: String, vecCol: String,
+                         minNeeded: Int, what: String): DataFrame =
+    if (trainSample <= 0) corpus
+    else {
+      require(trainSample >= minNeeded,
+        s"$what: trainSample=$trainSample must cover the seed draws " +
+          s"(need >= $minNeeded)")
+      import TextAnalysis.{SampleLcgA, SampleModulus, SampleLcgC}
+      val sel = corpus.select(col(idCol), col(vecCol))
+      val rows = sel
+        .withColumn("__k", pmod(col(idCol) * lit(SampleLcgA) + lit(SampleLcgC),
+          lit(SampleModulus)))
+        .orderBy(col("__k"), col(idCol))
+        .limit(trainSample)
+        .drop("__k")
+        .collect()
+      sel.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), sel.schema)
+    }
 
   /** The codebook tensor (m × codebookSize × sub) as ONE foldable
     * literal — the PqEncode/PqLuts broadcast model artifact. Two
@@ -321,7 +357,7 @@ object SimilaritySearch {
   def ivfTopK(corpus: DataFrame, queryPred: Column, k: Int, nlist: Int,
               nprobe: Int, idCol: String = "vec_id",
               vecCol: String = "embedding",
-              train: String = annTrain): DataFrame = {
+              train: String = annTrain, trainSample: Int = 0): DataFrame = {
     // Centroids are a tiny model artifact — collected once and shipped
     // as literals (same posture as the LSH plane coefficients). The
     // corpus cell assignment below is then a pure projection: per-row
@@ -330,8 +366,9 @@ object SimilaritySearch {
     // cells' rerank join moves data). `train` selects the hash-gated
     // draw or its Lloyd-refined form ([[coarseCentroids]]); the
     // serving plan below is identical under both.
-    val cents = coarseCentroids(corpus, nlist, train,
-      idCol, vecCol, "ivfTopK centroid")
+    val cents = coarseCentroids(
+      trainSlice(corpus, trainSample, idCol, vecCol, nlist, "ivfTopK"),
+      nlist, train, idCol, vecCol, "ivfTopK centroid")
     // struct ordering (literal path) is lexicographic: max ccos first,
     // then max -cid == min cid — identical to ORDER BY ccos DESC,
     // cid ASC rank 1; the native path encodes the same tie-break
@@ -405,7 +442,7 @@ object SimilaritySearch {
 
   def ivfPqModel(corpus: DataFrame, nlist: Int, m: Int, codebookSize: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding",
-                 train: String = annTrain): IvfPqModel = {
+                 train: String = annTrain, trainSample: Int = 0): IvfPqModel = {
     // ONE shared hash stream for both draws. Two consequences, both
     // fine: under train="sample" the first min(nlist, codebookSize)
     // codebook seeds are exactly the centroids, so the RESIDUAL
@@ -420,7 +457,9 @@ object SimilaritySearch {
     // decorrelation needs a different multiplier or hash, and nothing
     // here needs it. `train="lloyd"` refines BOTH: the coarse
     // centroids here, and the codebook tensor below via [[pqLloyd]].
-    val cents = coarseCentroids(corpus, nlist, train,
+    val trainDf = trainSlice(corpus, trainSample, idCol, vecCol,
+      math.max(nlist, codebookSize), "ivfPqModel")
+    val cents = coarseCentroids(trainDf, nlist, train,
       idCol, vecCol, "ivfPq centroid")
     val cbVecs = hashSeeds(corpus, codebookSize, TextAnalysis.SampleLcgC,
       idCol, vecCol, "ivfPq codebook")
@@ -437,7 +476,7 @@ object SimilaritySearch {
     // narrowing per pass like the coarse update
     val cb: Array[Array[Array[Float]]] =
       if (train == "lloyd")
-        pqLloyd(corpus, col(vecCol), cb0.map(_.map(_.map(_.toDouble))),
+        pqLloyd(trainDf, col(vecCol), cb0.map(_.map(_.map(_.toDouble))),
           AnnTrainIters, narrowToFloat = true).map(_.map(_.map(_.toFloat)))
       else cb0
     val cNorm: Array[Array[Long]] = cb.map(_.map(_.map(x =>
@@ -642,8 +681,9 @@ object SimilaritySearch {
   def ivfPqTopK(corpus: DataFrame, queryPred: Column, k: Int, nlist: Int,
                 nprobe: Int, m: Int, codebookSize: Int, refine: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding",
-                train: String = annTrain): DataFrame = {
-    val model = ivfPqModel(corpus, nlist, m, codebookSize, idCol, vecCol, train)
+                train: String = annTrain, trainSample: Int = 0): DataFrame = {
+    val model = ivfPqModel(corpus, nlist, m, codebookSize, idCol, vecCol,
+      train, trainSample)
     ivfPqSearch(corpus.filter(queryPred), corpus,
       ivfPqEncode(corpus, model, idCol, vecCol), model,
       k, nprobe, refine, idCol, vecCol)
@@ -676,8 +716,9 @@ object SimilaritySearch {
 
   def ivfRPqModel(corpus: DataFrame, nlist: Int, m: Int, codebookSize: Int,
                   idCol: String = "vec_id", vecCol: String = "embedding",
-                  train: String = annTrain): IvfRPqModel = {
-    val base = ivfPqModel(corpus, nlist, m, codebookSize, idCol, vecCol, train)
+                  train: String = annTrain, trainSample: Int = 0): IvfRPqModel = {
+    val base = ivfPqModel(corpus, nlist, m, codebookSize, idCol, vecCol,
+      train, trainSample)
     import base.sub
     // the sampled seed vectors, drawn directly (NOT reassembled from
     // base.cb slices — under train="lloyd" those are trained codewords,
@@ -724,7 +765,8 @@ object SimilaritySearch {
     val rcb: Array[Array[Array[Double]]] =
       if (train == "lloyd") {
         val centLit = centMatrixLitD(base.cents)
-        val resDf = corpus
+        val resDf = trainSlice(corpus, trainSample, idCol, vecCol,
+            codebookSize, "ivfRPqModel")
           .withColumn("__cell", cellBest(col(vecCol), base.cents).getField("cid"))
           .withColumn("__res", zip_with(col(vecCol).cast("array<double>"),
             element_at(centLit, col("__cell") + 1), (a, b) => a - b))
@@ -848,8 +890,9 @@ object SimilaritySearch {
   def ivfRPqTopK(corpus: DataFrame, queryPred: Column, k: Int, nlist: Int,
                  nprobe: Int, m: Int, codebookSize: Int, refine: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding",
-                 train: String = annTrain): DataFrame = {
-    val model = ivfRPqModel(corpus, nlist, m, codebookSize, idCol, vecCol, train)
+                 train: String = annTrain, trainSample: Int = 0): DataFrame = {
+    val model = ivfRPqModel(corpus, nlist, m, codebookSize, idCol, vecCol,
+      train, trainSample)
     ivfRPqSearch(corpus.filter(queryPred), corpus,
       ivfRPqEncode(corpus, model, idCol, vecCol), model,
       k, nprobe, refine, idCol, vecCol)

@@ -1418,7 +1418,8 @@ object TextQ {
     * [[KmeansCtes]] (green in s05/d19), generated per (k, iters,
     * where) instead of hand-unrolled.
     */
-  private def lloydCentsSql(k: Int, iters: Int, where: String): String = {
+  private def lloydCentsSql(k: Int, iters: Int, where: String,
+                            trainSample: Int = 0): String = {
     require(iters >= 1, s"lloydCentsSql: iters must be >= 1, got $iters")
     val w = if (where.isEmpty) "" else s"\n  WHERE $where"
     val sb = new StringBuilder
@@ -1428,6 +1429,17 @@ object TextQ {
          |), __cent0 AS (
          |  SELECT cid, i AS pos, cv[i + 1] AS comp FROM __seed, range(64) r(i)
          |)""".stripMargin)
+    // the bounded training sample (SimilaritySearch.trainSlice): ALL
+    // lloyd training scans in this WITH (coarse here, pqCblSql's and
+    // rcbSql's codebook passes when composed with the same value)
+    // restrict to these rows; the seed draws are its own top-k prefix
+    if (trainSample > 0) sb.append(
+      s""", __ts AS (
+         |  SELECT vec_id FROM embeddings$w
+         |  QUALIFY row_number() OVER (ORDER BY (((vec_id * 1103515245 + 12345) % 2147483648) + 2147483648) % 2147483648, vec_id) <= $trainSample
+         |)""".stripMargin)
+    val tsJoin = if (trainSample > 0) ", __ts __t" else ""
+    val tsCond = if (trainSample > 0) "\n  WHERE v.vec_id = __t.vec_id" else w
     for (it <- 1 until iters) {
       val prev = s"__cent${it - 1}"
       sb.append(s""", __cc$it AS (
@@ -1435,7 +1447,7 @@ object TextQ {
          |    CAST(sum(CAST(ROUND(CAST(v.embedding[c.pos + 1] AS DOUBLE) * CAST(c.comp AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq,
          |    CAST(sum(CAST(ROUND(CAST(v.embedding[c.pos + 1] AS DOUBLE) * CAST(v.embedding[c.pos + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nv,
          |    CAST(sum(CAST(ROUND(CAST(c.comp AS DOUBLE) * CAST(c.comp AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nc
-         |  FROM embeddings v, $prev c$w
+         |  FROM embeddings v$tsJoin, $prev c$tsCond
          |  GROUP BY v.vec_id, c.cid
          |), __a$it AS (
          |  SELECT vec_id, cid AS cl FROM (
@@ -1468,9 +1480,11 @@ object TextQ {
     * disagree with the mode that produced its parquet dumps.
     */
   private def centsSql(where: String,
-      mode: String = graft.operators.SimilaritySearch.annTrain): String =
+      mode: String = graft.operators.SimilaritySearch.annTrain,
+      trainSample: Int = 0): String =
     if (mode == "lloyd")
-      lloydCentsSql(AnnNlist, graft.operators.SimilaritySearch.AnnTrainIters, where)
+      lloydCentsSql(AnnNlist, graft.operators.SimilaritySearch.AnnTrainIters,
+        where, trainSample)
     else
       s"""cents AS (
          |  ${seedDrawSql(AnnNlist, 12345L, "cid", where)}
@@ -1489,6 +1503,13 @@ object TextQ {
   /** Subspace width of the AnnM × 64-dim PQ configuration. */
   private val AnnSub = 64 / AnnM
 
+  /** s13's bounded Lloyd training sample — below the corpus row count
+    * at every catalog SF (500 at sf0.01, 5000 at sf0.1), so the
+    * driver gate genuinely exercises the sample-restricted training
+    * scans, not a sample that degenerates to the full corpus.
+    */
+  private[graft] val AnnTrainSample = 256
+
   /** The RAW PQ codebook as a long-form CTE `cbl(ki, mi, j, comp)` —
     * the seed-draw expansion under `train="sample"`, or that expansion
     * refined by `AnnTrainIters − 1` subspace-k-means passes under
@@ -1502,7 +1523,8 @@ object TextQ {
     * assignment join.
     */
   private def pqCblSql(seedWhere: String,
-      mode: String = graft.operators.SimilaritySearch.annTrain): String = {
+      mode: String = graft.operators.SimilaritySearch.annTrain,
+      trainSample: Int = 0): String = {
     val expand =
       s"""  SELECT ki, mi.m AS mi, j.j AS j, cv[mi.m * $AnnSub + j.j + 1] AS comp
          |  FROM cbv, range($AnnM) mi(m), range($AnnSub) j(j)""".stripMargin
@@ -1510,7 +1532,12 @@ object TextQ {
       s"cbl AS (\n$expand\n)"
     else {
       val iters = graft.operators.SimilaritySearch.AnnTrainIters
-      val w = if (seedWhere.isEmpty) "" else s"\n  WHERE $seedWhere"
+      // trainSample > 0 requires composition after a centsSql emitted
+      // with the SAME value (the shared __ts CTE) — true by
+      // construction inside ivfPqOracleSql, the only composer
+      val w0 = if (seedWhere.isEmpty) "" else s"\n  WHERE $seedWhere"
+      val tsJoin = if (trainSample > 0) ", __ts __t" else ""
+      val w = if (trainSample > 0) "\n  WHERE e.vec_id = __t.vec_id" else w0
       val sb = new StringBuilder(s"__cbl0 AS (\n$expand\n)")
       for (it <- 1 until iters) {
         val prev = s"__cbl${it - 1}"
@@ -1520,7 +1547,7 @@ object TextQ {
            |), __pqd$it AS (
            |  SELECT e.vec_id, c.ki, c.mi,
            |    CAST(sum(CAST(ROUND(CAST(e.embedding[c.mi * $AnnSub + c.j + 1] AS DOUBLE) * CAST(c.comp AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq
-           |  FROM embeddings e, $prev c$w
+           |  FROM embeddings e$tsJoin, $prev c$w
            |  GROUP BY e.vec_id, c.ki, c.mi
            |), __pqa$it AS (
            |  SELECT vec_id, mi, ki AS code FROM (
@@ -1556,13 +1583,17 @@ object TextQ {
     * training scans are unrestricted like resv itself.
     */
   private def rcbSql(
-      mode: String = graft.operators.SimilaritySearch.annTrain): String = {
+      mode: String = graft.operators.SimilaritySearch.annTrain,
+      trainSample: Int = 0): String = {
     val seedRes =
       "  SELECT cs.ki, v.j, v.rv FROM resv v JOIN cbsel cs ON cs.vec_id = v.vec_id"
     if (mode != "lloyd")
       s"rcb AS (\n$seedRes\n)"
     else {
       val iters = graft.operators.SimilaritySearch.AnnTrainIters
+      // same composition contract as pqCblSql: __ts comes from the
+      // centsSql emitted with the same trainSample
+      val rdTs = if (trainSample > 0) " JOIN __ts __t ON __t.vec_id = v.vec_id" else ""
       val sb = new StringBuilder(s"__rcb0 AS (\n$seedRes\n)")
       for (it <- 1 until iters) {
         val prev = s"__rcb${it - 1}"
@@ -1573,7 +1604,7 @@ object TextQ {
            |), __rd$it AS (
            |  SELECT v.vec_id, r.ki, v.j // $AnnSub AS mi,
            |    CAST(sum(CAST(ROUND(v.rv * r.rv * 1e12) AS BIGINT)) AS BIGINT) AS dq
-           |  FROM resv v JOIN $prev r ON r.j = v.j
+           |  FROM resv v JOIN $prev r ON r.j = v.j$rdTs
            |  GROUP BY v.vec_id, r.ki, v.j // $AnnSub
            |), __ra$it AS (
            |  SELECT vec_id, mi, ki AS code FROM (
@@ -1698,8 +1729,9 @@ object TextQ {
     * cannot reach one consumer and not the others.
     */
   private[graft] def ivfPqOracleSql(seedWhere: String,
-      mode: String = graft.operators.SimilaritySearch.annTrain): String =
-    s"""WITH ${centsSql(seedWhere, mode)}, cellcos AS (
+      mode: String = graft.operators.SimilaritySearch.annTrain,
+      trainSample: Int = 0): String =
+    s"""WITH ${centsSql(seedWhere, mode, trainSample)}, cellcos AS (
         |  SELECT v.vec_id, c.cid,
         |    CAST(sum(CAST(ROUND(CAST(v.embedding[i + 1] AS DOUBLE) * CAST(c.cv[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq,
         |    CAST(sum(CAST(ROUND(CAST(v.embedding[i + 1] AS DOUBLE) * CAST(v.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nv,
@@ -1720,7 +1752,7 @@ object TextQ {
         |  SELECT vec_id AS query_id, cid AS cell FROM ranked WHERE rn <= 2 AND vec_id < 10
         |), cbv AS (
         |  ${seedDrawSql(AnnCb, 12345L, "ki", seedWhere)}
-        |), ${pqCblSql(seedWhere, mode)}, cnorm AS (
+        |), ${pqCblSql(seedWhere, mode, trainSample)}, cnorm AS (
         |  SELECT ki, mi,
         |    CAST(sum(CAST(ROUND(CAST(comp AS DOUBLE) * CAST(comp AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nc
         |  FROM cbl GROUP BY ki, mi
@@ -3034,8 +3066,9 @@ object TextQ {
     Q("s13_ivf_pq_lloyd",
       (s, d) => SimilaritySearch.ivfPqTopK(Tables.embeddings(s, d),
         queryPred = col("vec_id") < 10, k = 5, nlist = 8, nprobe = 2,
-        m = 8, codebookSize = 16, refine = 20, train = "lloyd"),
-      Some(ivfPqOracleSql("", mode = "lloyd"))),
+        m = 8, codebookSize = 16, refine = 20, train = "lloyd",
+        trainSample = AnnTrainSample),
+      Some(ivfPqOracleSql("", mode = "lloyd", trainSample = AnnTrainSample))),
 
     // s08's STORED-INDEX form — the ANN analogue of d15: the PQ code
     // table is read back from the cell-partitioned on-disk artifact

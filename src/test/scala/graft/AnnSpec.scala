@@ -321,6 +321,46 @@ class AnnSpec extends AnyFunSuite {
       f"nprobe = nlist with an exhaustive refine tail must be exact, got ${sweep.last._2}%.3f")
   }
 
+  test("trainSample >= corpus is exactly the full-corpus trained model") {
+    // the bounded-training contract's closed top end: sampling more
+    // rows than exist selects everything, so the model must be
+    // bit-identical to full-corpus training — any drift would mean
+    // the sample path runs different arithmetic, not less data
+    val emb = syntheticEmb(60, dims = 16)
+    def model(ts: Int) = SimilaritySearch.ivfPqModel(
+      emb, nlist = 4, m = 4, codebookSize = 8, train = "lloyd", trainSample = ts)
+    val (full, capped) = (model(0), model(100000))
+    assert(full.cents.length == capped.cents.length &&
+      full.cents.zip(capped.cents).forall { case ((i1, v1), (i2, v2)) =>
+        i1 == i2 && v1.sameElements(v2) })
+    for (mi <- full.cb.indices; ki <- full.cb(mi).indices)
+      assert(full.cb(mi)(ki).sameElements(capped.cb(mi)(ki)),
+        s"codebook entry ($mi,$ki) drifted under the capped sample")
+  }
+
+  test("MoG fixture: bounded-sample Lloyd training still beats the sampled draw") {
+    // the 100 TB training posture — Lloyd over a 200-row sample of the
+    // 400-row corpus — must retain the training win over raw seeds
+    // (the sample is an order statistic of the same LCG stream, so it
+    // covers every cluster in proportion)
+    val emb = mogEmb(400)
+    val k = 5
+    val exact = mogExactTop(emb, k)
+    def recallOf(train: String, ts: Int): Double = {
+      val res = SimilaritySearch.ivfTopK(emb, col("vec_id") < 40, k = k,
+          nlist = 8, nprobe = 1, train = train, trainSample = ts)
+        .select("query_id", "corpus_id").collect()
+        .map(r => (r.getInt(0), r.getInt(1)))
+      res.count(exact.contains).toDouble / exact.size
+    }
+    val sampled = recallOf("sample", 0)
+    val lloydSampled = recallOf("lloyd", 200)
+    info(f"MoG IVF-flat recall@$k nprobe=1 sampled=$sampled%.3f lloyd(ts=200)=$lloydSampled%.3f")
+    assert(lloydSampled > sampled,
+      f"bounded-sample training must still beat raw seeds: " +
+        f"lloyd(ts=200)=$lloydSampled%.3f <= sampled=$sampled%.3f")
+  }
+
   test("pqLloyd: a codeword that attracts no subvectors keeps its seed entry") {
     // the empty-codeword rule of the codebook training (the subspace
     // analogue of kmeansCentroids' empty-cluster rule, transcribed by
