@@ -109,6 +109,22 @@ object SimilaritySearch {
     */
   private[graft] val AnnTrainIters = 2
 
+  /** The bounded training-sample size of the lloyd mode — every
+    * default-args model call under GRAFT_ANN_TRAIN=lloyd trains on
+    * this many smallest-LCG-key rows ([[trainSlice]]), so the
+    * JVM-wide mode carries the 100 TB training posture everywhere
+    * (artifact builds included), not only where a caller asks.
+    */
+  private[graft] val AnnLloydTrainSample = 256
+
+  /** The default `trainSample` of every model entry point: bounded
+    * under the JVM-wide lloyd mode, whole-corpus otherwise (the
+    * sample is a no-op for train="sample" anyway — its seeds are the
+    * sample's own prefix).
+    */
+  private[graft] def annTrainSampleDefault: Int =
+    if (annTrain == "lloyd") AnnLloydTrainSample else 0
+
   /** THE coarse-centroid model draw every IVF/PQ entry point goes
     * through — the single source that keeps [[ivfTopK]],
     * [[ivfPqModel]] and [[ivfRPqModel]] (and through them every
@@ -357,7 +373,7 @@ object SimilaritySearch {
   def ivfTopK(corpus: DataFrame, queryPred: Column, k: Int, nlist: Int,
               nprobe: Int, idCol: String = "vec_id",
               vecCol: String = "embedding",
-              train: String = annTrain, trainSample: Int = 0): DataFrame = {
+              train: String = annTrain, trainSample: Int = annTrainSampleDefault): DataFrame = {
     // Centroids are a tiny model artifact — collected once and shipped
     // as literals (same posture as the LSH plane coefficients). The
     // corpus cell assignment below is then a pure projection: per-row
@@ -442,7 +458,7 @@ object SimilaritySearch {
 
   def ivfPqModel(corpus: DataFrame, nlist: Int, m: Int, codebookSize: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding",
-                 train: String = annTrain, trainSample: Int = 0): IvfPqModel = {
+                 train: String = annTrain, trainSample: Int = annTrainSampleDefault): IvfPqModel = {
     // ONE shared hash stream for both draws. Two consequences, both
     // fine: under train="sample" the first min(nlist, codebookSize)
     // codebook seeds are exactly the centroids, so the RESIDUAL
@@ -681,7 +697,7 @@ object SimilaritySearch {
   def ivfPqTopK(corpus: DataFrame, queryPred: Column, k: Int, nlist: Int,
                 nprobe: Int, m: Int, codebookSize: Int, refine: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding",
-                train: String = annTrain, trainSample: Int = 0): DataFrame = {
+                train: String = annTrain, trainSample: Int = annTrainSampleDefault): DataFrame = {
     val model = ivfPqModel(corpus, nlist, m, codebookSize, idCol, vecCol,
       train, trainSample)
     ivfPqSearch(corpus.filter(queryPred), corpus,
@@ -716,7 +732,7 @@ object SimilaritySearch {
 
   def ivfRPqModel(corpus: DataFrame, nlist: Int, m: Int, codebookSize: Int,
                   idCol: String = "vec_id", vecCol: String = "embedding",
-                  train: String = annTrain, trainSample: Int = 0): IvfRPqModel = {
+                  train: String = annTrain, trainSample: Int = annTrainSampleDefault): IvfRPqModel = {
     val base = ivfPqModel(corpus, nlist, m, codebookSize, idCol, vecCol,
       train, trainSample)
     import base.sub
@@ -890,7 +906,7 @@ object SimilaritySearch {
   def ivfRPqTopK(corpus: DataFrame, queryPred: Column, k: Int, nlist: Int,
                  nprobe: Int, m: Int, codebookSize: Int, refine: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding",
-                 train: String = annTrain, trainSample: Int = 0): DataFrame = {
+                 train: String = annTrain, trainSample: Int = annTrainSampleDefault): DataFrame = {
     val model = ivfRPqModel(corpus, nlist, m, codebookSize, idCol, vecCol,
       train, trainSample)
     ivfRPqSearch(corpus.filter(queryPred), corpus,

@@ -1481,7 +1481,7 @@ object TextQ {
     */
   private def centsSql(where: String,
       mode: String = graft.operators.SimilaritySearch.annTrain,
-      trainSample: Int = 0): String =
+      trainSample: Int = graft.operators.SimilaritySearch.annTrainSampleDefault): String =
     if (mode == "lloyd")
       lloydCentsSql(AnnNlist, graft.operators.SimilaritySearch.AnnTrainIters,
         where, trainSample)
@@ -1497,18 +1497,20 @@ object TextQ {
     */
   private def annTrainSubTag: String =
     if (graft.operators.SimilaritySearch.annTrain == "lloyd")
-      s"ll${graft.operators.SimilaritySearch.AnnTrainIters}"
+      s"ll${graft.operators.SimilaritySearch.AnnTrainIters}s${graft.operators.SimilaritySearch.AnnLloydTrainSample}"
     else ""
 
   /** Subspace width of the AnnM × 64-dim PQ configuration. */
   private val AnnSub = 64 / AnnM
 
-  /** s13's bounded Lloyd training sample — below the corpus row count
-    * at every catalog SF (500 at sf0.01, 5000 at sf0.1), so the
-    * driver gate genuinely exercises the sample-restricted training
-    * scans, not a sample that degenerates to the full corpus.
+  /** s13's bounded Lloyd training sample — single-sourced with the
+    * JVM-wide lloyd mode's default (SimilaritySearch.AnnLloydTrainSample)
+    * and below the corpus row count at every catalog SF (500 at
+    * sf0.01, 5000 at sf0.1), so the driver gate genuinely exercises
+    * the sample-restricted training scans.
     */
-  private[graft] val AnnTrainSample = 256
+  private[graft] val AnnTrainSample =
+    graft.operators.SimilaritySearch.AnnLloydTrainSample
 
   /** The RAW PQ codebook as a long-form CTE `cbl(ki, mi, j, comp)` —
     * the seed-draw expansion under `train="sample"`, or that expansion
@@ -1524,7 +1526,7 @@ object TextQ {
     */
   private def pqCblSql(seedWhere: String,
       mode: String = graft.operators.SimilaritySearch.annTrain,
-      trainSample: Int = 0): String = {
+      trainSample: Int = graft.operators.SimilaritySearch.annTrainSampleDefault): String = {
     val expand =
       s"""  SELECT ki, mi.m AS mi, j.j AS j, cv[mi.m * $AnnSub + j.j + 1] AS comp
          |  FROM cbv, range($AnnM) mi(m), range($AnnSub) j(j)""".stripMargin
@@ -1584,7 +1586,7 @@ object TextQ {
     */
   private def rcbSql(
       mode: String = graft.operators.SimilaritySearch.annTrain,
-      trainSample: Int = 0): String = {
+      trainSample: Int = graft.operators.SimilaritySearch.annTrainSampleDefault): String = {
     val seedRes =
       "  SELECT cs.ki, v.j, v.rv FROM resv v JOIN cbsel cs ON cs.vec_id = v.vec_id"
     if (mode != "lloyd")
@@ -1730,7 +1732,7 @@ object TextQ {
     */
   private[graft] def ivfPqOracleSql(seedWhere: String,
       mode: String = graft.operators.SimilaritySearch.annTrain,
-      trainSample: Int = 0): String =
+      trainSample: Int = graft.operators.SimilaritySearch.annTrainSampleDefault): String =
     s"""WITH ${centsSql(seedWhere, mode, trainSample)}, cellcos AS (
         |  SELECT v.vec_id, c.cid,
         |    CAST(sum(CAST(ROUND(CAST(v.embedding[i + 1] AS DOUBLE) * CAST(c.cv[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq,
