@@ -152,10 +152,28 @@ object Run {
         spark.catalog.refreshByPath(index)
         val cellSizes = spark.read.parquet(index)
           .groupBy("cell").count().collect().map(_.getLong(1))
-        val maxCellFrac = cellSizes.max.toDouble / cellSizes.sum.toDouble
-        f"ann-maintain: index=$index sem=$sem corpus=$corpus " +
-          f"delta_main_ratio=$ratio%.4f fold_in=$fold " +
-          f"max_cell_frac=$maxCellFrac%.4f"
+        // nearly unreachable (the artifact build's seed draw needs
+        // >= codebookSize rows), but an empty index must say so
+        // instead of throwing an opaque empty.max (ADVICE r17)
+        if (cellSizes.isEmpty)
+          f"ann-maintain: index=$index sem=$sem corpus=$corpus " +
+            f"delta_main_ratio=$ratio%.4f fold_in=$fold " +
+            "max_cell_frac=NaN rebalance=no(empty_index)"
+        else {
+          val maxCellFrac = cellSizes.max.toDouble / cellSizes.sum.toDouble
+          // recommendation threshold (the fold_in pattern): ideal is
+          // 1/nlist, and the MoG fixture measures the sampled draw
+          // concentrating ~4x ideal in its heaviest cell while the
+          // lloyd-trained model stays near ideal (PLANS.md "Cell
+          // balance") — past 4/nlist, the trained mode is the fix, so
+          // say so rather than print a number and draw no conclusion
+          val rebalance =
+            if (maxCellFrac > 4.0 / graft.queries.TextQ.AnnNlist)
+              "recommended(GRAFT_ANN_TRAIN=lloyd)" else "no"
+          f"ann-maintain: index=$index sem=$sem corpus=$corpus " +
+            f"delta_main_ratio=$ratio%.4f fold_in=$fold " +
+            f"max_cell_frac=$maxCellFrac%.4f rebalance=$rebalance"
+        }
       case other =>
         throw new IllegalArgumentException(
           s"unknown mode: $other (track|eval|features|visualize|dedup-maintain|ann-maintain)")

@@ -148,6 +148,22 @@ object Dedup {
     * from raw text by every consumer — callers that share one
     * materialized band table (d05/d07/d09/d12/st6 here) tokenize and
     * hash the corpus once instead of once per query.
+    *
+    * WHY THE CLUSTERING TIERS (d07/d17's verified edges) STAY ON THIS
+    * UNCAPPED FORM while the audit tier (d05) runs the capped one:
+    * capping a bucket DROPS candidate edges past the cap, and for
+    * connected components a dropped edge can silently SPLIT a true
+    * duplicate cluster — an under-merge that ships duplicates, worse
+    * for a dedup pass than a bounded pair report missing rows. The
+    * clique-within-bucket semantic is exactly what the clustering tier
+    * verifies (each edge Jaccard-checked before it merges anything),
+    * so its bound cannot come from truncation; the scale path for a
+    * pathological mega-bucket is the STAR form
+    * ([[minhashCandidatesStar]], d12 — linear per bucket, hub edges
+    * keep the bucket connected) or exact-hash grouping (d01), both of
+    * which bound the bucket without disconnecting it. A caller that
+    * wants the clique semantic AND a hard bound accepts the under-
+    * merge explicitly by calling [[minhashCandidatesFromBandsCapped]].
     */
   def minhashCandidatesFromBands(banded: DataFrame): DataFrame = {
     val a = banded.select(col("band"), col("band_sig"), col("doc_id").as("doc_a"))
@@ -177,7 +193,8 @@ object Dedup {
     */
   def minhashCandidatesFromBandsCapped(banded: DataFrame,
                                        maxDocsPerBucket: Int,
-                                       observation: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+                                       observation: Option[org.apache.spark.sql.Observation] = None,
+                                       metricName: String = "graft_lsh_bucket_guard"): DataFrame = {
     require(maxDocsPerBucket >= 2,
       s"maxDocsPerBucket must be >= 2 to emit any pair, got $maxDocsPerBucket")
     import org.apache.spark.sql.expressions.Window
@@ -189,10 +206,14 @@ object Dedup {
         .as("truncated_doc_slots"),
       count(lit(1)).as("doc_slots"))
     // the Observation overload blocks on `get` after an action — the
-    // spec's read path; the named form feeds listeners/the SQL UI
+    // spec's read path; the named form feeds listeners/the SQL UI.
+    // CollectMetrics names must be unique per query: two capped calls
+    // over DIFFERENT inputs composed into one plan fail at action time
+    // with duplicate names (ADVICE r17) — a second call site in one
+    // query passes its own metricName (or an Observation).
     val ranked = observation
       .map(o => withR.observe(o, metrics.head, metrics.tail: _*))
-      .getOrElse(withR.observe("graft_lsh_bucket_guard",
+      .getOrElse(withR.observe(metricName,
         metrics.head, metrics.tail: _*))
       .filter(col("__r") <= maxDocsPerBucket)
     val a = ranked.select(col("band"), col("band_sig"), col("doc_id").as("doc_a"))

@@ -286,8 +286,9 @@ object TextQ {
   /** The persisted ON-DISK band-signature artifact — the cross-session
     * maintenance story the incremental-dedup docs promise: written ONCE
     * per distinct source-data generation, then FileScanned by every
-    * dedup consumer (d05/d07 via scoredPairs, d09's asymmetric probe,
-    * d12's star edges, d15's ingest, st6's static side) — none of them
+    * dedup consumer (d05 via scoredPairs, d07/d17's clustering edges,
+    * d09's asymmetric probe, d12's star edges, d15's ingest, st6's
+    * static side) — none of them
     * ever re-tokenizes or re-hashes the corpus. At 100 TB this is the
     * production posture: banding is deterministic, so the artifact is
     * computed once per corpus and probed forever after (measured at
@@ -1632,8 +1633,20 @@ object TextQ {
     }
   }
 
-  private[graft] lazy val IvfRPqOracleSql: String =
-    s"""WITH ${centsSql("")}, cellcos AS (
+  private[graft] lazy val IvfRPqOracleSql: String = ivfRPqOracleSql()
+
+  /** The residual-PQ oracle, parameterized by TRAINING MODE like
+    * [[ivfPqOracleSql]]: s10/s11 read the JVM-wide mode (so a forced-
+    * lloyd Verify run replays the trained passes for them too), s14
+    * forces `mode = "lloyd"` + the bounded sample — the permanent
+    * driver gate on the engine's highest-recall tier. Everything
+    * downstream of the model CTEs (residualize, encode, LUTs, cell
+    * constants, ADC, refine, rerank) is shared text across the three.
+    */
+  private[graft] def ivfRPqOracleSql(
+      mode: String = graft.operators.SimilaritySearch.annTrain,
+      trainSample: Int = graft.operators.SimilaritySearch.annTrainSampleDefault): String =
+    s"""WITH ${centsSql("", mode, trainSample)}, cellcos AS (
         |  SELECT v.vec_id, c.cid,
         |    CAST(sum(CAST(ROUND(CAST(v.embedding[i + 1] AS DOUBLE) * CAST(c.cv[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dq,
         |    CAST(sum(CAST(ROUND(CAST(v.embedding[i + 1] AS DOUBLE) * CAST(v.embedding[i + 1] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nv,
@@ -1660,7 +1673,7 @@ object TextQ {
         |  JOIN cents c ON c.cid = ce.cell, range(64) j(j)
         |), cbsel AS (
         |  ${seedDrawSql(AnnCb, 12345L, "ki")}
-        |), ${rcbSql()}, rnorm AS (
+        |), ${rcbSql(mode, trainSample)}, rnorm AS (
         |  SELECT ki, j // 8 AS mi,
         |    CAST(sum(CAST(ROUND(rv * rv * 1e12) AS BIGINT)) AS BIGINT) AS nc
         |  FROM rcb GROUP BY ki, j // 8
@@ -2328,6 +2341,10 @@ object TextQ {
     Q("d07_dedup_clusters",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        // deliberately the UNCAPPED clique: a capped bucket would drop
+        // verified edges and silently split clusters (under-merge) —
+        // see minhashCandidatesFromBands' scaladoc; d12's star form is
+        // the bounded-by-construction clustering path at scale
         val edges = clusterEdges(s, d,
           Dedup.minhashCandidatesFromBands(bandSigs(s, d)))
         Dedup.connectedComponents(edges, distinctEdges = false)
@@ -3134,6 +3151,25 @@ object TextQ {
           k = 5, nprobe = 2, refine = 20)
       },
       Some(IvfRPqOracleSql)),
+
+    // s10 under the TRAINED model — s13's residual sibling, and the
+    // permanent driver gate the r17 verdict asked for: the engine's
+    // HIGHEST-RECALL tier (residual coding over Lloyd-trained coarse
+    // centroids AND a subspace-k-means-trained residual codebook,
+    // pqLloyd with exact-double codewords) at the CATALOG budget
+    // (m=8, cb=16), under the bounded trainSample — 256 < corpus rows
+    // at both driver SFs, so the sample-restricted training scans
+    // genuinely bind every round. The oracle replays every training
+    // pass (lloydCentsSql + rcbSql with mode forced) and shares s10's
+    // entire downstream text — residualize, encode, raw-query LUTs,
+    // per-cell constants, ADC, refine, rerank. Serving plan identical
+    // to s10; only the literal model differs.
+    Q("s14_ivf_rpq_lloyd",
+      (s, d) => SimilaritySearch.ivfRPqTopK(Tables.embeddings(s, d),
+        queryPred = col("vec_id") < 10, k = 5, nlist = AnnNlist, nprobe = 2,
+        m = AnnM, codebookSize = AnnCb, refine = 20, train = "lloyd",
+        trainSample = AnnTrainSample),
+      Some(ivfRPqOracleSql(mode = "lloyd", trainSample = AnnTrainSample))),
 
     // ANN DELTA INGEST — the serving shape that makes the stored index
     // APPEND-ONLY between maintenance generations: the corpus index

@@ -296,6 +296,41 @@ class AnnSpec extends AnyFunSuite {
     assert(rRes >= 0.3, f"residual recall collapsed: $rRes%.3f")
   }
 
+  test("MoG fixture: residual >= raw at the CATALOG budget (m=8, cb=16, refine=4k)") {
+    // the budget the driver-gated rows actually serve (s10/s11/s14:
+    // m=8, codebookSize=16, refine=20=4k) — the tight-budget test
+    // above (m=4, cb=8) proves the residual win where the code budget
+    // binds hardest; THIS one pins it at the shipping configuration.
+    // Measured on the deterministic fixture: raw 0.680, residual
+    // 0.715 at refine=4k. At refine=k on this 32-dim fixture the
+    // ordering flips (raw 0.330, res 0.275 — sub=4 floats/subspace,
+    // budget not binding), consistent with r16's finding that
+    // tight-tail orderings are generation-coupled; the serving tier's
+    // refine is what matters and is what's pinned.
+    val emb = mogEmb(400)
+    val k = 5
+    val exact = mogExactTop(emb, k)
+    def recallOf(residual: Boolean): Double = {
+      val df =
+        if (residual) SimilaritySearch.ivfRPqTopK(emb, col("vec_id") < 40,
+          k = k, nlist = 8, nprobe = 2, m = 8, codebookSize = 16,
+          refine = 4 * k, train = "lloyd")
+        else SimilaritySearch.ivfPqTopK(emb, col("vec_id") < 40,
+          k = k, nlist = 8, nprobe = 2, m = 8, codebookSize = 16,
+          refine = 4 * k, train = "lloyd")
+      val res = df.select("query_id", "corpus_id").collect()
+        .map(r => (r.getInt(0), r.getInt(1)))
+      res.count(exact.contains).toDouble / exact.size
+    }
+    val (rRaw, rRes) = (recallOf(residual = false), recallOf(residual = true))
+    info(f"MoG catalog-budget recall@$k raw=$rRaw%.3f residual=$rRes%.3f")
+    assert(rRes >= rRaw,
+      f"residual lost to raw at the catalog serving budget: " +
+        f"residual=$rRes%.3f < raw=$rRaw%.3f")
+    assert(rRes >= 0.7 && rRaw >= 0.6,
+      f"catalog-budget recall collapsed: raw=$rRaw%.3f res=$rRes%.3f")
+  }
+
   test("MoG fixture: recall is monotone in nprobe with a closed top end") {
     // with the refine tail wider than the corpus the rerank is exact
     // within the probed cells, so a larger nprobe probes a SUPERSET of
@@ -329,13 +364,28 @@ class AnnSpec extends AnyFunSuite {
     val emb = syntheticEmb(60, dims = 16)
     def model(ts: Int) = SimilaritySearch.ivfPqModel(
       emb, nlist = 4, m = 4, codebookSize = 8, train = "lloyd", trainSample = ts)
-    val (full, capped) = (model(0), model(100000))
+    val (full, capped) = (model(0), model(SimilaritySearch.MaxTrainSample))
     assert(full.cents.length == capped.cents.length &&
       full.cents.zip(capped.cents).forall { case ((i1, v1), (i2, v2)) =>
         i1 == i2 && v1.sameElements(v2) })
     for (mi <- full.cb.indices; ki <- full.cb(mi).indices)
       assert(full.cb(mi)(ki).sameElements(capped.cb(mi)(ki)),
         s"codebook entry ($mi,$ki) drifted under the capped sample")
+  }
+
+  test("trainSample above MaxTrainSample is rejected — the driver-materialization guard") {
+    // trainSlice collects the sample to the driver as a local
+    // relation; the guard turns "caller passes FAISS-typical 10⁷ and
+    // the driver OOMs" into an immediate, explanatory failure. The
+    // closed-top-end test above runs AT the cap, proving the bound
+    // itself changes nothing below it.
+    val emb = syntheticEmb(60, dims = 16)
+    val e = intercept[IllegalArgumentException] {
+      SimilaritySearch.ivfPqModel(emb, nlist = 4, m = 4, codebookSize = 8,
+        train = "lloyd", trainSample = SimilaritySearch.MaxTrainSample + 1)
+    }
+    assert(e.getMessage.contains("MaxTrainSample"), e.getMessage)
+    assert(e.getMessage.toLowerCase.contains("driver"), e.getMessage)
   }
 
   test("MoG fixture: bounded-sample Lloyd training still beats the sampled draw") {

@@ -131,6 +131,12 @@ class PipelinesSpec extends AnyFunSuite {
     // cell — at least the ideal 1/nlist, at most 1
     val maxCellFrac = kvs("max_cell_frac").toDouble
     assert(maxCellFrac >= 1.0 / graft.queries.TextQ.AnnNlist && maxCellFrac <= 1.0, msg)
+    // the report draws a CONCLUSION, not just a number: past 4/nlist
+    // the trained mode is the documented fix
+    val wantRebalance =
+      if (maxCellFrac > 4.0 / graft.queries.TextQ.AnnNlist)
+        "recommended(GRAFT_ANN_TRAIN=lloyd)" else "no"
+    assert(kvs("rebalance") == wantRebalance, msg)
     // the delta tier's corpus index shares the cell-partitioned layout
     val corpusDirs = Option(new java.io.File(paths(2)).listFiles()).getOrElse(Array.empty)
     assert(corpusDirs.exists(_.getName.startsWith("cell=")),
@@ -170,8 +176,14 @@ class PipelinesSpec extends AnyFunSuite {
       tgt.setLastModified(tgt.lastModified() + bumpMs)
     }
     regenerate(0)
-    def artifacts(msg: String): Seq[String] =
-      msg.split(' ').tail.map(_.split("=", 2)(1)).filter(_.startsWith("/")).toSeq
+    // parse key=value once and select the artifact keys EXPLICITLY —
+    // a startsWith("/") scrape would silently drop a future
+    // relative-path artifact (ADVICE r17)
+    def artifacts(msg: String): Seq[String] = {
+      val kvs = msg.split(' ').tail.map(_.split("=", 2))
+        .map(a => a(0) -> a(1)).toMap
+      Seq("index", "sem", "corpus").map(kvs)
+    }
     val gen1 = artifacts(Run.run(spark, "ann-maintain", Seq(s"data=$dir")))
     def result(q: String): Seq[String] =
       SparkEntry.queries(q)(spark, dir).collect().map(_.toString).sorted.toSeq
@@ -220,8 +232,14 @@ class PipelinesSpec extends AnyFunSuite {
       tgt.setLastModified(tgt.lastModified() + bumpMs)
     }
     regenerate(0)
-    def artifacts(msg: String): Seq[String] =
-      msg.split(' ').tail.map(_.split("=", 2)(1)).filter(_.startsWith("/")).toSeq
+    // same explicit-key parsing as the embedding-side rollover: never
+    // scrape paths by shape
+    def artifacts(msg: String): Seq[String] = {
+      val kvs = msg.split(' ').tail.map(_.split("=", 2))
+        .map(a => a(0) -> a(1)).toMap
+      Seq("band", "gram", "clusters", "simhash", "dsir", "clf",
+        "decontam").map(kvs)
+    }
     val gen1 = artifacts(Run.run(spark, "dedup-maintain", Seq(s"data=$dir")))
     def result(q: String): Seq[String] =
       SparkEntry.queries(q)(spark, dir).collect().map(_.toString).sorted.toSeq

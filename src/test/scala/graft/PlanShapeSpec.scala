@@ -262,6 +262,101 @@ class PlanShapeSpec extends AnyFunSuite {
         scans.map(_.selectedPartitions.partitionCount).mkString(","))
   }
 
+  test("hot-cell stored index: the skewed store streams, queries broadcast, results exact") {
+    // probe resilience when one cell holds most of the corpus (the
+    // imbalance the rebalance=recommended report flags): build a
+    // deliberately skewed store — 90% of vectors in one tight Gaussian
+    // cluster — and pin the serving plan's skew posture: the QUERY
+    // side is the broadcast/build side (by-contract hint in
+    // ivfPqSearch), so the hot cell is a longer map-side SCAN of the
+    // pruned store, never a shuffled/broadcast copy of the index; and
+    // the stored-index answer still matches the inline-coded plan
+    // row-for-row. The residual skew point — the per-query ADC rank
+    // window — is bounded by nprobe × max-cell-size, which is exactly
+    // what the maintenance report's max_cell_frac watches.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.SimilaritySearch
+    val rng = new scala.util.Random(11)
+    val dims = 16
+    val hot = Array.fill(dims)(rng.nextGaussian().toFloat * 3f)
+    // the nlist=4 seed draw for n=300 is ids (0, 253, 181, 109) — the
+    // 4 smallest LCG keys. Planting 3 of the 4 seeds as orthogonal
+    // far-off outliers leaves ONE seed inside the hot cluster, so the
+    // whole cluster assigns to that single cell (a sampled-seed draw
+    // on merely clustered data SPLITS the heavy cluster across its
+    // in-cluster seeds and hides the skew this test needs)
+    val coldSeeds = Map(253 -> 0, 181 -> 4, 109 -> 8)
+    val rows = (0 until 300).map { i =>
+      coldSeeds.get(i) match {
+        case Some(axis) =>
+          (i, Array.tabulate(dims)(j => if (j == axis) 50f else 0f))
+        case None => (i, hot.map(x => x + rng.nextGaussian().toFloat * 0.5f))
+      }
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val model = SimilaritySearch.ivfPqModel(emb, nlist = 4, m = 4, codebookSize = 8)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_hotcell_store").toString
+    SimilaritySearch.ivfPqEncode(emb, model)
+      .write.mode("overwrite").partitionBy("cell").parquet(store)
+    // the fixture must actually be skewed, or the pin proves nothing
+    val sizes = spark.read.parquet(store).groupBy("cell").count()
+      .collect().map(_.getLong(1))
+    val maxFrac = sizes.max.toDouble / sizes.sum
+    assert(maxFrac >= 0.9, f"fixture regression: max cell frac $maxFrac%.2f")
+    val queries = emb.filter(col("vec_id") < 8)
+    val cells = SimilaritySearch.ivfPqProbedCells(queries, model, nprobe = 2)
+    val coded = spark.read.parquet(store).where(col("cell").isin(cells: _*))
+    val stored = SimilaritySearch.ivfPqSearch(queries, emb, coded, model,
+      k = 5, nprobe = 2, refine = 20)
+    // plan shape: every broadcast build side is query-derived — the
+    // store's FileScan must never sit under a BroadcastExchange (a
+    // hot cell must not be materialized driver/executor-side)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    val sp = stored.queryExecution.sparkPlan
+    // the CELL-keyed probe join is where the hot cell flows: its build
+    // side must be the query side, never the store scan. (The later
+    // rerank join broadcasts the BOUNDED tail — whose lineage includes
+    // the store scan, which is fine: what's materialized is ≤
+    // |queries|·refine rows, not the cell.)
+    val probeJoins = sp.collect {
+      case b: BroadcastHashJoinExec
+        if b.leftKeys.exists(_.references.exists(_.name == "cell")) => b
+    }
+    assert(probeJoins.nonEmpty,
+      s"cell probe must be a broadcast hash join:\n$sp")
+    probeJoins.foreach { b =>
+      val buildPlan = b.buildSide match {
+        case BuildLeft => b.left
+        case BuildRight => b.right
+      }
+      val storeScans = buildPlan.collect {
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("graft_hotcell_store")) => f
+      }
+      assert(storeScans.isEmpty,
+        s"the skewed store must STREAM (probe side), never be the broadcast build side:\n$b")
+    }
+    // and the pruned scan still reads only the probed cells
+    val scans = sp.collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("graft_hotcell_store")) => f
+    }
+    assert(scans.nonEmpty && scans.forall(_.selectedPartitions.partitionCount == cells.length),
+      s"expected ${cells.length} pruned partitions, got " +
+        scans.map(_.selectedPartitions.partitionCount).mkString(","))
+    // correctness over the skewed store: identical to the inline plan
+    val inline = SimilaritySearch.ivfPqSearch(queries, emb,
+      SimilaritySearch.ivfPqEncode(emb, model).where(col("cell").isin(cells: _*)),
+      model, k = 5, nprobe = 2, refine = 20)
+    assert(stored.collect().map(_.toString).sorted.toSeq ==
+      inline.collect().map(_.toString).sorted.toSeq,
+      "stored-index probe diverged from the inline plan over the skewed corpus")
+  }
+
   test("d17: corpus cluster labels FileScan the persisted artifact, never re-cluster") {
     // The incremental-maintenance posture: the corpus's cluster
     // assignment is a maintained on-disk table (clusterArtifact) the
