@@ -162,11 +162,16 @@ object Run {
         else {
           val maxCellFrac = cellSizes.max.toDouble / cellSizes.sum.toDouble
           // recommendation threshold (the fold_in pattern): ideal is
-          // 1/nlist, and the MoG fixture measures the sampled draw
-          // concentrating ~4x ideal in its heaviest cell while the
-          // lloyd-trained model stays near ideal (PLANS.md "Cell
-          // balance") — past 4/nlist, the trained mode is the fix, so
-          // say so rather than print a number and draw no conclusion
+          // 1/nlist, and measured on the skew fixtures (PLANS.md
+          // "Cell balance", round 18) even genuinely clustered
+          // corpora sit at 2.5-3.5x ideal under either mode — so the
+          // 4/nlist bar only trips on DEGENERATE concentration (a
+          // seed draw that collapsed most of the corpus into one
+          // cell, e.g. the PlanShapeSpec hot-cell store at 7.9x).
+          // The lloyd mode is the first lever: training measurably
+          // flattens the histogram on skewed corpora (0.423 -> 0.360
+          // on the 90%-one-cluster fixture) and fixes the recall the
+          // skew costs (MoG recall@5 at nprobe=1: 0.610 -> 0.890)
           val rebalance =
             if (maxCellFrac > 4.0 / graft.queries.TextQ.AnnNlist)
               "recommended(GRAFT_ANN_TRAIN=lloyd)" else "no"
