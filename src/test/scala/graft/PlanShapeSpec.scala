@@ -21,6 +21,36 @@ class PlanShapeSpec extends AnyFunSuite {
   private def shuffles(p: String): Int =
     "Exchange hashpartitioning".r.findAllIn(p).length
 
+  /** Assert the hot-cell posture on a probe plan: every CELL-keyed
+    * broadcast join builds from the query side — the stored index's
+    * FileScan must never sit on a broadcast build side (at 100 TB the
+    * index side is the corpus; see SimilaritySearch's probe-join
+    * notes and the skewed-store test below).
+    */
+  private def assertIndexStreams(sp: org.apache.spark.sql.execution.SparkPlan,
+                                 storeTag: String): Unit = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    val probeJoins = sp.collect {
+      case b: BroadcastHashJoinExec
+        if b.leftKeys.exists(_.references.exists(_.name == "cell")) => b
+    }
+    assert(probeJoins.nonEmpty, s"cell probe must be a broadcast hash join:\n$sp")
+    probeJoins.foreach { b =>
+      val buildPlan = b.buildSide match {
+        case BuildLeft => b.left
+        case BuildRight => b.right
+      }
+      val storeScans = buildPlan.collect {
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains(storeTag)) => f
+      }
+      assert(storeScans.isEmpty,
+        s"the stored index must STREAM, never be the broadcast build side:\n$b")
+    }
+  }
+
   test("q21_asof_join: one hash shuffle, window carry-forward, no join operator") {
     val p = plan("q21_asof_join")
     assert(shuffles(p) == 1, s"expected exactly 1 shuffle:\n$p")
@@ -198,6 +228,9 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scans.forall(_.selectedPartitions.partitionCount == cells.length),
       s"expected ${cells.length} partitions read, got " +
         scans.map(_.selectedPartitions.partitionCount).mkString(","))
+    assertIndexStreams(
+      SparkEntry.queries("s09_ivf_pq_store")(spark, dir).queryExecution.sparkPlan,
+      "graft_ann_artifact")
   }
 
   test("s11: stored RESIDUAL index probe partition-prunes and reads rcodes, not the vectors") {
@@ -231,6 +264,9 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scans.forall(_.selectedPartitions.partitionCount == cells.length),
       s"expected ${cells.length} partitions read, got " +
         scans.map(_.selectedPartitions.partitionCount).mkString(","))
+    assertIndexStreams(
+      SparkEntry.queries("s11_ivf_rpq_store")(spark, dir).queryExecution.sparkPlan,
+      "graft_ann_artifact")
   }
 
   test("s12: delta probe partition-prunes the corpus index and never re-encodes the corpus") {
@@ -314,32 +350,13 @@ class PlanShapeSpec extends AnyFunSuite {
     // store's FileScan must never sit under a BroadcastExchange (a
     // hot cell must not be materialized driver/executor-side)
     import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
-    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
     val sp = stored.queryExecution.sparkPlan
     // the CELL-keyed probe join is where the hot cell flows: its build
     // side must be the query side, never the store scan. (The later
     // rerank join broadcasts the BOUNDED tail — whose lineage includes
     // the store scan, which is fine: what's materialized is ≤
     // |queries|·refine rows, not the cell.)
-    val probeJoins = sp.collect {
-      case b: BroadcastHashJoinExec
-        if b.leftKeys.exists(_.references.exists(_.name == "cell")) => b
-    }
-    assert(probeJoins.nonEmpty,
-      s"cell probe must be a broadcast hash join:\n$sp")
-    probeJoins.foreach { b =>
-      val buildPlan = b.buildSide match {
-        case BuildLeft => b.left
-        case BuildRight => b.right
-      }
-      val storeScans = buildPlan.collect {
-        case f: FileSourceScanExec
-          if f.relation.location.rootPaths.exists(_.toString.contains("graft_hotcell_store")) => f
-      }
-      assert(storeScans.isEmpty,
-        s"the skewed store must STREAM (probe side), never be the broadcast build side:\n$b")
-    }
+    assertIndexStreams(sp, "graft_hotcell_store")
     // and the pruned scan still reads only the probed cells
     val scans = sp.collect {
       case f: FileSourceScanExec
