@@ -175,9 +175,35 @@ object Run {
           val rebalance =
             if (maxCellFrac > 4.0 / graft.queries.TextQ.AnnNlist)
               "recommended(GRAFT_ANN_TRAIN=lloyd)" else "no"
+          // recall sweep (the FAISS autotune posture): measure THIS
+          // generation's recall@5 at each nprobe against one
+          // brute-force pass over a deterministic query sample, and
+          // suggest the cheapest nprobe clearing the target — the
+          // quality leg of the report triad (fold_in growth,
+          // rebalance skew, recall). The ground-truth pass streams
+          // the corpus once — the priced cost of measured-not-assumed
+          // index quality, paid at maintenance time, never per probe.
+          import org.apache.spark.sql.functions.col
+          val SimS = graft.operators.SimilaritySearch
+          val model = SimS.ivfPqModel(emb,
+            graft.queries.TextQ.AnnNlist, graft.queries.TextQ.AnnM,
+            graft.queries.TextQ.AnnCb)
+          val nprobes = Seq.iterate(1, 32)(_ * 2)
+            .takeWhile(_ <= graft.queries.TextQ.AnnNlist)
+          val sweep = SimS.recallSweep(emb,
+            cells => spark.read.parquet(index)
+              .where(col("cell").isin(cells: _*))
+              .select(col("vec_id"), col("cell"), col("codes")),
+            model, k = 5, refine = 20, nprobes = nprobes, sampleN = 32)
+          val recallStr = sweep
+            .map { case (np, r) => f"recall_np$np=$r%.3f" }.mkString(" ")
+          val suggested = sweep.collectFirst {
+            case (np, r) if r >= SimS.AnnRecallTarget => np
+          }.getOrElse(graft.queries.TextQ.AnnNlist)
           f"ann-maintain: index=$index sem=$sem corpus=$corpus " +
             f"delta_main_ratio=$ratio%.4f fold_in=$fold " +
-            f"max_cell_frac=$maxCellFrac%.4f rebalance=$rebalance"
+            f"max_cell_frac=$maxCellFrac%.4f rebalance=$rebalance " +
+            f"$recallStr suggested_nprobe=$suggested"
         }
       case other =>
         throw new IllegalArgumentException(

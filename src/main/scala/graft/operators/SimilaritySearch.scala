@@ -833,6 +833,50 @@ object SimilaritySearch {
   private def centMatrixLitD(cents: Array[(Int, Array[Float])]): Column =
     typedLit(cents.map(_._2.map(_.toDouble).toSeq).toSeq)
 
+  /** Recall target of the maintenance-time sweep: `ann-maintain`
+    * suggests the smallest nprobe whose measured recall@k clears this
+    * (the FAISS autotune criterion shape — tune the cheapest setting
+    * that meets the quality bar, never guess).
+    */
+  private[graft] val AnnRecallTarget = 0.9
+
+  /** Maintenance-time recall QA of a stored IVF+PQ index — the FAISS
+    * autotune posture, run where the index is BUILT so the quality of
+    * every generation is measured, not assumed. A deterministic
+    * LCG-drawn query sample ([[trainSlice]]'s order statistic — the
+    * same replayable draw as every model sample here) gets ONE
+    * brute-force ground-truth pass (queries broadcast, the corpus
+    * streams once — the sweep's priced cost, and the heaviest step of
+    * the maintenance job at scale); each candidate nprobe then pays
+    * only its pruned-index probe. Returns (nprobe, recall@k) in input
+    * order, recall micro-averaged over the sample's exact top-k.
+    *
+    * `codedFor(cells)` supplies the pruned code table for a probe's
+    * cells (the artifact read with a cell filter — partition-pruned,
+    * so sweeping nprobe=1,2,4.. reads ≈ 2× the index total, not
+    * |nprobes| × full scans).
+    */
+  def recallSweep(corpus: DataFrame, codedFor: Seq[Int] => DataFrame,
+                  model: IvfPqModel, k: Int, refine: Int,
+                  nprobes: Seq[Int], sampleN: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Int, Double)] = {
+    require(nprobes.nonEmpty && sampleN >= 1,
+      s"recallSweep: need nprobes and a positive sample, got $nprobes/$sampleN")
+    val queries = trainSlice(corpus, sampleN, idCol, vecCol, 1, "recallSweep")
+    val exact = bruteForceTopK(queries, corpus, k, idCol, vecCol)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.get(0), r.get(1))).toSet
+    nprobes.map { nprobe =>
+      val cells = ivfPqProbedCells(queries, model, nprobe, idCol, vecCol)
+      val got = ivfPqSearch(queries, corpus, codedFor(cells), model,
+          k, nprobe, refine, idCol, vecCol)
+        .select("query_id", "corpus_id").collect()
+        .map(r => (r.get(0), r.get(1)))
+      nprobe -> (if (exact.isEmpty) 1.0
+        else got.count(exact.contains).toDouble / exact.size)
+    }
+  }
+
   /** The stored-index side of residual IVF+PQ: `(id, cell, codes)` —
     * residual to the assigned cell (exact double subtraction), then
     * per-subspace argmin of the quantized L2 surrogate

@@ -483,6 +483,31 @@ class AnnSpec extends AnyFunSuite {
     assert(sawMoved, "fixture regression: no codeword mean moved off its seed")
   }
 
+  test("recallSweep: exhaustive refine makes the top end exact and the sweep monotone") {
+    // the sweep's own mechanics, pinned where they are structural:
+    // with the refine tail wider than the corpus the rerank is exact
+    // within the probed cells, so more cells = a candidate SUPERSET
+    // (monotone recall) and nprobe = nlist sees everything (exactly
+    // 1.0). At the SERVING refine the absolute values are corpus
+    // properties — ann-maintain reports them, PipelinesSpec checks
+    // only structure.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = SimilaritySearch.ivfPqModel(emb, nlist = 8, m = 8, codebookSize = 16)
+    val coded = SimilaritySearch.ivfPqEncode(emb, model)
+    val sweep = SimilaritySearch.recallSweep(emb,
+      cells => coded.where(col("cell").isin(cells: _*)),
+      model, k = 5, refine = 100000, nprobes = Seq(1, 2, 4, 8), sampleN = 16)
+    info(sweep.map { case (np, r) => f"nprobe=$np r=$r%.3f" }.mkString(" "))
+    assert(sweep.forall { case (_, r) => r >= 0.0 && r <= 1.0 })
+    sweep.sliding(2).foreach {
+      case Seq((np1, r1), (np2, r2)) =>
+        assert(r2 >= r1, f"recall fell from $r1%.3f (nprobe=$np1) to $r2%.3f (nprobe=$np2)")
+      case _ =>
+    }
+    assert(sweep.last._2 == 1.0,
+      f"nprobe = nlist with an exhaustive refine tail must be exact, got ${sweep.last._2}%.3f")
+  }
+
   test("lshTables emits exactly one bucket per (id, table)") {
     val emb = syntheticEmb(30)
     val sigs = SimilaritySearch.lshTables(emb, numTables = 3, planesPerTable = 4, dims = 16)

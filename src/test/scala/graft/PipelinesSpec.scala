@@ -137,6 +137,23 @@ class PipelinesSpec extends AnyFunSuite {
       if (maxCellFrac > 4.0 / graft.queries.TextQ.AnnNlist)
         "recommended(GRAFT_ANN_TRAIN=lloyd)" else "no"
     assert(kvs("rebalance") == wantRebalance, msg)
+    // the recall sweep: one field per swept nprobe (1,2,4,..,nlist),
+    // every recall in [0,1], suggestion = the cheapest swept nprobe
+    // clearing the target (falling back to nlist when nothing does —
+    // on THIS near-uniform synthetic corpus the serving refine's ADC
+    // cut is close to a random cut, the r16 finding, so absolute
+    // values are corpus properties, not pins; the sweep's own
+    // closed-top-end mechanics are pinned in AnnSpec with an
+    // exhaustive refine)
+    val nprobes = Seq.iterate(1, 32)(_ * 2)
+      .takeWhile(_ <= graft.queries.TextQ.AnnNlist)
+    val recalls = nprobes.map(np => np -> kvs(s"recall_np$np").toDouble)
+    assert(recalls.forall { case (_, r) => r >= 0.0 && r <= 1.0 }, msg)
+    val target = graft.operators.SimilaritySearch.AnnRecallTarget
+    val wantSuggested = recalls.collectFirst {
+      case (np, r) if r >= target => np
+    }.getOrElse(graft.queries.TextQ.AnnNlist)
+    assert(kvs("suggested_nprobe").toInt == wantSuggested, msg)
     // the delta tier's corpus index shares the cell-partitioned layout
     val corpusDirs = Option(new java.io.File(paths(2)).listFiles()).getOrElse(Array.empty)
     assert(corpusDirs.exists(_.getName.startsWith("cell=")),
