@@ -188,8 +188,12 @@ object Run {
           val model = SimS.ivfPqModel(emb,
             graft.queries.TextQ.AnnNlist, graft.queries.TextQ.AnnM,
             graft.queries.TextQ.AnnCb)
-          val nprobes = Seq.iterate(1, 32)(_ * 2)
-            .takeWhile(_ <= graft.queries.TextQ.AnnNlist)
+          // the power-of-2 ladder, always closed by nlist itself so
+          // the fallback suggestion is a measured setting even if
+          // nlist is not a power of 2
+          val nprobes = (Seq.iterate(1, 32)(_ * 2)
+            .takeWhile(_ < graft.queries.TextQ.AnnNlist) :+
+            graft.queries.TextQ.AnnNlist).distinct
           val sweep = SimS.recallSweep(emb,
             cells => spark.read.parquet(index)
               .where(col("cell").isin(cells: _*))

@@ -145,8 +145,9 @@ class PipelinesSpec extends AnyFunSuite {
     // values are corpus properties, not pins; the sweep's own
     // closed-top-end mechanics are pinned in AnnSpec with an
     // exhaustive refine)
-    val nprobes = Seq.iterate(1, 32)(_ * 2)
-      .takeWhile(_ <= graft.queries.TextQ.AnnNlist)
+    val nprobes = (Seq.iterate(1, 32)(_ * 2)
+      .takeWhile(_ < graft.queries.TextQ.AnnNlist) :+
+      graft.queries.TextQ.AnnNlist).distinct
     val recalls = nprobes.map(np => np -> kvs(s"recall_np$np").toDouble)
     assert(recalls.forall { case (_, r) => r >= 0.0 && r <= 1.0 }, msg)
     val target = graft.operators.SimilaritySearch.AnnRecallTarget
