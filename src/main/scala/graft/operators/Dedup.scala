@@ -223,6 +223,60 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** A band table capped per (band, band_sig) bucket — the CORPUS-side
+    * guard of the asymmetric ingest probes (d09/d15/st6), extending
+    * the d05 audit-tier guard to the shape every crawl batch runs at
+    * 100 TB: a pathological corpus bucket (boilerplate duplicated 10⁶
+    * times) otherwise multiplies EVERY colliding batch doc by the
+    * whole bucket. Keeps each bucket's first `maxDocsPerBucket` docs
+    * (doc_id order — deterministic), truncation OBSERVABLE via the
+    * same observe-metric pattern as the clique guard (`metricName`
+    * must be unique per plan — the composability rule).
+    *
+    * Semantics under truncation: the BATCH side is never cut — every
+    * new doc still probes every bucket it lands in; what a truncated
+    * bucket can do is undercount a new doc's `n_dups` (in the extreme,
+    * mark it `kept` though its only verified dups sat past the cap).
+    * A bucket only overflows when its signature is mass-duplicated
+    * boilerplate, where matching one of the first `maxDocsPerBucket`
+    * members is overwhelmingly likely — and the nonzero
+    * `truncated_doc_slots` metric is the signal to route that bucket
+    * to the exact tier (d01) instead. The rank window shuffles on the
+    * probe join's own keys, so no new shuffle shape at scale; the
+    * rank is bucket-local, so it commutes with any partition-pruned
+    * read of the same table (st6's prefix-pruned static side ranks
+    * identically to the full table).
+    */
+  def bandsCappedPerBucket(banded: DataFrame, maxDocsPerBucket: Int,
+                           observation: Option[org.apache.spark.sql.Observation] = None,
+                           metricName: String = "graft_lsh_corpus_guard"): DataFrame = {
+    require(maxDocsPerBucket >= 1,
+      s"maxDocsPerBucket must be >= 1, got $maxDocsPerBucket")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("band", "band_sig").orderBy("doc_id")
+    val withR = banded.withColumn("__r", row_number().over(w))
+    val metrics = Seq(
+      sum(when(col("__r") > maxDocsPerBucket, 1L).otherwise(0L))
+        .as("truncated_doc_slots"),
+      count(lit(1)).as("doc_slots"))
+    observation
+      .map(o => withR.observe(o, metrics.head, metrics.tail: _*))
+      .getOrElse(withR.observe(metricName, metrics.head, metrics.tail: _*))
+      .filter(col("__r") <= maxDocsPerBucket)
+      .drop("__r")
+  }
+
+  /** [[minhashCandidatesAgainstFromBands]] with the corpus side capped
+    * per bucket ([[bandsCappedPerBucket]]) — the guarded ingest probe.
+    */
+  def minhashCandidatesAgainstFromBandsCapped(bandedNew: DataFrame,
+      bandedCorpus: DataFrame, maxCorpusPerBucket: Int,
+      observation: Option[org.apache.spark.sql.Observation] = None,
+      metricName: String = "graft_lsh_ingest_guard"): DataFrame =
+    minhashCandidatesAgainstFromBands(bandedNew,
+      bandsCappedPerBucket(bandedCorpus, maxCorpusPerBucket, observation,
+        metricName))
+
   /** Asymmetric LSH candidates for INCREMENTAL dedup: band buckets of a
     * new batch joined against band buckets of an existing corpus —
     * `(doc_a = new, doc_b = corpus)` pairs only, never new×new or

@@ -906,7 +906,12 @@ object ExtQ {
               try {
                 val prefixes = b.select(TextQ.sigPfx(col("band_sig")))
                   .distinct().collect().map(_.getString(0)).toSeq
-                val static = TextQ.prunedCorpusBands(s, d, prefixes)
+                // corpus side capped per bucket (the d09/d15 ingest
+                // guard): the rank is bucket-local, so capping the
+                // prefix-pruned read equals pruning the capped table
+                val static = graft.operators.Dedup.bandsCappedPerBucket(
+                    TextQ.prunedCorpusBands(s, d, prefixes),
+                    TextQ.D05MaxBucket)
                   .select(col("band"), col("band_sig"), col("doc_id").as("doc_b"))
                 val res = probeRes(b, static)
                 res.write.mode("append").parquet(outDir)
@@ -921,6 +926,13 @@ object ExtQ {
       // banding + gram-set text shared with d09's oracle (TextQ.BandCtes)
       // so the two descriptions of the same artifact cannot drift
       Some(s"""WITH ${TextQ.BandCtes},
+        |corpus_kept AS (
+        |  SELECT doc_id, band, band_sig FROM (
+        |    SELECT b.doc_id, b.band, b.band_sig,
+        |      row_number() OVER (PARTITION BY b.band, b.band_sig ORDER BY b.doc_id) AS rn
+        |    FROM banded b JOIN src s ON s.doc_id = b.doc_id AND s.source <> 'src0') t
+        |  WHERE rn <= ${TextQ.D05MaxBucket}
+        |),
         |${TextQ.GramSetsCte}
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.band AS band,
         |  ROUND(CASE WHEN len(sa.gs) + len(sb.gs) - len(list_intersect(sa.gs, sb.gs)) = 0 THEN 0.0
@@ -928,8 +940,7 @@ object ExtQ {
         |      / (len(sa.gs) + len(sb.gs) - len(list_intersect(sa.gs, sb.gs))) END, 9) AS jaccard
         |FROM banded a
         |JOIN src xa ON xa.doc_id = a.doc_id AND xa.source = 'src0'
-        |JOIN banded b ON a.band = b.band AND a.band_sig = b.band_sig
-        |JOIN src xb ON xb.doc_id = b.doc_id AND xb.source <> 'src0'
+        |JOIN corpus_kept b ON a.band = b.band AND a.band_sig = b.band_sig
         |JOIN sets sa ON sa.doc_id = a.doc_id
         |JOIN sets sb ON sb.doc_id = b.doc_id
         |WHERE CASE WHEN len(sa.gs) + len(sb.gs) - len(list_intersect(sa.gs, sb.gs)) = 0 THEN 0.0

@@ -641,11 +641,16 @@ object TextQ {
     */
   private lazy val IncrementalDedupSql: String =
     s"""WITH $BandCtes,
-      |cands AS (
+      |corpus_kept AS (
+      |  SELECT doc_id, band, band_sig FROM (
+      |    SELECT b.doc_id, b.band, b.band_sig,
+      |      row_number() OVER (PARTITION BY b.band, b.band_sig ORDER BY b.doc_id) AS rn
+      |    FROM banded b JOIN src s ON s.doc_id = b.doc_id AND s.source <> 'src0') t
+      |  WHERE rn <= $D05MaxBucket
+      |), cands AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM banded a JOIN src sa ON sa.doc_id = a.doc_id AND sa.source = 'src0'
-      |       JOIN banded b ON a.band = b.band AND a.band_sig = b.band_sig
-      |       JOIN src sb ON sb.doc_id = b.doc_id AND sb.source <> 'src0'
+      |       JOIN corpus_kept b ON a.band = b.band AND a.band_sig = b.band_sig
       |), $GramSetsCte,
       |scored AS (
       |  SELECT c.doc_a,
@@ -665,11 +670,14 @@ object TextQ {
 
   private val pairCache =
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.SparkContext, String), org.apache.spark.sql.DataFrame]
-  /** d05's per-bucket guard bound — far above any real band bucket in
-    * the catalog data (so the d05 hash is cap-invariant there) while
-    * capping a pathological bucket's pair blow-up at ~8M pairs
-    * instead of unbounded; the truncation count is observable on the
-    * plan (Dedup.minhashCandidatesFromBandsCapped).
+  /** The per-bucket guard bound of BOTH LSH blow-up guards — d05's
+    * clique form (Dedup.minhashCandidatesFromBandsCapped) and the
+    * d09/d15/st6 ingest probes' corpus side
+    * (Dedup.bandsCappedPerBucket). Far above any real band bucket in
+    * the catalog data (so every guarded hash is cap-invariant there)
+    * while capping a pathological bucket's blow-up at ~8M clique
+    * pairs / 4096 corpus partners per colliding batch doc instead of
+    * unbounded; the truncation counts are observable on the plans.
     */
   private[graft] val D05MaxBucket = 4096
 
@@ -2448,16 +2456,18 @@ object TextQ {
     // Incremental dedup: the 'src0' slice plays a fresh ingest batch,
     // everything else the existing corpus. Asymmetric band join (new
     // signatures probe the corpus's persisted band table — cost scales
-    // with the batch, not the corpus: Dedup.minhashCandidatesAgainst),
-    // exact-Jaccard verify at 0.5, then a per-new-doc match count;
+    // with the batch, not the corpus), corpus side bucket-capped (the
+    // ingest blow-up guard, round 18 — truncation observable), exact-
+    // Jaccard verify at 0.5, then a per-new-doc match count;
     // kept = no verified corpus near-dup.
     Q("d09_incremental_dedup",
       (s, d) => {
         val banded = bandSigs(s, d)
         incrementalDedup(s, d,
-          Dedup.minhashCandidatesAgainstFromBands(
+          Dedup.minhashCandidatesAgainstFromBandsCapped(
             banded.filter(col("source") === "src0"),
-            banded.filter(col("source") =!= "src0")))
+            banded.filter(col("source") =!= "src0"),
+            maxCorpusPerBucket = D05MaxBucket))
       },
       Some(IncrementalDedupSql)),
 
@@ -2480,7 +2490,8 @@ object TextQ {
           Tables.documents(s, d).filter(col("source") === "src0"),
           numHashes = 16, bands = 2, textCol = "text")
         incrementalDedup(s, d,
-          Dedup.minhashCandidatesAgainstFromBands(bandedNew, corpusBands))
+          Dedup.minhashCandidatesAgainstFromBandsCapped(bandedNew,
+            corpusBands, maxCorpusPerBucket = D05MaxBucket))
       },
       Some(IncrementalDedupSql)),
 

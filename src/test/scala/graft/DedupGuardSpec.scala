@@ -56,4 +56,58 @@ class DedupGuardSpec extends AnyFunSuite {
     // guard exists to bound: C(100,2) + 3 + 1
     assert(uncapped.size == 4954)
   }
+
+  /** The ingest-probe guard (round 18): a batch probing a corpus with
+    * one pathological bucket multiplies by the CAP, not the bucket —
+    * and the batch side is never cut.
+    */
+  private def bandedBatch = Seq(
+    (0, "sigBIG", 1000L), (0, "sigBIG", 1001L),  // hit the big bucket
+    (1, "sigA", 1002L),                           // hit a healthy bucket
+    (3, "sigZ", 1003L)                            // no corpus collision
+  ).toDF("band", "band_sig", "doc_id")
+
+  test("ingest probe: corpus bucket capped, batch side complete, truncation exact") {
+    val obs = Observation("ingest_guard_patho")
+    val pairs = Dedup.minhashCandidatesAgainstFromBandsCapped(bandedBatch,
+        banded, maxCorpusPerBucket = 10, observation = Some(obs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // each colliding batch doc sees the bucket's first 10 corpus docs
+    // (doc_id order), never the full 100; the healthy bucket is intact
+    val expected =
+      (for (a <- Seq(1000L, 1001L); b <- 0L until 10L) yield (a, b)).toSet ++
+        Set((1002L, 200L), (1002L, 201L), (1002L, 202L))
+    assert(pairs == expected)
+    val m = obs.get
+    assert(m("truncated_doc_slots") == 90L,
+      s"expected 90 truncated corpus slots, got ${m("truncated_doc_slots")}")
+    assert(m("doc_slots") == 105L)
+  }
+
+  test("ingest probe under the cap: identical to the unguarded asymmetric form") {
+    val obs = Observation("ingest_guard_clean")
+    val capped = Dedup.minhashCandidatesAgainstFromBandsCapped(bandedBatch,
+        banded, maxCorpusPerBucket = 4096, observation = Some(obs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = Dedup.minhashCandidatesAgainstFromBands(bandedBatch, banded)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == uncapped)
+    assert(obs.get("truncated_doc_slots") == 0L)
+    // the unguarded probe really multiplies by the full bucket:
+    // 2×100 + 3
+    assert(uncapped.size == 203)
+  }
+
+  test("bucket-local rank commutes with a pruned read (the st6 static-side claim)") {
+    // capping a bucket-pruned slice must equal pruning the capped
+    // table — the property that lets st6 cap its prefix-pruned
+    // per-trigger static side and still match the full-table oracle
+    val pruned = banded.filter($"band_sig" === "sigBIG")
+    val a = Dedup.bandsCappedPerBucket(pruned, 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    val b = Dedup.bandsCappedPerBucket(banded, 10)
+      .filter($"band_sig" === "sigBIG")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(a == b && a.size == 10)
+  }
 }
