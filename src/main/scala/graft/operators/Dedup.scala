@@ -266,6 +266,35 @@ object Dedup {
       .drop("__r")
   }
 
+  /** The guard filter over a band table whose per-bucket rank is
+    * PRECOMPUTED (a stored column — graft's band artifact carries
+    * `bucket_rank` over all rows and `corpus_rank` over the corpus
+    * slice, written once per generation): keeps `rankCol <=
+    * maxDocsPerBucket` with the same observable-truncation metric as
+    * the window forms, but at probe time this is a scan-level filter
+    * plus a metric aggregation — ZERO windows, zero new shuffles.
+    * This is the form every artifact-backed catalog consumer uses
+    * (d05's clique via bucket_rank; d09/d15/st6's corpus side via
+    * corpus_rank); the window forms above remain for callers without
+    * a ranked table (and as the reference semantics the stored ranks
+    * must agree with — DedupGuardSpec pins the equivalence).
+    */
+  def bandsKeptByRank(banded: DataFrame, rankCol: String,
+                      maxDocsPerBucket: Int,
+                      observation: Option[org.apache.spark.sql.Observation] = None,
+                      metricName: String = "graft_lsh_rank_guard"): DataFrame = {
+    require(maxDocsPerBucket >= 1,
+      s"maxDocsPerBucket must be >= 1, got $maxDocsPerBucket")
+    val metrics = Seq(
+      sum(when(col(rankCol) > maxDocsPerBucket, 1L).otherwise(0L))
+        .as("truncated_doc_slots"),
+      count(lit(1)).as("doc_slots"))
+    observation
+      .map(o => banded.observe(o, metrics.head, metrics.tail: _*))
+      .getOrElse(banded.observe(metricName, metrics.head, metrics.tail: _*))
+      .filter(col(rankCol) <= maxDocsPerBucket)
+  }
+
   /** [[minhashCandidatesAgainstFromBands]] with the corpus side capped
     * per bucket ([[bandsCappedPerBucket]]) — the guarded ingest probe.
     */

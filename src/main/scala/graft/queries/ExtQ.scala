@@ -907,11 +907,15 @@ object ExtQ {
                 val prefixes = b.select(TextQ.sigPfx(col("band_sig")))
                   .distinct().collect().map(_.getString(0)).toSeq
                 // corpus side capped per bucket (the d09/d15 ingest
-                // guard): the rank is bucket-local, so capping the
-                // prefix-pruned read equals pruning the capped table
-                val static = graft.operators.Dedup.bandsCappedPerBucket(
-                    TextQ.prunedCorpusBands(s, d, prefixes),
-                    TextQ.D05MaxBucket)
+                // guard) via the artifact's PRECOMPUTED corpus_rank —
+                // a partition-pruned scan FILTER per trigger, zero
+                // windows (the rank is bucket-local, so the stored
+                // rank is valid under any prefix pruning)
+                val static = graft.operators.Dedup.bandsKeptByRank(
+                    TextQ.prunedCorpusBands(s, d, prefixes,
+                      withCorpusRank = true),
+                    "corpus_rank", TextQ.D05MaxBucket,
+                    metricName = "graft_lsh_ingest_guard")
                   .select(col("band"), col("band_sig"), col("doc_id").as("doc_b"))
                 val res = probeRes(b, static)
                 res.write.mode("append").parquet(outDir)

@@ -278,9 +278,27 @@ object TextQ {
     * join.
     */
   private def bandSigsCompute(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
-    Dedup.bandSignatures(docs, 16, 2, "text")
+    val base = Dedup.bandSignatures(docs, 16, 2, "text")
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    // the per-bucket guard ranks, PRECOMPUTED at build time (round 18):
+    // a bucket's doc_id-order rank is a static property of the table,
+    // so the blow-up guards (d05's clique cap, d09/d15/st6's corpus-
+    // side cap) pay these two windows ONCE PER GENERATION here and
+    // filter a stored column at probe time — zero probe-time windows
+    // (measured: the probe-side window cost d05 ~7% and st6 ~0.5-1 s
+    // per trigger). bucket_rank ranks ALL rows in the bucket (the
+    // clique guard's subject); corpus_rank ranks the corpus slice
+    // only (the ingest guards' subject; null on batch rows so a
+    // mis-wired filter drops them loudly instead of mis-ranking).
+    val isCorpus = col("source") =!= "src0"
+    val wAll = Window.partitionBy("band", "band_sig").orderBy("doc_id")
+    val wSide = Window.partitionBy(col("band"), col("band_sig"), isCorpus)
+      .orderBy("doc_id")
+    base
+      .withColumn("bucket_rank", row_number().over(wAll))
+      .withColumn("corpus_rank", when(isCorpus, row_number().over(wSide)))
   }
 
   /** The persisted ON-DISK band-signature artifact — the cross-session
@@ -315,11 +333,12 @@ object TextQ {
 
   /** Params/layout tag for [[bandArtifact]] (ArtifactStore `sub`):
     * 16 hashes, 2 bands, dual layout (compact full-scan copy +
-    * 2-hex-char-prefix-partitioned probe copy). Bump when the banding
-    * config or on-disk layout changes so stale-param artifacts are
-    * invalidated and GC'd like stale-data generations.
+    * 2-hex-char-prefix-partitioned probe copy), "r" = the precomputed
+    * bucket_rank/corpus_rank guard columns (round 18). Bump when the
+    * banding config or on-disk layout changes so stale-param artifacts
+    * are invalidated and GC'd like stale-data generations.
     */
-  private val BandArtifactTag = "h16b2p2dual"
+  private[graft] val BandArtifactTag = "h16b2p2dualr"
 
   /** The band store is written in TWO layouts under one generation —
     * the standard scan-vs-probe split of a production signature store:
@@ -376,8 +395,16 @@ object TextQ {
     * corpus (previously st6 re-scanned the whole cached corpus table
     * every micro-batch — the one superlinear cross-SF curve in r13).
     */
+  /** `withCorpusRank` additionally selects the artifact's precomputed
+    * `corpus_rank` guard column (st6's capped static side); default
+    * stays the bare 3-column shape st7's clustering unions expect —
+    * the clustering tier is deliberately UNCAPPED (see
+    * Dedup.minhashCandidatesFromBands), so it must not even see the
+    * column.
+    */
   private[graft] def prunedCorpusBands(s: org.apache.spark.sql.SparkSession,
-                                       d: String, prefixes: Seq[String]) =
+                                       d: String, prefixes: Seq[String],
+                                       withCorpusRank: Boolean = false) =
     // resolveExisting, not resolve: this is the per-trigger probe the
     // streaming ingests (st6/st7) run inside foreachBatch — a missing
     // store there is a maintenance outage and must fail loudly, never
@@ -390,7 +417,8 @@ object TextQ {
         sub = BandArtifactTag) + "/pfx")
       .where(col("sig_pfx").isin(prefixes: _*))
       .filter(col("source") =!= "src0")
-      .select("band", "band_sig", "doc_id")
+      .select("band", ("band_sig" :: "doc_id" ::
+        (if (withCorpusRank) List("corpus_rank") else Nil)): _*)
 
   /** The persisted gram-fingerprint artifact `(doc_id, grams)` — the
     * signature-store companion to [[bandArtifact]]: the Jaccard verify
@@ -683,8 +711,12 @@ object TextQ {
 
   private def scoredPairs(s: org.apache.spark.sql.SparkSession, d: String) =
     memoized(pairCache, s, d) {
-      val cands = Dedup.minhashCandidatesFromBandsCapped(bandSigs(s, d),
-        maxDocsPerBucket = D05MaxBucket)
+      // the clique guard over the artifact's PRECOMPUTED bucket_rank —
+      // a scan filter, not a probe-time window (round 18; the window
+      // form cost d05 ~7% at sf0.1, r17's documented guard price)
+      val cands = Dedup.minhashCandidatesFromBands(
+        Dedup.bandsKeptByRank(bandSigs(s, d), "bucket_rank", D05MaxBucket,
+          metricName = "graft_lsh_bucket_guard"))
       Dedup.jaccardPairsFromSets(gramSetsOf(s, d), cands, minJaccard = 0.5)
     }
 
@@ -2464,10 +2496,11 @@ object TextQ {
       (s, d) => {
         val banded = bandSigs(s, d)
         incrementalDedup(s, d,
-          Dedup.minhashCandidatesAgainstFromBandsCapped(
+          Dedup.minhashCandidatesAgainstFromBands(
             banded.filter(col("source") === "src0"),
-            banded.filter(col("source") =!= "src0"),
-            maxCorpusPerBucket = D05MaxBucket))
+            Dedup.bandsKeptByRank(banded.filter(col("source") =!= "src0"),
+              "corpus_rank", D05MaxBucket,
+              metricName = "graft_lsh_ingest_guard")))
       },
       Some(IncrementalDedupSql)),
 
@@ -2490,8 +2523,9 @@ object TextQ {
           Tables.documents(s, d).filter(col("source") === "src0"),
           numHashes = 16, bands = 2, textCol = "text")
         incrementalDedup(s, d,
-          Dedup.minhashCandidatesAgainstFromBandsCapped(bandedNew,
-            corpusBands, maxCorpusPerBucket = D05MaxBucket))
+          Dedup.minhashCandidatesAgainstFromBands(bandedNew,
+            Dedup.bandsKeptByRank(corpusBands, "corpus_rank", D05MaxBucket,
+              metricName = "graft_lsh_ingest_guard")))
       },
       Some(IncrementalDedupSql)),
 

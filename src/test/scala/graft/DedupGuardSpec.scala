@@ -98,6 +98,38 @@ class DedupGuardSpec extends AnyFunSuite {
     assert(uncapped.size == 203)
   }
 
+  test("precomputed-rank guard equals the window guard (the artifact fast path)") {
+    // the catalog consumers filter a STORED rank column instead of
+    // running a probe-time window — the two forms must keep identical
+    // semantics: same kept rows, same pair sets, same truncation
+    // metric, for both the clique (bucket_rank) and the ingest
+    // (corpus-side) shapes
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    val w = Window.partitionBy("band", "band_sig").orderBy("doc_id")
+    val ranked = banded.withColumn("bucket_rank", row_number().over(w))
+    val obs = Observation("rank_guard_clique")
+    val viaRank = Dedup.minhashCandidatesFromBands(
+        Dedup.bandsKeptByRank(ranked, "bucket_rank", 10, Some(obs)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaWindow = Dedup.minhashCandidatesFromBandsCapped(banded,
+        maxDocsPerBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaRank == viaWindow)
+    val m = obs.get
+    assert(m("truncated_doc_slots") == 90L && m("doc_slots") == 105L)
+    // ingest shape: corpus side pre-ranked, batch side untouched
+    val obsI = Observation("rank_guard_ingest")
+    val viaRankI = Dedup.minhashCandidatesAgainstFromBands(bandedBatch,
+        Dedup.bandsKeptByRank(ranked, "bucket_rank", 10, Some(obsI)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaWindowI = Dedup.minhashCandidatesAgainstFromBandsCapped(
+        bandedBatch, banded, maxCorpusPerBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaRankI == viaWindowI)
+    assert(obsI.get("truncated_doc_slots") == 90L)
+  }
+
   test("bucket-local rank commutes with a pruned read (the st6 static-side claim)") {
     // capping a bucket-pruned slice must equal pruning the capped
     // table — the property that lets st6 cap its prefix-pruned

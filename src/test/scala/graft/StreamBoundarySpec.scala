@@ -95,9 +95,13 @@ class StreamBoundarySpec extends AnyFunSuite {
     // would turn every probe into a false maintenance outage)
     val d = freshDir("sbound_same", "documents.parquet")
     val built = graft.queries.TextQ.bandArtifact(spark, d)
+    // the tag comes from the single source, not a copied literal — a
+    // layout-tag bump must not silently turn this into a stale-sub
+    // probe (it did in round 18's rank-column bump)
     val probed = graft.sources.ArtifactStore.resolveExisting(spark,
       "graft_band_artifact",
-      Seq(new java.io.File(d, "documents.parquet")), sub = "h16b2p2dual")
+      Seq(new java.io.File(d, "documents.parquet")),
+      sub = graft.queries.TextQ.BandArtifactTag)
     assert(built == probed)
   }
 }
