@@ -674,7 +674,10 @@ object SimilaritySearch {
     // query side broadcast BY CONTRACT (small |queries|): the coded
     // index side streams — a hot cell is a longer scan, never a
     // skewed shuffle partition of the index (hot-cell posture; see
-    // the ivfTopK probe join note and PlanShapeSpec's skewed-store pin)
+    // the ivfTopK probe join note and PlanShapeSpec's skewed-store
+    // pin). Callers without a by-construction bound on |queries|
+    // enforce the contract by chunking to [[MaxQueryBatch]] (ExtQ
+    // .streamAnnProbe — ADVICE r18)
     val cands = broadcast(probeCells).join(coded, Seq("cell"))
       .filter(col("query_id") =!= col(idCol))
       .withColumn("adc", adcCol(col("luts"), col("codes"), m))
@@ -840,21 +843,45 @@ object SimilaritySearch {
     */
   private[graft] val AnnRecallTarget = 0.9
 
+  /** The enforcement bound of the serving joins' query-side broadcast
+    * CONTRACT ([[ivfTopK]]/[[ivfPqSearch]]/[[ivfRPqSearch]] force
+    * `broadcast(probeCells)` so a stats misestimate can never shuffle
+    * the index by cell — the hot-cell posture): a probe row carries the
+    * query vector plus the m×codebookSize LUT arrays (~1-2 KB at the
+    * catalog budget), so 4096 queries × nprobe rows stays in the low
+    * tens of MB — safely inside any broadcast limit — while an
+    * UNBOUNDED caller (a large streaming ingest trigger) would
+    * materialize the batch on the driver and every executor. Callers
+    * whose query side is not bounded by construction (ExtQ
+    * .streamAnnProbe's micro-batches) chunk to this many expected
+    * queries per probe; per-query results depend only on the query's
+    * own row, so chunking is result-invisible.
+    */
+  private[graft] val MaxQueryBatch = 4096
+
   /** Maintenance-time recall QA of a stored IVF+PQ index — the FAISS
     * autotune posture, run where the index is BUILT so the quality of
     * every generation is measured, not assumed. A deterministic
     * LCG-drawn query sample ([[trainSlice]]'s order statistic — the
     * same replayable draw as every model sample here) gets ONE
     * brute-force ground-truth pass (queries broadcast, the corpus
-    * streams once — the sweep's priced cost, and the heaviest step of
-    * the maintenance job at scale); each candidate nprobe then pays
-    * only its pruned-index probe. Returns (nprobe, recall@k) in input
-    * order, recall micro-averaged over the sample's exact top-k.
+    * streams); each candidate nprobe then pays its pruned-index probe
+    * PLUS a rerank join against the float store for its bounded
+    * (≤ refine × sampleN row) exact tail. Returns (nprobe, recall@k)
+    * in input order, recall micro-averaged over the sample's exact
+    * top-k.
     *
-    * `codedFor(cells)` supplies the pruned code table for a probe's
-    * cells (the artifact read with a cell filter — partition-pruned,
-    * so sweeping nprobe=1,2,4.. reads ≈ 2× the index total, not
-    * |nprobes| × full scans).
+    * COST, honestly (ADVICE r18 — the earlier note under-stated it):
+    * the float corpus is read by the GT pass and by EVERY per-nprobe
+    * rerank — 1 + |nprobes| passes, not one. Here the sweep persists
+    * one slim (id, vec) projection up front so those passes after the
+    * first hit executor memory; at cluster scale, where the projection
+    * may not fit, the sweep's price is 1 + |nprobes| streaming scans
+    * of the float store (each a bounded-broadcast join moving only the
+    * tail rows — scans, never shuffles) — still maintenance-time-only,
+    * never per probe. The pruned-INDEX reads stay ≈ 2× the index total
+    * across the ladder (nprobe=1,2,4.. partition-pruned via
+    * `codedFor(cells)`).
     */
   def recallSweep(corpus: DataFrame, codedFor: Seq[Int] => DataFrame,
                   model: IvfPqModel, k: Int, refine: Int,
@@ -862,19 +889,24 @@ object SimilaritySearch {
                   idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Int, Double)] = {
     require(nprobes.nonEmpty && sampleN >= 1,
       s"recallSweep: need nprobes and a positive sample, got $nprobes/$sampleN")
-    val queries = trainSlice(corpus, sampleN, idCol, vecCol, 1, "recallSweep")
-    val exact = bruteForceTopK(queries, corpus, k, idCol, vecCol)
-      .select("query_id", "corpus_id").collect()
-      .map(r => (r.get(0), r.get(1))).toSet
-    nprobes.map { nprobe =>
-      val cells = ivfPqProbedCells(queries, model, nprobe, idCol, vecCol)
-      val got = ivfPqSearch(queries, corpus, codedFor(cells), model,
-          k, nprobe, refine, idCol, vecCol)
+    // one slim projection persisted across the GT pass + every rerank
+    // (the 1 + |nprobes| float-store reads priced above)
+    val slim = corpus.select(col(idCol), col(vecCol)).persist()
+    try {
+      val queries = trainSlice(slim, sampleN, idCol, vecCol, 1, "recallSweep")
+      val exact = bruteForceTopK(queries, slim, k, idCol, vecCol)
         .select("query_id", "corpus_id").collect()
-        .map(r => (r.get(0), r.get(1)))
-      nprobe -> (if (exact.isEmpty) 1.0
-        else got.count(exact.contains).toDouble / exact.size)
-    }
+        .map(r => (r.get(0), r.get(1))).toSet
+      nprobes.map { nprobe =>
+        val cells = ivfPqProbedCells(queries, model, nprobe, idCol, vecCol)
+        val got = ivfPqSearch(queries, slim, codedFor(cells), model,
+            k, nprobe, refine, idCol, vecCol)
+          .select("query_id", "corpus_id").collect()
+          .map(r => (r.get(0), r.get(1)))
+        nprobe -> (if (exact.isEmpty) 1.0
+          else got.count(exact.contains).toDouble / exact.size)
+      }
+    } finally { slim.unpersist(); () }
   }
 
   /** The stored-index side of residual IVF+PQ: `(id, cell, codes)` —
@@ -951,8 +983,9 @@ object SimilaritySearch {
         Vectors.dotQNative(col("q_vec"), element_at(centLit, col("cell") + 1)))
       .select(col("query_id"), col("q_vec"), col("luts"), col("cell"), col("cellconst"))
     // same hot-cell posture as [[ivfPqSearch]]: queries broadcast by
-    // contract, the coded index streams; the bounded rerank tail
-    // broadcasts against the streaming float store
+    // contract (unbounded callers chunk to [[MaxQueryBatch]]), the
+    // coded index streams; the bounded rerank tail broadcasts against
+    // the streaming float store
     val cands = broadcast(probeCells).join(coded, Seq("cell"))
       .filter(col("query_id") =!= col(idCol))
       .withColumn("adc", adcCol(col("luts"), col("codes"), m) + col("cellconst"))

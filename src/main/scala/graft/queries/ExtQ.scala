@@ -176,13 +176,36 @@ object ExtQ {
     * index. The per-query result depends only on that query's row (the
     * index and model are frozen), so ANY micro-batch split must answer
     * row-identically to the batch form — s08/s09/st8 share one oracle.
+    *
+    * `nprobe = None` resolves through [[graft.queries.TextQ.resolveNprobe]]
+    * — the stored generation's maintenance-swept `suggested_nprobe`
+    * sidecar when `ann-maintain` has measured one, else the engine
+    * default. Catalog st8 pins `Some(…)` so its oracle hash can never
+    * depend on whether maintenance ran.
+    *
+    * BROADCAST-CONTRACT GUARD (ADVICE r18): [[SimilaritySearch
+    * .ivfPqSearch]] broadcasts its query side by contract (the hot-cell
+    * posture), but a streaming micro-batch is unbounded — a large
+    * ingest trigger would materialize batch×nprobe rows INCLUDING the
+    * m×codebookSize LUT arrays on the driver and every executor. Each
+    * trigger therefore probes in deterministic hash-chunks of at most
+    * [[graft.operators.SimilaritySearch.MaxQueryBatch]] expected
+    * queries (chunk = xxhash64(vec_id) mod ⌈n/max⌉ — value-derived, so
+    * replay-stable). Per-query results depend only on the query's own
+    * row, so chunking is exactly as invisible as the micro-batch split
+    * this loop already tolerates (StreamingParitySpec pins a forced
+    * multi-chunk run against the stored-index form row-for-row).
     */
   private[graft] def streamAnnProbe(
       s: org.apache.spark.sql.SparkSession, d: String,
-      queryStream: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      queryStream: org.apache.spark.sql.DataFrame,
+      nprobe: Option[Int] = None,
+      maxQueryBatch: Int = graft.operators.SimilaritySearch.MaxQueryBatch): org.apache.spark.sql.DataFrame = {
     import graft.operators.SimilaritySearch
+    require(maxQueryBatch >= 1, s"maxQueryBatch must be >= 1, got $maxQueryBatch")
     val emb = Tables.embeddings(s, d)
     val index = TextQ.annArtifact(s, d)  // build/refresh at batch parallelism
+    val np = TextQ.resolveNprobe(s, index, nprobe)
     val model = SimilaritySearch.ivfPqModel(
       emb, TextQ.AnnNlist, TextQ.AnnM, TextQ.AnnCb)
     val outDir = boundedSink("graft_st8_out", d)
@@ -193,17 +216,28 @@ object ExtQ {
       // readSink instead of NPE-ing on a never-assigned capture
       val outSchema = SimilaritySearch.ivfPqSearch(
         emb.limit(0), emb, s.read.parquet(index),
-        model, k = 5, nprobe = 2, refine = 20).schema
+        model, k = 5, nprobe = np, refine = 20).schema
       val q = queryStream.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
           val b = batch.persist()
           try {
-            val cells = SimilaritySearch.ivfPqProbedCells(b, model, nprobe = 2)
-            val coded = s.read.parquet(index)
-              .where(col("cell").isin(cells: _*))
-            val res = SimilaritySearch.ivfPqSearch(b, emb, coded, model,
-              k = 5, nprobe = 2, refine = 20)
-            res.write.mode("append").parquet(outDir)
+            // the count is the guard's price — one action on the
+            // persisted batch, which the probed-cells collect below
+            // re-reads from cache
+            val n = b.count()
+            val nChunks = math.max(1L, (n + maxQueryBatch - 1L) / maxQueryBatch).toInt
+            (0 until nChunks).foreach { c =>
+              val qs = if (nChunks == 1) b
+                else b.filter(pmod(xxhash64(col("vec_id")), lit(nChunks)) === c)
+              val cells = SimilaritySearch.ivfPqProbedCells(qs, model, nprobe = np)
+              if (cells.nonEmpty) {
+                val coded = s.read.parquet(index)
+                  .where(col("cell").isin(cells: _*))
+                val res = SimilaritySearch.ivfPqSearch(qs, emb, coded, model,
+                  k = 5, nprobe = np, refine = 20)
+                res.write.mode("append").parquet(outDir)
+              }
+            }
           } finally { b.unpersist(); () }
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -801,10 +835,14 @@ object ExtQ {
     Q("st8_stream_ann_probe",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
+        // explicit nprobe: the catalog row's oracle hash must not
+        // depend on whether ann-maintain has written a suggested_nprobe
+        // sidecar into this generation (the CLI/default path reads it)
         streamAnnProbe(s, d,
           s.readStream.schema(emb.schema)
             .option("pathGlobFilter", "embeddings.parquet").parquet(d)
-            .filter(col("vec_id") < 10))
+            .filter(col("vec_id") < 10),
+          nprobe = Some(2))
       },
       Some(TextQ.IvfPqOracleSql)),
 

@@ -512,6 +512,64 @@ object TextQ {
         .write.mode("overwrite").partitionBy("cell").parquet(dir)
     }
 
+  /** Engine default nprobe when neither the caller nor a maintenance
+    * sweep has chosen one — the catalog serving budget.
+    */
+  private[graft] val AnnDefaultNprobe = 2
+
+  /** The `suggested_nprobe` sidecar file inside an index generation —
+    * underscore-prefixed so parquet reads of the directory ignore it
+    * (the `_SUCCESS` convention). Written by `ann-maintain` after its
+    * recall sweep; additive to a sealed generation (the parquet data
+    * is never touched) and scoped to it — a rebuilt generation starts
+    * without a suggestion until maintenance measures one.
+    */
+  private[graft] val SuggestedNprobeSidecar = "_graft_suggested_nprobe"
+
+  /** Persist the maintenance sweep's suggestion into the index
+    * generation dir — the write half of the FAISS-autotune loop
+    * (measure recall at maintenance time → serving reads the result).
+    */
+  private[graft] def writeSuggestedNprobe(s: org.apache.spark.sql.SparkSession,
+      indexDir: String, nprobe: Int): Unit = {
+    require(nprobe >= 1 && nprobe <= AnnNlist,
+      s"suggested nprobe $nprobe outside [1, $AnnNlist]")
+    val p = new org.apache.hadoop.fs.Path(indexDir, SuggestedNprobeSidecar)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(nprobe.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Serving-side nprobe resolution — the read half of the autotune
+    * loop: an explicit caller choice wins (the catalog rows pin one so
+    * oracle hashes never depend on maintenance state); otherwise the
+    * generation's swept suggestion if `ann-maintain` stored one;
+    * otherwise [[AnnDefaultNprobe]]. A PRESENT-but-corrupt sidecar
+    * fails loudly (the fail-loud artifact-boundary posture — garbage
+    * must not silently degrade to the default).
+    */
+  private[graft] def resolveNprobe(s: org.apache.spark.sql.SparkSession,
+      indexDir: String, explicit: Option[Int]): Int =
+    explicit.getOrElse {
+      val p = new org.apache.hadoop.fs.Path(indexDir, SuggestedNprobeSidecar)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) AnnDefaultNprobe
+      else {
+        val in = fs.open(p)
+        val txt = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+        finally in.close()
+        val np = try txt.toInt catch {
+          case _: NumberFormatException => throw new IllegalStateException(
+            s"corrupt $SuggestedNprobeSidecar sidecar at $indexDir: '$txt' " +
+              "— rewrite it via ann-maintain or delete the file")
+        }
+        require(np >= 1 && np <= AnnNlist,
+          s"$SuggestedNprobeSidecar at $indexDir holds $np outside [1, $AnnNlist]")
+        np
+      }
+    }
+
   /** The (kind, sources, sub) key of the CORPUS-slice index store —
     * the delta-ingest tier's main index (the clfStoreKey rule: one
     * definition for build and probe). The sub carries the model

@@ -110,12 +110,29 @@ class StreamingParitySpec extends AnyFunSuite {
     // depend only on the frozen index, so the split must be invisible
     queries.filter(col("vec_id") < 5).coalesce(1).write.parquet(s"$dir/b=0")
     queries.filter(col("vec_id") >= 5).coalesce(1).write.parquet(s"$dir/b=1")
+    // nprobe pinned to the batch form's: PipelinesSpec's ann-maintain
+    // run stores a suggested_nprobe sidecar for this same store, and a
+    // default (None) here would legitimately resolve to IT — this test
+    // compares forms, so both sides must serve at one setting
     val multi = graft.queries.ExtQ.streamAnnProbe(spark, d,
         spark.readStream.schema(queries.schema)
-          .option("maxFilesPerTrigger", "1").parquet(dir))
+          .option("maxFilesPerTrigger", "1").parquet(dir),
+        nprobe = Some(2))
       .collect().map(_.toString).sorted.toSeq
     assert(multi.nonEmpty)
     assert(multi == batch, "multi-batch ANN probe diverged from the stored-index form")
+    // BROADCAST-GUARD parity (ADVICE r18): force the per-trigger hash-
+    // chunking by shrinking the query-batch bound below the 10-query
+    // batch — every chunk probes separately, and the union must still
+    // be row-identical to the stored-index form (per-query results
+    // depend only on the query's own row, so the chunk split is as
+    // invisible as the micro-batch split above)
+    val chunked = graft.queries.ExtQ.streamAnnProbe(spark, d,
+        spark.readStream.schema(queries.schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir),
+        nprobe = Some(2), maxQueryBatch = 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(chunked == batch, "chunked ANN probe diverged from the stored-index form")
     queries.unpersist()
   }
 
