@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import graft.config.Configs
 
 /** The reference's CLI surface as one Spark entrypoint — the command a
@@ -26,7 +27,8 @@ object Run {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
       "usage: graft.Run <track|eval|features|visualize> cfg=<yaml> [key=value ...]" +
-        " | graft.Run <dedup-maintain|ann-maintain> data=<dir>")
+        " | graft.Run dedup-maintain data=<dir> [cap=<n>]" +
+        " | graft.Run ann-maintain data=<dir>")
     val spark = LocalSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
       logLevel = "WARN")
     try println(run(spark, args.head, args.toSeq.tail))
@@ -100,7 +102,16 @@ object Run {
         // mtime key, _SUCCESS-gated) is left untouched, stale
         // generations are GC'd by the store.
         val dir = dataDirArg(mode, kvArgs, overrides, cfgFile,
-          "documents.parquet")
+          "documents.parquet", extraKeys = Set("cap"))
+        // the guard cap the report measures against — D05MaxBucket (the
+        // catalog's audit/ingest cap) unless overridden; the override
+        // affects the REPORT only, never the stored artifacts or any
+        // catalog query (raw token like data=, so it can't be mangled
+        // by YAML scalar inference)
+        val cap = kvArgs.collectFirst {
+          case a if a.startsWith("cap=") => a.substring("cap=".length).toInt
+        }.getOrElse(graft.queries.TextQ.D05MaxBucket)
+        require(cap >= 1, s"cap must be >= 1, got $cap")
         // drop session memos first: after a mid-session source
         // regeneration the memoized band/gram relations still hold the
         // OLD generation in cache — building the new cluster artifact
@@ -114,7 +125,50 @@ object Run {
         val dsir = graft.queries.TextQ.dsirArtifact(spark, dir)
         val clf = graft.queries.TextQ.clfArtifact(spark, dir)
         val decontam = graft.queries.TextQ.decontamArtifact(spark, dir)
-        s"dedup-maintain: band=$band gram=$gram clusters=$clusters simhash=$simhash dsir=$dsir clf=$clf decontam=$decontam"
+        // BUCKET-GUARD REPORT (the ann-maintain triad, dedup side —
+        // VERDICT r18 #1): the capped tiers' truncation metric finally
+        // gets a reader, and the deliberately-UNCAPPED clustering
+        // clique (d07/d17/st7 — a cap there would silently split true
+        // duplicate clusters) gets its mega-bucket early warning. All
+        // three numbers come off the freshly built band artifact's
+        // PRECOMPUTED bucket_rank column (two scans of the memoized
+        // table — maintenance-time cost, never probe-time):
+        //   max_bucket       — the largest (band, band_sig) bucket; the
+        //                      d07 clique is quadratic in this.
+        //   overflow_buckets — buckets past the cap (ranks are
+        //                      consecutive per bucket, so rank == cap+1
+        //                      marks each overflowing bucket exactly
+        //                      once).
+        //   truncated_doc_slots / doc_slots — the capped tiers' exact
+        //                      truncation, read through the SAME
+        //                      Observation-parameterized guard the
+        //                      composable call sites use
+        //                      (Dedup.bandsKeptByRank — this CLI is its
+        //                      first production Observation caller).
+        val bands = graft.queries.TextQ.bandSigs(spark, dir)
+        val stats = bands.agg(
+          coalesce(max(col("bucket_rank")), lit(0)).as("mx"),
+          coalesce(sum(when(col("bucket_rank") === cap + 1, 1L).otherwise(0L)),
+            lit(0L)).as("ovf")).head()
+        val maxBucket = stats.getInt(0)
+        val overflow = stats.getLong(1)
+        val guardObs = org.apache.spark.sql.Observation("graft_dedup_maintain_guard")
+        graft.operators.Dedup.bandsKeptByRank(bands, "bucket_rank", cap,
+          Some(guardObs)).write.format("noop").mode("overwrite").save()
+        val guard = guardObs.get
+        val truncated = guard("truncated_doc_slots").asInstanceOf[Long]
+        val docSlots = guard("doc_slots").asInstanceOf[Long]
+        // the actionable recommendation (the rebalance= pattern): any
+        // overflowing bucket means the audit/ingest tiers are already
+        // truncating there — route those buckets' docs through the
+        // exact tiers (d01 hash-dedup or d12's linear star form), which
+        // bound a mega-bucket without disconnecting it
+        val route = if (truncated > 0L)
+          "exact_tier_recommended(d01/d12)" else "no"
+        s"dedup-maintain: band=$band gram=$gram clusters=$clusters " +
+          s"simhash=$simhash dsir=$dsir clf=$clf decontam=$decontam " +
+          s"cap=$cap max_bucket=$maxBucket overflow_buckets=$overflow " +
+          s"truncated_doc_slots=$truncated doc_slots=$docSlots route=$route"
       case "ann-maintain" =>
         // the EMBEDDING-side maintenance job: (re)build the
         // cell-partitioned IVF+PQ code table AND the semantic-dedup
@@ -176,13 +230,16 @@ object Run {
             if (maxCellFrac > 4.0 / graft.queries.TextQ.AnnNlist)
               "recommended(GRAFT_ANN_TRAIN=lloyd)" else "no"
           // recall sweep (the FAISS autotune posture): measure THIS
-          // generation's recall@5 at each nprobe against one
-          // brute-force pass over a deterministic query sample, and
+          // generation's recall@5 at each nprobe against a brute-force
+          // ground-truth pass over a deterministic query sample, and
           // suggest the cheapest nprobe clearing the target — the
           // quality leg of the report triad (fold_in growth,
-          // rebalance skew, recall). The ground-truth pass streams
-          // the corpus once — the priced cost of measured-not-assumed
-          // index quality, paid at maintenance time, never per probe.
+          // rebalance skew, recall). Honest cost (ADVICE r18): the
+          // float store is read by the GT pass AND by each swept
+          // nprobe's exact-rerank tail — 1 + |nprobes| passes, served
+          // from one persisted slim projection inside recallSweep —
+          // the priced cost of measured-not-assumed index quality,
+          // paid at maintenance time, never per probe.
           import org.apache.spark.sql.functions.col
           val SimS = graft.operators.SimilaritySearch
           val model = SimS.ivfPqModel(emb,
@@ -204,6 +261,11 @@ object Run {
           val suggested = sweep.collectFirst {
             case (np, r) if r >= SimS.AnnRecallTarget => np
           }.getOrElse(graft.queries.TextQ.AnnNlist)
+          // close the autotune loop (VERDICT r18 #3): the suggestion is
+          // stored INTO this index generation as a sidecar, and serving
+          // callers that pass no explicit nprobe (TextQ.resolveNprobe)
+          // pick it up — the sweep informs the engine, not just a human
+          graft.queries.TextQ.writeSuggestedNprobe(spark, index, suggested)
           f"ann-maintain: index=$index sem=$sem corpus=$corpus " +
             f"delta_main_ratio=$ratio%.4f fold_in=$fold " +
             f"max_cell_frac=$maxCellFrac%.4f rebalance=$rebalance " +
@@ -223,14 +285,17 @@ object Run {
     */
   private def dataDirArg(mode: String, kvArgs: Seq[String],
                          overrides: Map[String, Any],
-                         cfgFile: Option[String], table: String): String = {
+                         cfgFile: Option[String], table: String,
+                         extraKeys: Set[String] = Set.empty): String = {
     val dir = kvArgs.collectFirst {
       case a if a.startsWith("data=") => a.substring("data=".length)
     }.getOrElse(throw new IllegalArgumentException(
       s"pass data=<dir containing $table>"))
-    val stray = (overrides - "data").keys ++ cfgFile.map(_ => "cfg")
+    val stray = (overrides.keySet - "data" -- extraKeys) ++ cfgFile.map(_ => "cfg")
     if (stray.nonEmpty) throw new IllegalArgumentException(
-      s"$mode takes only data=<dir>; got: ${stray.mkString(", ")}")
+      s"$mode takes only data=<dir>" +
+        (if (extraKeys.nonEmpty) extraKeys.mkString(" [", "=, ", "=]") else "") +
+        s"; got: ${stray.mkString(", ")}")
     dir
   }
 

@@ -130,6 +130,39 @@ class DedupGuardSpec extends AnyFunSuite {
     assert(obsI.get("truncated_doc_slots") == 90L)
   }
 
+  test("dedup-maintain CLI: a pathological bucket flips route= to the exact tiers, truncation exact") {
+    // the report-triad reader end-to-end (VERDICT r18 #1): drive the
+    // sf0.001 corpus — whose planted duplicate groups form band
+    // buckets far past a cap of 8 — through the maintenance CLI with
+    // that cap, and the recommendation must flip, with the truncation
+    // metric agreeing EXACTLY with an independent window recomputation
+    // from raw text (never the artifact's own stored ranks)
+    val data = "/root/testdata/sf0.001"
+    val cap = 8
+    val msg = Run.run(spark, "dedup-maintain", Seq(s"data=$data", s"cap=$cap"))
+    val kvs = msg.split(' ').tail.map(_.split("=", 2))
+      .map(a => a(0) -> a(1)).toMap
+    val sizes = Dedup.bandSignatures(
+        Tables.documents(spark, data), 16, 2, "text")
+      .groupBy("band", "band_sig").count()
+      .collect().map(_.getLong(2))
+    val wantMax = sizes.max
+    val wantOverflow = sizes.count(_ > cap).toLong
+    val wantTruncated = sizes.map(n => math.max(0L, n - cap)).sum
+    val wantSlots = sizes.sum
+    assert(wantOverflow > 0L, "fixture regression: no bucket exceeds 8 docs")
+    assert(kvs("max_bucket").toLong == wantMax, msg)
+    assert(kvs("overflow_buckets").toLong == wantOverflow, msg)
+    assert(kvs("truncated_doc_slots").toLong == wantTruncated, msg)
+    assert(kvs("doc_slots").toLong == wantSlots, msg)
+    assert(kvs("route") == "exact_tier_recommended(d01/d12)", msg)
+    // the same store at the production cap reports healthy — the flip
+    // is the cap crossing the bucket histogram, not a sticky state
+    val healthy = Run.run(spark, "dedup-maintain", Seq(s"data=$data"))
+      .split(' ').tail.map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+    assert(healthy("route") == "no", healthy.toString)
+  }
+
   test("bucket-local rank commutes with a pruned read (the st6 static-side claim)") {
     // capping a bucket-pruned slice must equal pruning the capped
     // table — the property that lets st6 cap its prefix-pruned
