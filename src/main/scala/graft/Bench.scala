@@ -257,9 +257,29 @@ object Bench {
     // attributed); read next to canary[g] it separates "sandbox CPU
     // contention" (canary up) from "GC storm" (gcg up, canary flat).
     val gcGroups = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val results = sorted.grouped(groupSize).toSeq.flatMap { group =>
+    // PROBE HYGIENE (round 19, the pcan-bracket-2 anomaly): every QUERY
+    // gets an untimed System.gc() before its timing so it never pays
+    // its neighbor's cleanup — but the between-group PROBES did not,
+    // so they ran on whatever heap the group's LAST query left primed.
+    // The single-thread canary barely notices (one core suffices), but
+    // the all-cores pcan loses whole cores to concurrent GC cycles —
+    // which is exactly the r17/r18 signature: pcan[1] ≈ 0.185 with
+    // canary[1] near-flat, systematically after the heaviest-allocating
+    // group (the d-block, gcg[0] > 4 s), and canary[0] ≈ 0.199 right
+    // after the untimed artifact pre-touch builds above. Those readings
+    // are SELF-caused residue contaminating what is defined as an
+    // ENVIRONMENT probe (the min-of-bracket pcan rule kept pcan[1] out
+    // of value_n, but canary[0] drove scale[0] = 0.583 in r18 — a
+    // phantom 42% "contention" discount). Collect the predecessor's
+    // garbage untimed before probing, same isolation principle as the
+    // per-query gc.
+    def probePair(): Unit = {
+      System.gc()
       canaries += canary()
       pcans += pcanary()
+    }
+    val results = sorted.grouped(groupSize).toSeq.flatMap { group =>
+      probePair()
       val g0 = gcSec()
       val rs = group.map { case (name, fn) =>
         // ISOLATION (untimed): drop every cross-query materialization —
@@ -302,8 +322,7 @@ object Bench {
       gcGroups += gcSec() - g0
       rs
     }
-    canaries += canary()
-    pcans += pcanary()
+    probePair()
     // The driver keeps only the last 2000 chars of the run's output
     // (observed in round 7: the 70-query line was 1778 chars, with
     // ~150 chars of Spark log noise before it and ~75 after inside the
