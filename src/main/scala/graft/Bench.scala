@@ -273,8 +273,17 @@ object Bench {
     // phantom 42% "contention" discount). Collect the predecessor's
     // garbage untimed before probing, same isolation principle as the
     // per-query gc.
+    // The gc alone is not enough (measured, round 19): collecting the
+    // group's weak-referenced shuffle/broadcast state TRIGGERS the
+    // ContextCleaner flood, whose async block-manager/scheduler churn
+    // then slows the canary — itself a Spark job — for its whole
+    // reading (post-group canary ~0.14-0.15 while the pure-CPU pcan
+    // sat at its anchor: engine residue, not sandbox). One untimed
+    // drain run of the same kernel absorbs that tail before anything
+    // is timed.
     def probePair(): Unit = {
       System.gc()
+      warmupKernel()
       canaries += canary()
       pcans += pcanary()
     }
