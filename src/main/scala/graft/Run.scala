@@ -109,7 +109,13 @@ object Run {
         // catalog query (raw token like data=, so it can't be mangled
         // by YAML scalar inference)
         val cap = kvArgs.collectFirst {
-          case a if a.startsWith("cap=") => a.substring("cap=".length).toInt
+          case a if a.startsWith("cap=") =>
+            val raw = a.substring("cap=".length)
+            try raw.toInt catch {
+              case _: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  s"cap= must be a positive integer, got cap=$raw")
+            }
         }.getOrElse(graft.queries.TextQ.D05MaxBucket)
         require(cap >= 1, s"cap must be >= 1, got $cap")
         // drop session memos first: after a mid-session source
@@ -130,9 +136,12 @@ object Run {
         // gets a reader, and the deliberately-UNCAPPED clustering
         // clique (d07/d17/st7 — a cap there would silently split true
         // duplicate clusters) gets its mega-bucket early warning. All
-        // three numbers come off the freshly built band artifact's
-        // PRECOMPUTED bucket_rank column (two scans of the memoized
-        // table — maintenance-time cost, never probe-time):
+        // four numbers ride ONE observe pass over the freshly built
+        // band artifact's PRECOMPUTED bucket_rank column (a single
+        // scan — maintenance-time cost, never probe-time), through the
+        // SAME Observation-parameterized guard the composable call
+        // sites use (Dedup.bandsKeptByRank — this CLI is its first
+        // production Observation caller):
         //   max_bucket       — the largest (band, band_sig) bucket; the
         //                      d07 clique is quadratic in this.
         //   overflow_buckets — buckets past the cap (ranks are
@@ -140,22 +149,18 @@ object Run {
         //                      marks each overflowing bucket exactly
         //                      once).
         //   truncated_doc_slots / doc_slots — the capped tiers' exact
-        //                      truncation, read through the SAME
-        //                      Observation-parameterized guard the
-        //                      composable call sites use
-        //                      (Dedup.bandsKeptByRank — this CLI is its
-        //                      first production Observation caller).
+        //                      truncation at this cap.
         val bands = graft.queries.TextQ.bandSigs(spark, dir)
-        val stats = bands.agg(
-          coalesce(max(col("bucket_rank")), lit(0)).as("mx"),
-          coalesce(sum(when(col("bucket_rank") === cap + 1, 1L).otherwise(0L)),
-            lit(0L)).as("ovf")).head()
-        val maxBucket = stats.getInt(0)
-        val overflow = stats.getLong(1)
         val guardObs = org.apache.spark.sql.Observation("graft_dedup_maintain_guard")
         graft.operators.Dedup.bandsKeptByRank(bands, "bucket_rank", cap,
-          Some(guardObs)).write.format("noop").mode("overwrite").save()
+          Some(guardObs), extraMetrics = Seq(
+            coalesce(max(col("bucket_rank")), lit(0)).as("max_bucket"),
+            coalesce(sum(when(col("bucket_rank") === cap + 1, 1L)
+              .otherwise(0L)), lit(0L)).as("overflow_buckets")))
+          .write.format("noop").mode("overwrite").save()
         val guard = guardObs.get
+        val maxBucket = guard("max_bucket").asInstanceOf[Int]
+        val overflow = guard("overflow_buckets").asInstanceOf[Long]
         val truncated = guard("truncated_doc_slots").asInstanceOf[Long]
         val docSlots = guard("doc_slots").asInstanceOf[Long]
         // the actionable recommendation (the rebalance= pattern): any

@@ -279,16 +279,22 @@ object Dedup {
     * a ranked table (and as the reference semantics the stored ranks
     * must agree with — DedupGuardSpec pins the equivalence).
     */
+  /** `extraMetrics` ride the same observe pass — the maintenance CLI
+    * folds its mega-bucket stats (max rank, overflowing-bucket count)
+    * into the guard's one scan instead of re-reading the band table
+    * for a second aggregation.
+    */
   def bandsKeptByRank(banded: DataFrame, rankCol: String,
                       maxDocsPerBucket: Int,
                       observation: Option[org.apache.spark.sql.Observation] = None,
-                      metricName: String = "graft_lsh_rank_guard"): DataFrame = {
+                      metricName: String = "graft_lsh_rank_guard",
+                      extraMetrics: Seq[Column] = Nil): DataFrame = {
     require(maxDocsPerBucket >= 1,
       s"maxDocsPerBucket must be >= 1, got $maxDocsPerBucket")
     val metrics = Seq(
       sum(when(col(rankCol) > maxDocsPerBucket, 1L).otherwise(0L))
         .as("truncated_doc_slots"),
-      count(lit(1)).as("doc_slots"))
+      count(lit(1)).as("doc_slots")) ++ extraMetrics
     observation
       .map(o => banded.observe(o, metrics.head, metrics.tail: _*))
       .getOrElse(banded.observe(metricName, metrics.head, metrics.tail: _*))

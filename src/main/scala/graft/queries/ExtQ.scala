@@ -188,13 +188,16 @@ object ExtQ {
     * posture), but a streaming micro-batch is unbounded — a large
     * ingest trigger would materialize batch×nprobe rows INCLUDING the
     * m×codebookSize LUT arrays on the driver and every executor. Each
-    * trigger therefore probes in deterministic hash-chunks of at most
-    * [[graft.operators.SimilaritySearch.MaxQueryBatch]] expected
-    * queries (chunk = xxhash64(vec_id) mod ⌈n/max⌉ — value-derived, so
-    * replay-stable). Per-query results depend only on the query's own
-    * row, so chunking is exactly as invisible as the micro-batch split
-    * this loop already tolerates (StreamingParitySpec pins a forced
-    * multi-chunk run against the stored-index form row-for-row).
+    * trigger therefore probes in ROUND-ROBIN chunks over the persisted
+    * batch: chunk = monotonically_increasing_id mod ⌈n/max⌉, which
+    * bounds every chunk at ⌈n/⌈n/max⌉⌉ + #batch-partitions rows (each
+    * partition's ids are consecutive, so it contributes an equal share
+    * ±1 to every chunk) — a hard bound immune to duplicate or skewed
+    * vec_ids, which a value-hash split would pile into one chunk.
+    * Chunk MEMBERSHIP is layout-dependent, but per-query results
+    * depend only on the query's own row, so any split — micro-batch,
+    * chunk, or retry — answers row-identically (StreamingParitySpec
+    * pins a forced multi-chunk run against the stored-index form).
     */
   private[graft] def streamAnnProbe(
       s: org.apache.spark.sql.SparkSession, d: String,
@@ -226,9 +229,14 @@ object ExtQ {
             // re-reads from cache
             val n = b.count()
             val nChunks = math.max(1L, (n + maxQueryBatch - 1L) / maxQueryBatch).toInt
+            // materialized once so every chunk filter sees ONE id
+            // assignment (the ids are layout-dependent; results are not)
+            val withId = if (nChunks == 1) b
+              else b.withColumn("__chunk",
+                pmod(monotonically_increasing_id(), lit(nChunks.toLong))).persist()
             (0 until nChunks).foreach { c =>
               val qs = if (nChunks == 1) b
-                else b.filter(pmod(xxhash64(col("vec_id")), lit(nChunks)) === c)
+                else withId.filter(col("__chunk") === c.toLong).drop("__chunk")
               val cells = SimilaritySearch.ivfPqProbedCells(qs, model, nprobe = np)
               if (cells.nonEmpty) {
                 val coded = s.read.parquet(index)
@@ -238,6 +246,7 @@ object ExtQ {
                 res.write.mode("append").parquet(outDir)
               }
             }
+            if (nChunks > 1) { withId.unpersist(); () }
           } finally { b.unpersist(); () }
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

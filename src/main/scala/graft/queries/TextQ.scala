@@ -536,8 +536,23 @@ object TextQ {
       s"suggested nprobe $nprobe outside [1, $AnnNlist]")
     val p = new org.apache.hadoop.fs.Path(indexDir, SuggestedNprobeSidecar)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    // write-then-rename, never truncate in place: a serving reader
+    // racing a scheduled maintenance rewrite (or a JVM kill mid-write)
+    // must see the old value or the new one, never a torn file the
+    // fail-loud reader would report as corruption (the repo's
+    // torn-write-is-rewritten-never-read posture, sidecar-sized)
+    val tmpP = new org.apache.hadoop.fs.Path(indexDir,
+      s".$SuggestedNprobeSidecar.tmp")
+    val out = fs.create(tmpP, true)
     try out.write(nprobe.toString.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmpP, p)) {
+      // HDFS-style rename refuses to clobber; local FS clobbers. Fall
+      // back to delete-then-rename — the reader tolerates the missing
+      // window (falls to the default), never a torn one.
+      fs.delete(p, false)
+      require(fs.rename(tmpP, p),
+        s"could not publish $SuggestedNprobeSidecar at $indexDir")
+    }
   }
 
   /** Serving-side nprobe resolution — the read half of the autotune

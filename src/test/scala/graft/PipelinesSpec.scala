@@ -210,6 +210,19 @@ class PipelinesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       graft.queries.TextQ.resolveNprobe(spark, corrupt, None)
     }
+    // the read path DISCRIMINATES (guards the loop against being
+    // vacuously green whenever the sweep happens to suggest the
+    // engine default): a written non-default value is served, and
+    // deleting the sidecar falls back to the default — independent of
+    // what this corpus's sweep suggested
+    val loop = tmp("sidecar_loop")
+    val nonDefault = graft.queries.TextQ.AnnDefaultNprobe + 2
+    graft.queries.TextQ.writeSuggestedNprobe(spark, loop, nonDefault)
+    assert(graft.queries.TextQ.resolveNprobe(spark, loop, None) == nonDefault)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(loop,
+      graft.queries.TextQ.SuggestedNprobeSidecar))
+    assert(graft.queries.TextQ.resolveNprobe(spark, loop, None)
+      == graft.queries.TextQ.AnnDefaultNprobe)
     // the delta tier's corpus index shares the cell-partitioned layout
     val corpusDirs = Option(new java.io.File(paths(2)).listFiles()).getOrElse(Array.empty)
     assert(corpusDirs.exists(_.getName.startsWith("cell=")),
