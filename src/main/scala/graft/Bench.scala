@@ -386,7 +386,15 @@ object Bench {
     // 102-key map would clip the JSON head — but they are fully
     // derivable from this record alone: queries[q] × scale[g] with g =
     // the query's index in emission order divided by ⌈N/5⌉.
-    val canaryBase = 0.116
+    // Re-anchored in round 19 (was 0.116 since r13): the probe-hygiene
+    // fix (gc + drain in probePair) changed the canary's measurement
+    // conditions — on a clean heap with the cleaner tail drained the
+    // same kernel reads 0.081-0.102 (median ~0.090 on the r19 pristine
+    // canonical, all six brackets below the old anchor) — so keeping
+    // 0.116 would let value_n read above raw on every clean bracket.
+    // pb stays 0.105: the pure-CPU parallel probe's conditions are
+    // unchanged and its clean-bracket median still straddles it.
+    val canaryBase = 0.090
     // pcan fold-in (round 16, from the first clean-on-both-probes
     // session): the aggregate-capping mode r15 documented — pcan
     // elevated, canary flat — now corrects value_n too. pcanBase is
