@@ -170,14 +170,14 @@ object Bench {
     // it previously landed inside st6's timed region). Build it here
     // so every timed number measures the steady-state artifact probe.
     if (sorted.exists { case (n, _) =>
-        Seq("d05", "d07", "d09", "d12", "d15", "d17", "st6", "st7").exists(n.startsWith) })
+        Seq("d05", "d07", "d09", "d12", "d15", "d17", "d26", "st6", "st7").exists(n.startsWith) })
       try graft.queries.TextQ.bandArtifact(spark, sfDir)
       catch { case _: Throwable => () }
     // grams feed the Jaccard-verify consumers — since round 14 that
     // includes st6 (its foreachBatch verify joins the gram store
     // instead of recomputing corpus fingerprints inline)
     if (sorted.exists { case (n, _) =>
-        Seq("d05", "d07", "d09", "d12", "d15", "d17", "st6", "st7").exists(n.startsWith) })
+        Seq("d05", "d07", "d09", "d12", "d15", "d17", "d26", "st6", "st7").exists(n.startsWith) })
       try graft.queries.TextQ.gramArtifact(spark, sfDir)
       catch { case _: Throwable => () }
     // d17's corpus cluster labels are likewise a maintained artifact
@@ -394,6 +394,15 @@ object Bench {
     // 0.116 would let value_n read above raw on every clean bracket.
     // pb stays 0.105: the pure-CPU parallel probe's conditions are
     // unchanged and its clean-bracket median still straddles it.
+    // ANCHOR CAVEATS (ADVICE r19): (a) the 0.090 anchor was set from
+    // ONE pristine session — treat value_n as provisional until a
+    // second independent clean run confirms brackets straddling it
+    // (record the confirmation in PLANS "Bench calibration"); (b)
+    // scale is deliberately NOT capped at 1.0 — on a box faster than
+    // the anchor (canary below cb) scale > 1 INFLATES value_n above
+    // raw wall, by design symmetric with the contention discount, so
+    // cross-round comparisons must use raw common-query sums (the
+    // standing rule), never value_n across different anchors/boxes.
     val canaryBase = 0.090
     // pcan fold-in (round 16, from the first clean-on-both-probes
     // session): the aggregate-capping mode r15 documented — pcan

@@ -198,6 +198,15 @@ object ExtQ {
     * depend only on the query's own row, so any split — micro-batch,
     * chunk, or retry — answers row-identically (StreamingParitySpec
     * pins a forced multi-chunk run against the stored-index form).
+    *
+    * AT-LEAST-ONCE NOTE (ADVICE r19): the chunk loop issues one
+    * parquet append commit PER CHUNK, so a foreachBatch retry after a
+    * partial chunk sequence (chunk 0 committed, chunk 1 failed)
+    * re-appends chunk 0's rows — the sink's pre-existing at-least-once
+    * duplicate window widens from one commit per trigger to nChunks.
+    * Values are unaffected (per-query rows are identical on replay);
+    * an exactly-once consumer dedups on (query_id, corpus_id) or
+    * reads through an idempotent sink, same as for trigger retries.
     */
   private[graft] def streamAnnProbe(
       s: org.apache.spark.sql.SparkSession, d: String,

@@ -545,13 +545,26 @@ object TextQ {
       s".$SuggestedNprobeSidecar.tmp")
     val out = fs.create(tmpP, true)
     try out.write(nprobe.toString.getBytes("UTF-8")) finally out.close()
-    if (!fs.rename(tmpP, p)) {
-      // HDFS-style rename refuses to clobber; local FS clobbers. Fall
-      // back to delete-then-rename — the reader tolerates the missing
-      // window (falls to the default), never a torn one.
-      fs.delete(p, false)
-      require(fs.rename(tmpP, p),
-        s"could not publish $SuggestedNprobeSidecar at $indexDir")
+    // OVERWRITE-capable rename (ADVICE r19): the FileSystem#rename
+    // fallback of delete-then-rename opens a window where the sidecar
+    // is ABSENT and a racing resolveNprobe silently serves the default
+    // — a silent-degrade path in a fail-loud feature. FileContext
+    // renames with Options.Rename.OVERWRITE atomically on HDFS and the
+    // local FS, so a concurrent reader sees old value or new, never
+    // neither. Filesystems without a FileContext impl fall back to the
+    // plain rename (which clobbers on the local FS anyway).
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, s.sparkContext.hadoopConfiguration)
+      fc.rename(fs.makeQualified(tmpP), fs.makeQualified(p),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        if (!fs.rename(tmpP, p)) {
+          fs.delete(p, false)
+          require(fs.rename(tmpP, p),
+            s"could not publish $SuggestedNprobeSidecar at $indexDir")
+        }
     }
   }
 
@@ -735,24 +748,16 @@ object TextQ {
         (col("n_dups") === 0).as("kept"))
   }
 
-  /** ONE oracle text for both incremental-dedup forms: d15's artifact
-    * is deterministic band signatures, so DuckDB recomputing them from
-    * raw text must agree with the artifact byte-for-byte — a d09/d15
-    * divergence would mean the artifact served stale or corrupt rows.
+  /** ONE verify tail for every incremental-dedup oracle (d09/d15's
+    * capped tier AND d26's routed hybrid): `corpusCtes` must end in a
+    * `cands(doc_a, doc_b)` CTE; the exact-Jaccard verify at 0.5, the
+    * per-new-doc match count and the kept flag are shared verbatim so
+    * a threshold or formula edit cannot reach one tier and not the
+    * other (the BandCtes sharing rule applied to the tail).
     */
-  private lazy val IncrementalDedupSql: String =
+  private def incrementalDedupSqlFrom(corpusCtes: String): String =
     s"""WITH $BandCtes,
-      |corpus_kept AS (
-      |  SELECT doc_id, band, band_sig FROM (
-      |    SELECT b.doc_id, b.band, b.band_sig,
-      |      row_number() OVER (PARTITION BY b.band, b.band_sig ORDER BY b.doc_id) AS rn
-      |    FROM banded b JOIN src s ON s.doc_id = b.doc_id AND s.source <> 'src0') t
-      |  WHERE rn <= $D05MaxBucket
-      |), cands AS (
-      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM banded a JOIN src sa ON sa.doc_id = a.doc_id AND sa.source = 'src0'
-      |       JOIN corpus_kept b ON a.band = b.band AND a.band_sig = b.band_sig
-      |), $GramSetsCte,
+      |$corpusCtes, $GramSetsCte,
       |scored AS (
       |  SELECT c.doc_a,
       |    len(list_intersect(sa.gs, sb.gs)) AS inter,
@@ -769,6 +774,50 @@ object TextQ {
       |FROM documents d LEFT JOIN dupc ON dupc.doc_id = d.doc_id
       |WHERE d.source = 'src0'""".stripMargin
 
+  /** ONE oracle text for both CAPPED incremental-dedup forms: d15's
+    * artifact is deterministic band signatures, so DuckDB recomputing
+    * them from raw text must agree with the artifact byte-for-byte — a
+    * d09/d15 divergence would mean the artifact served stale or
+    * corrupt rows.
+    */
+  private lazy val IncrementalDedupSql: String = incrementalDedupSqlFrom(
+    s"""corpus_kept AS (
+      |  SELECT doc_id, band, band_sig FROM (
+      |    SELECT b.doc_id, b.band, b.band_sig,
+      |      row_number() OVER (PARTITION BY b.band, b.band_sig ORDER BY b.doc_id) AS rn
+      |    FROM banded b JOIN src s ON s.doc_id = b.doc_id AND s.source <> 'src0') t
+      |  WHERE rn <= $D05MaxBucket
+      |), cands AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM banded a JOIN src sa ON sa.doc_id = a.doc_id AND sa.source = 'src0'
+      |       JOIN corpus_kept b ON a.band = b.band AND a.band_sig = b.band_sig
+      |)""".stripMargin)
+
+  /** d26's oracle ROUTES IDENTICALLY to the engine: corpus buckets are
+    * ranked, rank == cap+1 marks each overflowing bucket, the capped
+    * branch anti-joins them out, the routed branch carries their FULL
+    * membership, and the branch union feeds the shared verify tail.
+    */
+  private lazy val RoutedDedupSql: String = incrementalDedupSqlFrom(
+    s"""corpus_ranked AS (
+      |  SELECT b.doc_id, b.band, b.band_sig,
+      |    row_number() OVER (PARTITION BY b.band, b.band_sig ORDER BY b.doc_id) AS rn
+      |  FROM banded b JOIN src s ON s.doc_id = b.doc_id AND s.source <> 'src0'
+      |), overflow AS (
+      |  SELECT band, band_sig FROM corpus_ranked WHERE rn = $RoutedCap + 1
+      |), corpus_routed AS (
+      |  SELECT c.doc_id, c.band, c.band_sig FROM corpus_ranked c
+      |  LEFT JOIN overflow o ON c.band = o.band AND c.band_sig = o.band_sig
+      |  WHERE o.band IS NULL AND c.rn <= $RoutedCap
+      |  UNION ALL
+      |  SELECT c.doc_id, c.band, c.band_sig FROM corpus_ranked c
+      |  JOIN overflow o ON c.band = o.band AND c.band_sig = o.band_sig
+      |), cands AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM banded a JOIN src sa ON sa.doc_id = a.doc_id AND sa.source = 'src0'
+      |       JOIN corpus_routed b ON a.band = b.band AND a.band_sig = b.band_sig
+      |)""".stripMargin)
+
   private val pairCache =
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.SparkContext, String), org.apache.spark.sql.DataFrame]
   /** The per-bucket guard bound of BOTH LSH blow-up guards — d05's
@@ -781,6 +830,16 @@ object TextQ {
     * unbounded; the truncation counts are observable on the plans.
     */
   private[graft] val D05MaxBucket = 4096
+
+  /** d26's routing cap — deliberately SMALL (unlike [[D05MaxBucket]],
+    * which no catalog bucket reaches) so the routed tier genuinely
+    * fires at every catalog SF: this corpus's planted duplicate groups
+    * form band buckets well past 8 docs, so d26 exercises BOTH
+    * branches — capped for the healthy buckets, full-membership star
+    * for the overflowing ones — and its oracle hash proves the union
+    * recovers the uncapped answer exactly.
+    */
+  private[graft] val RoutedCap = 8
 
   private def scoredPairs(s: org.apache.spark.sql.SparkSession, d: String) =
     memoized(pairCache, s, d) {
@@ -2601,6 +2660,34 @@ object TextQ {
               metricName = "graft_lsh_ingest_guard")))
       },
       Some(IncrementalDedupSql)),
+
+    // ROUTED hybrid incremental dedup — the EXECUTOR for the
+    // dedup-maintain report's route= recommendation (round 20; through
+    // r19 the recommendation was advisory and the capped tiers'
+    // under-merge window stayed open until a human acted): corpus
+    // buckets overflowing RoutedCap are dispatched through the linear
+    // star branch (each colliding batch doc probes the bucket's FULL
+    // membership — no truncation, so a batch doc whose only duplicates
+    // rank past the cap is still merged), everything else through the
+    // capped tier, branches unioned before the shared Jaccard verify.
+    // Routing reads the band artifact's precomputed corpus_rank — the
+    // decision is a scan filter, the overflow key set a by-contract
+    // tiny broadcast, and the routed branch's volume observable
+    // (routed_buckets / routed_doc_slots). The oracle replays the
+    // routing branch by branch; its hash proves the union recovers the
+    // uncapped answer exactly (the by-construction under-merge-window
+    // close). Reference analogue: the dispatching filter cascade,
+    // /root/reference/src/detection.py:1043-1118.
+    Q("d26_routed_dedup",
+      (s, d) => {
+        val banded = bandSigs(s, d)
+        incrementalDedup(s, d,
+          Dedup.minhashCandidatesAgainstRouted(
+            banded.filter(col("source") === "src0"),
+            banded.filter(col("source") =!= "src0"),
+            "corpus_rank", RoutedCap))
+      },
+      Some(RoutedDedupSql)),
 
     // Benchmark decontamination: the 'src19' slice plays the held-out
     // eval set; every other document is flagged when it shares any

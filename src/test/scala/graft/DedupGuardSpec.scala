@@ -130,7 +130,68 @@ class DedupGuardSpec extends AnyFunSuite {
     assert(obsI.get("truncated_doc_slots") == 90L)
   }
 
-  test("dedup-maintain CLI: a pathological bucket flips route= to the exact tiers, truncation exact") {
+  /** The ROUTED hybrid probe (round 20 — the executor for the
+    * maintenance report's route= recommendation): a batch doc whose
+    * ONLY verified duplicates rank past the cap is MERGED under
+    * routing, while the plain capped tier (the d09 shape) reports it
+    * kept — the under-merge window closed by construction, plus the
+    * healthy-store identity and the routed-branch observability.
+    */
+  test("routed probe merges past-cap duplicates the capped tier misses") {
+    import org.apache.spark.sql.functions.col
+    // corpus: 100 docs in ONE band bucket; only doc_ids 40/41 (ranks
+    // 41/42) share text with the batch doc — everything else is
+    // per-doc junk, so at cap=10 the batch doc's only true duplicates
+    // rank past the cap
+    val docs = ((0 until 100).map { i =>
+      val text = if (i == 40 || i == 41) "alpha beta gamma delta"
+        else s"junk$i filler$i noise$i"
+      (i.toLong, text)
+    } :+ (1000L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val sets = Dedup.gramSets(docs)
+    val corpusBands = (0 until 100).map(i => (0, "sigBIG", i.toLong, i + 1))
+      .toDF("band", "band_sig", "doc_id", "corpus_rank")
+    val batchBands = Seq((0, "sigBIG", 1000L)).toDF("band", "band_sig", "doc_id")
+    def nDups(cands: org.apache.spark.sql.DataFrame): Long =
+      Dedup.jaccardPairsFromSets(sets, cands, minJaccard = 0.5)
+        .filter(col("doc_a") === 1000L).count()
+    // the plain capped tier truncates the bucket at 10 and misses both
+    val capped = Dedup.minhashCandidatesAgainstFromBands(batchBands,
+      Dedup.bandsKeptByRank(corpusBands, "corpus_rank", 10,
+        metricName = "route_spec_capped"))
+    assert(nDups(capped) == 0L,
+      "fixture regression: the capped tier should miss the past-cap duplicates")
+    // the routed probe dispatches the overflowing bucket's FULL
+    // membership — both duplicates found, branch volume observable
+    val obs = Observation("route_spec")
+    val routed = Dedup.minhashCandidatesAgainstRouted(batchBands,
+      corpusBands, "corpus_rank", 10, observation = Some(obs))
+    assert(nDups(routed) == 2L,
+      "routed probe must merge the duplicates ranking past the cap")
+    val m = obs.get
+    assert(m("routed_doc_slots") == 100L && m("routed_buckets") == 1L, m.toString)
+    // routed candidates == uncapped candidates (the by-construction
+    // under-merge-window close)
+    val uncapped = Dedup.minhashCandidatesAgainstFromBands(batchBands,
+        corpusBands.drop("corpus_rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val routedSet = Dedup.minhashCandidatesAgainstRouted(batchBands,
+        corpusBands, "corpus_rank", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(routedSet == uncapped)
+    // a healthy store (cap above every bucket) routes NOTHING — the
+    // routed form degenerates to the capped tier with a zero-row
+    // routed branch, metrics reading 0 (not null)
+    val obsH = Observation("route_spec_healthy")
+    val healthy = Dedup.minhashCandidatesAgainstRouted(batchBands,
+        corpusBands, "corpus_rank", 4096, observation = Some(obsH))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(healthy == uncapped)
+    val mh = obsH.get
+    assert(mh("routed_doc_slots") == 0L && mh("routed_buckets") == 0L, mh.toString)
+  }
+
+  test("dedup-maintain CLI: a pathological bucket flips route= to the routed executor, truncation exact") {
     // the report-triad reader end-to-end (VERDICT r18 #1): drive the
     // sf0.001 corpus — whose planted duplicate groups form band
     // buckets far past a cap of 8 — through the maintenance CLI with
@@ -142,10 +203,11 @@ class DedupGuardSpec extends AnyFunSuite {
     val msg = Run.run(spark, "dedup-maintain", Seq(s"data=$data", s"cap=$cap"))
     val kvs = msg.split(' ').tail.map(_.split("=", 2))
       .map(a => a(0) -> a(1)).toMap
-    val sizes = Dedup.bandSignatures(
+    val buckets = Dedup.bandSignatures(
         Tables.documents(spark, data), 16, 2, "text")
       .groupBy("band", "band_sig").count()
-      .collect().map(_.getLong(2))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val sizes = buckets.map(_._3)
     val wantMax = sizes.max
     val wantOverflow = sizes.count(_ > cap).toLong
     val wantTruncated = sizes.map(n => math.max(0L, n - cap)).sum
@@ -155,12 +217,22 @@ class DedupGuardSpec extends AnyFunSuite {
     assert(kvs("overflow_buckets").toLong == wantOverflow, msg)
     assert(kvs("truncated_doc_slots").toLong == wantTruncated, msg)
     assert(kvs("doc_slots").toLong == wantSlots, msg)
-    assert(kvs("route") == "exact_tier_recommended(d01/d12)", msg)
+    // since round 20 the recommendation names the EXECUTOR — the
+    // routed hybrid probe — instead of advising a manual tier switch
+    assert(kvs("route") == "routed_hybrid(d26_routed_dedup)", msg)
+    // per-bucket detail (VERDICT r19 #2): the top-3 overflowing
+    // (band:band_sig:size) keys, EXACTLY as an independent window
+    // recomputation from raw text orders them
+    val wantTop = buckets.filter(_._3 > cap)
+      .sortBy { case (b, sig, n) => (-n, b, sig) }.take(3)
+      .map { case (b, sig, n) => s"$b:$sig:$n" }.mkString(",")
+    assert(kvs("top_overflow") == wantTop, msg)
     // the same store at the production cap reports healthy — the flip
     // is the cap crossing the bucket histogram, not a sticky state
     val healthy = Run.run(spark, "dedup-maintain", Seq(s"data=$data"))
       .split(' ').tail.map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
     assert(healthy("route") == "no", healthy.toString)
+    assert(healthy("top_overflow") == "none", healthy.toString)
   }
 
   test("bucket-local rank commutes with a pruned read (the st6 static-side claim)") {

@@ -117,6 +117,7 @@ class PipelinesSpec extends AnyFunSuite {
     val docSlots = kvs("doc_slots").toLong
     assert(docSlots > 0L && docSlots <= 1000L, msg)
     assert(kvs("route") == "no", msg)
+    assert(kvs("top_overflow") == "none", msg)
     // second run resolves the SAME current generations without rebuild
     assert(Run.run(spark, "dedup-maintain", Seq(s"data=$data")) == msg)
     // missing data= and stray keys fail loudly before any work
@@ -440,7 +441,8 @@ class PipelinesSpec extends AnyFunSuite {
       SparkEntry.queries(q)(spark, dir).collect().map(_.toString).sorted.toSeq
     val before = Seq("d09_incremental_dedup", "d17_incremental_cc",
       "d18_simhash64_incremental", "d22_dsir_incremental",
-      "t18_classifier_incremental", "d25_decontam_incremental")
+      "t18_classifier_incremental", "d25_decontam_incremental",
+      "d26_routed_dedup")
       .map(q => q -> result(q))
     // hold a gen-1 memoized relation across the regeneration
     val stale = graft.queries.TextQ.bandSigs(spark, dir)

@@ -121,9 +121,11 @@ class StreamingParitySpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq
     assert(multi.nonEmpty)
     assert(multi == batch, "multi-batch ANN probe diverged from the stored-index form")
-    // BROADCAST-GUARD parity (ADVICE r18): force the per-trigger hash-
-    // chunking by shrinking the query-batch bound below the 10-query
-    // batch — every chunk probes separately, and the union must still
+    // BROADCAST-GUARD parity (ADVICE r18): force the per-trigger
+    // round-robin chunking (pmod(monotonically_increasing_id, nChunks)
+    // — membership is layout-dependent, results are not) by shrinking
+    // the query-batch bound below the 10-query batch — every chunk
+    // probes separately, and the union must still
     // be row-identical to the stored-index form (per-query results
     // depend only on the query's own row, so the chunk split is as
     // invisible as the micro-batch split above)
