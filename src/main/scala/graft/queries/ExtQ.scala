@@ -347,12 +347,18 @@ object ExtQ {
     */
   private[graft] def streamAnnDelta(
       s: org.apache.spark.sql.SparkSession, d: String,
-      vecStream: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      vecStream: org.apache.spark.sql.DataFrame,
+      nprobe: Option[Int] = None): org.apache.spark.sql.DataFrame = {
     import graft.operators.SimilaritySearch
     val emb = Tables.embeddings(s, d)
     val model = SimilaritySearch.ivfPqModel(
       emb.filter(!TextQ.SemBatchPred), TextQ.AnnNlist, TextQ.AnnM, TextQ.AnnCb)
     val index = TextQ.annCorpusIndexOfStore(s, d)
+    // `nprobe = None` resolves through the CORPUS index generation's
+    // sidecar (the streamAnnProbe posture — one serving entry rule);
+    // catalog st11 pins Some(2) so its oracle hash can never depend on
+    // whether a maintenance sweep stored a suggestion
+    val np = TextQ.resolveNprobe(s, index, nprobe)
     val deltaDir = boundedSink("graft_st11_delta", d)
     withStreamShuffle(s) {
       val deltaSchema = SimilaritySearch.ivfPqEncode(emb.limit(0), model).schema
@@ -366,7 +372,7 @@ object ExtQ {
       q.awaitTermination()
       val delta = readSink(s, deltaDir, deltaSchema)
       val queries = emb.filter(col("vec_id") < 10)
-      val cells = SimilaritySearch.ivfPqProbedCells(queries, model, nprobe = 2)
+      val cells = SimilaritySearch.ivfPqProbedCells(queries, model, nprobe = np)
       val main = s.read.parquet(index)
         .where(col("cell").isin(cells: _*))
         .select(col("vec_id"), col("cell"), col("codes"))
@@ -376,7 +382,7 @@ object ExtQ {
         .where(col("cell").isin(cells: _*))
         .select(col("vec_id"), col("cell"), col("codes")))
       SimilaritySearch.ivfPqSearch(queries, emb, coded, model,
-        k = 5, nprobe = 2, refine = 20)
+        k = 5, nprobe = np, refine = 20)
     }
   }
 
@@ -882,7 +888,8 @@ object ExtQ {
         streamAnnDelta(s, d,
           s.readStream.schema(emb.schema)
             .option("pathGlobFilter", "embeddings.parquet").parquet(d)
-            .filter(TextQ.SemBatchPred))
+            .filter(TextQ.SemBatchPred),
+          nprobe = Some(2))
       },
       Some(TextQ.ivfPqOracleSql(TextQ.VecCorpusWhereSql))),
 

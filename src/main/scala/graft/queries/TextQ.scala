@@ -598,6 +598,81 @@ object TextQ {
       }
     }
 
+  /** ONE serving entry point per stored-index probe shape (VERDICT r19
+    * #3): every caller that searches a PERSISTED index generation and
+    * takes an optional nprobe resolves it through [[resolveNprobe]] —
+    * explicit choice wins (the catalog rows pin one so their oracle
+    * hashes never depend on maintenance state), else the generation's
+    * maintenance-swept sidecar, else the engine default. Resolution is
+    * one FS stat + read at plan build, never per row; a corrupt
+    * sidecar fails the BUILD loudly, which is also how the spec proves
+    * each surface actually consults the resolver.
+    *
+    * This is the raw-PQ tier of the dual stored index — the s09 shape:
+    * probed cells collected driver-side from the (small by contract)
+    * query set become PartitionFilters on the index FileScan.
+    */
+  private[graft] def servedPqProbe(s: org.apache.spark.sql.SparkSession,
+      d: String, queries: org.apache.spark.sql.DataFrame,
+      nprobe: Option[Int] = None, k: Int = 5, refine: Int = 20): org.apache.spark.sql.DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val index = annArtifact(s, d)
+    val np = resolveNprobe(s, index, nprobe)
+    val model = SimilaritySearch.ivfPqModel(emb, AnnNlist, AnnM, AnnCb)
+    val cells = SimilaritySearch.ivfPqProbedCells(queries, model, nprobe = np)
+    val coded = s.read.parquet(index).where(col("cell").isin(cells: _*))
+    SimilaritySearch.ivfPqSearch(queries, emb, coded, model,
+      k = k, nprobe = np, refine = refine)
+  }
+
+  /** The RESIDUAL tier of the same dual index — the s11 shape. The
+    * sidecar is generation-scoped, not tier-scoped: the sweep measures
+    * the raw-PQ tier, and the residual tier shares its coarse geometry
+    * (same centroids, same cell histogram), so the suggested coarse-
+    * cell budget transfers — the standard FAISS-autotune approximation
+    * when two quantizers share one coarse index.
+    */
+  private[graft] def servedRPqProbe(s: org.apache.spark.sql.SparkSession,
+      d: String, queries: org.apache.spark.sql.DataFrame,
+      nprobe: Option[Int] = None, k: Int = 5, refine: Int = 20): org.apache.spark.sql.DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val index = annArtifact(s, d)
+    val np = resolveNprobe(s, index, nprobe)
+    val rmodel = SimilaritySearch.ivfRPqModel(emb, AnnNlist, AnnM, AnnCb)
+    val cells = SimilaritySearch.ivfRPqProbedCells(queries, rmodel, nprobe = np)
+    val coded = s.read.parquet(index)
+      .where(col("cell").isin(cells: _*))
+      .select(col("vec_id"), col("cell"), col("rcodes").as("codes"))
+    SimilaritySearch.ivfRPqSearch(queries, emb, coded, rmodel,
+      k = k, nprobe = np, refine = refine)
+  }
+
+  /** The delta-ingest tier over the CORPUS index — the s12 shape:
+    * resolves against the corpus index generation's own sidecar
+    * (absent until a maintenance sweep targets that store → the
+    * engine default; the dual index's suggestion is a different
+    * model's measurement and deliberately does NOT transfer).
+    */
+  private[graft] def servedDeltaProbe(s: org.apache.spark.sql.SparkSession,
+      d: String, queries: org.apache.spark.sql.DataFrame,
+      nprobe: Option[Int] = None, k: Int = 5, refine: Int = 20): org.apache.spark.sql.DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val corpus = emb.filter(!SemBatchPred)
+    val model = SimilaritySearch.ivfPqModel(corpus, AnnNlist, AnnM, AnnCb)
+    val index = annCorpusArtifact(s, d)
+    val np = resolveNprobe(s, index, nprobe)
+    val delta = SimilaritySearch.ivfPqEncode(emb.filter(SemBatchPred), model)
+    val cells = SimilaritySearch.ivfPqProbedCells(queries, model, nprobe = np)
+    val main = s.read.parquet(index)
+      .where(col("cell").isin(cells: _*))
+      .select(col("vec_id"), col("cell"), col("codes"))
+    val coded = annDeltaCoded(main, delta
+      .where(col("cell").isin(cells: _*))
+      .select(col("vec_id"), col("cell"), col("codes")))
+    SimilaritySearch.ivfPqSearch(queries, emb, coded, model,
+      k = k, nprobe = np, refine = refine)
+  }
+
   /** The (kind, sources, sub) key of the CORPUS-slice index store —
     * the delta-ingest tier's main index (the clfStoreKey rule: one
     * definition for build and probe). The sub carries the model
@@ -3304,16 +3379,12 @@ object TextQ {
     // the code table is a deterministic projection, so the stored and
     // inline forms must answer row-identically.
     Q("s09_ivf_pq_store",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        val model = SimilaritySearch.ivfPqModel(emb, AnnNlist, AnnM, AnnCb)
-        val queries = emb.filter(col("vec_id") < 10)
-        val cells = SimilaritySearch.ivfPqProbedCells(queries, model, nprobe = 2)
-        val coded = s.read.parquet(annArtifact(s, d))
-          .where(col("cell").isin(cells: _*))
-        SimilaritySearch.ivfPqSearch(queries, emb, coded, model,
-          k = 5, nprobe = 2, refine = 20)
-      },
+      // through the ONE serving entry point (servedPqProbe) with the
+      // catalog's explicit nprobe pin — the oracle hash must never
+      // depend on whether ann-maintain stored a sidecar suggestion;
+      // the None path (sidecar-resolved) is the CLI/serving default
+      (s, d) => servedPqProbe(s, d,
+        Tables.embeddings(s, d).filter(col("vec_id") < 10), Some(2)),
       Some(IvfPqOracleSql)),
 
     // RESIDUAL IVF+PQ — the FAISS-faithful encode the s08 design note
@@ -3344,17 +3415,9 @@ object TextQ {
     // deterministic projection, so stored and inline forms must
     // answer row-identically.
     Q("s11_ivf_rpq_store",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        val rmodel = SimilaritySearch.ivfRPqModel(emb, AnnNlist, AnnM, AnnCb)
-        val queries = emb.filter(col("vec_id") < 10)
-        val cells = SimilaritySearch.ivfRPqProbedCells(queries, rmodel, nprobe = 2)
-        val coded = s.read.parquet(annArtifact(s, d))
-          .where(col("cell").isin(cells: _*))
-          .select(col("vec_id"), col("cell"), col("rcodes").as("codes"))
-        SimilaritySearch.ivfRPqSearch(queries, emb, coded, rmodel,
-          k = 5, nprobe = 2, refine = 20)
-      },
+      // servedRPqProbe with the explicit catalog pin (see s09's note)
+      (s, d) => servedRPqProbe(s, d,
+        Tables.embeddings(s, d).filter(col("vec_id") < 10), Some(2)),
       Some(IvfRPqOracleSql)),
 
     // s10 under the TRAINED model — s13's residual sibling, and the
@@ -3390,23 +3453,9 @@ object TextQ {
     // oracle is the s08 replay with both seed draws restricted to the
     // corpus.
     Q("s12_ann_delta",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        val corpus = emb.filter(!SemBatchPred)
-        val model = SimilaritySearch.ivfPqModel(corpus, AnnNlist, AnnM, AnnCb)
-        val delta = SimilaritySearch.ivfPqEncode(
-          emb.filter(SemBatchPred), model)
-        val queries = emb.filter(col("vec_id") < 10)
-        val cells = SimilaritySearch.ivfPqProbedCells(queries, model, nprobe = 2)
-        val main = s.read.parquet(annCorpusArtifact(s, d))
-          .where(col("cell").isin(cells: _*))
-          .select(col("vec_id"), col("cell"), col("codes"))
-        val coded = annDeltaCoded(main, delta
-          .where(col("cell").isin(cells: _*))
-          .select(col("vec_id"), col("cell"), col("codes")))
-        SimilaritySearch.ivfPqSearch(queries, emb, coded, model,
-          k = 5, nprobe = 2, refine = 20)
-      },
+      // servedDeltaProbe with the explicit catalog pin (see s09's note)
+      (s, d) => servedDeltaProbe(s, d,
+        Tables.embeddings(s, d).filter(col("vec_id") < 10), Some(2)),
       Some(ivfPqOracleSql(VecCorpusWhereSql))),
 
     // PII scrubbing (C4-style cleanup). The synthetic corpus carries no

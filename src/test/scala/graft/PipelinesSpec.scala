@@ -408,6 +408,53 @@ class PipelinesSpec extends AnyFunSuite {
     before.foreach { case (q, want) =>
       assert(result(q) == want, s"$q diverged across the rollover")
     }
+    // ONE SERVING ENTRY POINT (VERDICT r19 #3): every stored-index
+    // serving surface that takes an optional nprobe resolves the
+    // default through its generation's sidecar. Discrimination proof:
+    // a present-but-corrupt sidecar fails each surface's PLAN BUILD
+    // loudly on the None path (so the surface demonstrably consults
+    // the resolver), while an explicit pin never reads it — the
+    // `before` results above already ran green with corrupt-free
+    // explicit pins, and the explicit re-runs below pass with the
+    // corruption in place
+    val q10 = Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
+    // corrupt THROUGH the Hadoop FS: maintain's own write left a .crc
+    // beside the real sidecar, and an out-of-band NIO overwrite would
+    // trip the checksum (a different, also-loud failure) before the
+    // parse this pin targets
+    Seq(gen2.head, gen2(2)).foreach { ix =>
+      val p = new org.apache.hadoop.fs.Path(ix,
+        graft.queries.TextQ.SuggestedNprobeSidecar)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write("garbage".getBytes("UTF-8")) finally out.close()
+    }
+    intercept[IllegalStateException] {
+      graft.queries.TextQ.servedPqProbe(spark, dir, q10, None) }
+    intercept[IllegalStateException] {
+      graft.queries.TextQ.servedRPqProbe(spark, dir, q10, None) }
+    intercept[IllegalStateException] {
+      graft.queries.TextQ.servedDeltaProbe(spark, dir, q10, None) }
+    intercept[IllegalStateException] {
+      graft.queries.ExtQ.streamAnnDelta(spark, dir,
+        spark.readStream.schema(src.schema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+          .filter(graft.queries.TextQ.SemBatchPred), nprobe = None) }
+    // explicit wins: the same surfaces under the catalog pin ignore the
+    // corrupt sidecar entirely
+    assert(graft.queries.TextQ.servedPqProbe(spark, dir, q10, Some(2))
+      .collect().map(_.toString).sorted.toSeq ==
+      before.find(_._1 == "s09_ivf_pq_store").get._2)
+    assert(graft.queries.TextQ.servedDeltaProbe(spark, dir, q10, Some(2))
+      .collect().map(_.toString).sorted.toSeq ==
+      before.find(_._1 == "s12_ann_delta").get._2)
+    // leave the store clean for any later consumer of this dir
+    // (fs.delete drops the .crc twin too)
+    Seq(gen2.head, gen2(2)).foreach { ix =>
+      val p = new org.apache.hadoop.fs.Path(ix,
+        graft.queries.TextQ.SuggestedNprobeSidecar)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+    }
     src.unpersist()
   }
 

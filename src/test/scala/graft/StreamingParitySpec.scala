@@ -203,9 +203,13 @@ class StreamingParitySpec extends AnyFunSuite {
     // functions of the frozen model, so the split must be invisible
     vecs.filter(col("vec_id") < mid).coalesce(1).write.parquet(s"$dir/b=0")
     vecs.filter(col("vec_id") >= mid).coalesce(1).write.parquet(s"$dir/b=1")
+    // nprobe pinned to s12's explicit form: a default (None) would
+    // resolve through the corpus index's sidecar — this test compares
+    // forms, so both sides must serve at one setting
     val multi = graft.queries.ExtQ.streamAnnDelta(spark, d,
         spark.readStream.schema(vecs.schema)
-          .option("maxFilesPerTrigger", "1").parquet(dir))
+          .option("maxFilesPerTrigger", "1").parquet(dir),
+        nprobe = Some(2))
       .collect().map(_.toString).sorted.toSeq
     assert(multi == batch, "multi-batch delta ingest diverged from s12")
     vecs.unpersist()
