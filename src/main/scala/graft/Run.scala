@@ -184,11 +184,23 @@ object Run {
         val topOverflow = if (overflow == 0L) "none"
           else graft.operators.Dedup.topOverflowingBuckets(bands, "bucket_rank", cap, 3)
             .map { case (b, sig, n) => s"$b:$sig:$n" }.mkString(",")
+        // compaction report (VERDICT r19 #5): the builders compact
+        // their flat scan copies PRE-PUBLISH (no reader can observe
+        // the swap — Compaction.compactInPlace's safety contract) and
+        // record the result beside _SUCCESS; the CLI reads the stable
+        // per-generation records, so idempotent re-runs report
+        // identically. "none" = generation predates the record.
+        val compacted = Seq(
+          "band" -> band, "gram" -> gram, "clusters" -> clusters,
+          "simhash" -> simhash)
+          .map { case (k, p) =>
+            s"$k:${graft.sources.Compaction.compactionReportOf(spark, p)}" }
+          .mkString(",")
         s"dedup-maintain: band=$band gram=$gram clusters=$clusters " +
           s"simhash=$simhash dsir=$dsir clf=$clf decontam=$decontam " +
           s"cap=$cap max_bucket=$maxBucket overflow_buckets=$overflow " +
           s"truncated_doc_slots=$truncated doc_slots=$docSlots route=$route " +
-          s"top_overflow=$topOverflow"
+          s"top_overflow=$topOverflow compacted=$compacted"
       case "ann-maintain" =>
         // the EMBEDDING-side maintenance job: (re)build the
         // cell-partitioned IVF+PQ code table AND the semantic-dedup
@@ -286,10 +298,16 @@ object Run {
           // callers that pass no explicit nprobe (TextQ.resolveNprobe)
           // pick it up — the sweep informs the engine, not just a human
           graft.queries.TextQ.writeSuggestedNprobe(spark, index, suggested)
+          // the sem store's compact state/ copy carries the build-time
+          // compaction record (dedup-maintain's compacted= pattern);
+          // the index tiers are cell-partitioned — one file per
+          // partition directory by construction, nothing to compact
+          val compacted =
+            s"sem:${graft.sources.Compaction.compactionReportOf(spark, sem)}"
           f"ann-maintain: index=$index sem=$sem corpus=$corpus " +
             f"delta_main_ratio=$ratio%.4f fold_in=$fold " +
             f"max_cell_frac=$maxCellFrac%.4f rebalance=$rebalance " +
-            f"$recallStr suggested_nprobe=$suggested"
+            f"$recallStr suggested_nprobe=$suggested compacted=$compacted"
         }
       case other =>
         throw new IllegalArgumentException(

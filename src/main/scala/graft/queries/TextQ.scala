@@ -366,6 +366,13 @@ object TextQ {
           .repartition(col("sig_pfx"))
           .write.mode("overwrite").partitionBy("sig_pfx").parquet(s"$dir/pfx")
       } finally sigs.unpersist()
+      // compact the scan copy BEFORE publishing (the _SUCCESS gate
+      // below): every full-scan consumer then pays one footer open per
+      // ~target-sized file instead of one per shuffle partition, and no
+      // reader can ever observe the swap. pfx/ stays as written — one
+      // file per partition directory already (the repartition above).
+      graft.sources.Compaction.recordCompaction(s, dir,
+        graft.sources.Compaction.compactInPlace(s, s"$dir/full"))
       val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
       p.getFileSystem(s.sparkContext.hadoopConfiguration).create(p, true).close()
     }
@@ -435,6 +442,10 @@ object TextQ {
       // or hash change must invalidate the store, not serve stale sets
       Seq(new java.io.File(d, "documents.parquet")), sub = "g1x64") { dir =>
       Dedup.gramSets(Tables.documents(s, d)).write.mode("overwrite").parquet(dir)
+      // still inside the store's build lock (in-JVM readers resolve
+      // through it), same maintenance window as the build itself
+      graft.sources.Compaction.recordCompaction(s, dir,
+        graft.sources.Compaction.compactInPlace(s, dir))
     }
 
   private val gramCache =
@@ -459,6 +470,8 @@ object TextQ {
       Dedup.simhash64(docs)
         .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
         .write.mode("overwrite").parquet(dir)
+      graft.sources.Compaction.recordCompaction(s, dir,
+        graft.sources.Compaction.compactInPlace(s, dir))
     }
 
   private val simhashCache =
@@ -797,6 +810,8 @@ object TextQ {
           bandSigs(s, d).filter(col("source") =!= "src0")))
       Dedup.connectedComponents(corpusEdges, distinctEdges = false)
         .write.mode("overwrite").parquet(dir)
+      graft.sources.Compaction.recordCompaction(s, dir,
+        graft.sources.Compaction.compactInPlace(s, dir))
     }
 
   private val clusterCache =
@@ -1255,6 +1270,10 @@ object TextQ {
         state.repartition(col("cluster"))
           .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/byclust")
       } finally state.unpersist()
+      // compact the scan copy pre-publish (the band-store pattern);
+      // byclust/ is one file per partition directory already
+      graft.sources.Compaction.recordCompaction(s, dir,
+        graft.sources.Compaction.compactInPlace(s, s"$dir/state"))
       val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
       p.getFileSystem(s.sparkContext.hadoopConfiguration).create(p, true).close()
     }

@@ -118,6 +118,13 @@ class PipelinesSpec extends AnyFunSuite {
     assert(docSlots > 0L && docSlots <= 1000L, msg)
     assert(kvs("route") == "no", msg)
     assert(kvs("top_overflow") == "none", msg)
+    // the compaction report: one stable record per flat scan store
+    // ("none" = generation predates the record; "no" = threshold did
+    // not trip; "a->b" = the builder compacted pre-publish). Stability
+    // across idempotent re-runs is covered by the == msg pin below.
+    assert(kvs("compacted").matches(
+      "band:(none|no|\\d+->\\d+),gram:(none|no|\\d+->\\d+)," +
+        "clusters:(none|no|\\d+->\\d+),simhash:(none|no|\\d+->\\d+)"), msg)
     // second run resolves the SAME current generations without rebuild
     assert(Run.run(spark, "dedup-maintain", Seq(s"data=$data")) == msg)
     // missing data= and stray keys fail loudly before any work
@@ -186,6 +193,9 @@ class PipelinesSpec extends AnyFunSuite {
     // broken collectFirst or ladder could not hide behind the
     // recomputation above
     assert(nprobes.contains(kvs("suggested_nprobe").toInt), msg)
+    // the sem store's build-time compaction record (dedup-maintain's
+    // compacted= pattern on the embedding side)
+    assert(kvs("compacted").matches("sem:(none|no|\\d+->\\d+)"), msg)
     // THE AUTOTUNE LOOP CLOSES (VERDICT r18 #3): the suggestion is
     // stored into the index generation as a sidecar...
     val suggested = kvs("suggested_nprobe").toInt

@@ -72,4 +72,40 @@ class TilingCompactionSpec extends AnyFunSuite {
     val stats = Compaction.smallFileStats(spark, in, 16 * 1024).collect().head
     assert(stats.getLong(0) == 40)
   }
+
+  test("compactInPlace: swaps small files for size-targeted ones, idempotent, sidecars untouched") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("compact_inplace").toString
+    spark.range(10000).toDF("id").repartition(16)
+      .write.mode("overwrite").parquet(dir)
+    // a non-parquet sidecar (the _SUCCESS convention) must survive
+    Files.writeString(java.nio.file.Paths.get(dir, "_sidecar"), "x")
+    val want = spark.read.parquet(dir).collect().map(_.getLong(0)).sorted.toSeq
+    val acted = Compaction.compactInPlace(spark, dir,
+      smallBytes = 1024 * 1024, targetFileBytes = 8 * 1024 * 1024)
+    assert(acted.contains((16L, 1L)), s"got $acted")
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(files.length == 1, files.map(_.getName).mkString(","))
+    assert(Files.exists(java.nio.file.Paths.get(dir, "_sidecar")))
+    assert(!Files.exists(java.nio.file.Paths.get(dir, ".compact_staging")))
+    // rows preserved exactly
+    assert(spark.read.parquet(dir).collect().map(_.getLong(0)).sorted.toSeq == want)
+    // second pass has nothing to do
+    assert(Compaction.compactInPlace(spark, dir,
+      smallBytes = 1024 * 1024, targetFileBytes = 8 * 1024 * 1024).isEmpty)
+    // threshold honesty: big-enough files never trip
+    val big = Files.createTempDirectory("compact_big").toString
+    spark.range(10000).toDF("id").repartition(4)
+      .write.mode("overwrite").parquet(big)
+    assert(Compaction.compactInPlace(spark, big,
+      smallBytes = 16, targetFileBytes = 8 * 1024 * 1024).isEmpty,
+      "a majority of non-small files must not trip the rewrite")
+    // the record round-trip the maintain CLIs report through
+    Compaction.recordCompaction(spark, dir, Some((16L, 1L)))
+    assert(Compaction.compactionReportOf(spark, dir) == "16->1")
+    Compaction.recordCompaction(spark, dir, None)
+    assert(Compaction.compactionReportOf(spark, dir) == "no")
+    assert(Compaction.compactionReportOf(spark, big) == "none")
+  }
 }
