@@ -351,6 +351,53 @@ object Bench {
     }
     val qs = results.map { case (k, v, _, _) => s"\"" + shortName(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // CONTENTION INSTRUMENT (VERDICT r19 #4): the probe-INVISIBLE
+    // contention mode round 19 documented — every query uniformly
+    // 5-15% slow while canary AND pcan read clean at the probe
+    // instants — is detected by the MEDIAN per-query wall ratio vs the
+    // previous committed canonical (BENCH_r{N}_local.json in the cwd,
+    // newest round number wins). Stamp it into the record as
+    // "mcr" (+"mcrn" = common-query count) so clean-window selection
+    // is data in the record, not session lore: mcr ≈ 1.0 on a clean
+    // run of unchanged code; a uniform shave reads directly as its
+    // factor. Untimed (runs after the last probe pair), and any read/
+    // parse trouble OMITS the field — the instrument must never fail
+    // a bench. Cross-round caveat: code changes move per-query walls
+    // too, so mcr is a contention detector on mostly-unchanged
+    // catalogs, not a regression gate (raw common sums stay the rule).
+    val mcrField: String = try {
+      val recs = Option(new java.io.File(".").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.matches("BENCH_r\\d+_local\\.json"))
+      if (recs.isEmpty) "" else {
+        val prev = recs.maxBy(_.getName.replaceAll("\\D+", "").toInt)
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(prev.toPath), "UTF-8")
+        // walls are only comparable at the SAME scale factor — an
+        // sf0.001 smoke vs an sf0.1 canonical would read as a phantom
+        // ~0.1x "speedup"; omit the field across SFs
+        val prevSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
+        if (!prevSf.contains(sfDir)) throw new IllegalStateException("sf mismatch")
+        val prevQ = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+          .map(_.group(1)).getOrElse("")
+          .split(",").toSeq.flatMap { kv =>
+            kv.split(":") match {
+              case Array(k, v) =>
+                try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble)
+                catch { case _: NumberFormatException => None }
+              case _ => None
+            }
+          }.toMap
+        val cur = results.map { case (k, w, _, _) => shortName(k) -> w }.toMap
+        val ratios = cur.keySet.intersect(prevQ.keySet).toSeq
+          .map(k => cur(k) / math.max(prevQ(k), 1e-9)).sorted
+        // a tiny overlap (GRAFT_BENCH_ONLY bisection runs) is not a
+        // contention reading — leave the field out below 10 queries
+        if (ratios.size < 10) ""
+        else s""","mcr":${String.format(java.util.Locale.ROOT, "%.3f",
+          Double.box(ratios(ratios.size / 2)))},"mcrn":${ratios.size}"""
+      }
+    } catch { case _: Throwable => "" }
     // short ids here too: full names would re-grow the line exactly on
     // the multi-failure runs where the tail window matters most, and a
     // consumer cross-references errors against the queries keys
@@ -431,7 +478,7 @@ object Bench {
     // re-probes after the last group, gcg has nothing to measure there)
     val gcg = gcGroups.map(fmt1).mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","value_n":${fmt(wnTotal)},"cb":${fmt3(canaryBase)},"pb":${fmt3(pcanBase)},"scale":$scaleArr,"queries":$qs,"cpu":$cpu,"canary":$can,"pcan":$pcan,"gcg":$gcg,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","value_n":${fmt(wnTotal)},"cb":${fmt3(canaryBase)},"pb":${fmt3(pcanBase)}$mcrField,"scale":$scaleArr,"queries":$qs,"cpu":$cpu,"canary":$can,"pcan":$pcan,"gcg":$gcg,"errors":$errs,"sf":"$sfDir"}"""
     // Hard guard on the driver's 2000-char tail window (sbt appends a
     // ~74-char "[success]" suffix after us): degrade by dropping the
     // per-query cpu array rather than letting the window clip the JSON
@@ -444,13 +491,13 @@ object Bench {
     val cpuGroups = results.map(_._4).grouped(groupSize).map(_.sum).toSeq
     val cpugArr = cpuGroups.map(fmt1).mkString("[", ",", "]")
     val fallback =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","value_n":${fmt(wnTotal)},"cb":${fmt3(canaryBase)},"pb":${fmt3(pcanBase)},"scale":$scaleArr,"queries":$qs,"cpug":$cpugArr,"canary":$can,"pcan":$pcan,"gcg":$gcg,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","value_n":${fmt(wnTotal)},"cb":${fmt3(canaryBase)},"pb":${fmt3(pcanBase)}$mcrField,"scale":$scaleArr,"queries":$qs,"cpug":$cpugArr,"canary":$can,"pcan":$pcan,"gcg":$gcg,"errors":$errs,"sf":"$sfDir"}"""
     // last-resort degradation (ADVICE r15): the fallback gets the same
     // <=1900 guard — on a catalog big enough to clip even it, shed the
     // diagnostic arrays (pcan, gcg, cpug) before the window can cut
     // the JSON head; queries/canary stay, they are the record
     val minimal =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","value_n":${fmt(wnTotal)},"cb":${fmt3(canaryBase)},"pb":${fmt3(pcanBase)},"scale":$scaleArr,"queries":$qs,"canary":$can,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","value_n":${fmt(wnTotal)},"cb":${fmt3(canaryBase)},"pb":${fmt3(pcanBase)}$mcrField,"scale":$scaleArr,"queries":$qs,"canary":$can,"errors":$errs,"sf":"$sfDir"}"""
     if (line.length <= 1900) println(line)
     else if (fallback.length <= 1900) println(fallback)
     else println(minimal)
