@@ -170,14 +170,14 @@ object Bench {
     // it previously landed inside st6's timed region). Build it here
     // so every timed number measures the steady-state artifact probe.
     if (sorted.exists { case (n, _) =>
-        Seq("d05", "d07", "d09", "d12", "d15", "d17", "d26", "st6", "st7").exists(n.startsWith) })
+        Seq("d05", "d07", "d09", "d12", "d15", "d17", "d26", "st6", "st7", "st12").exists(n.startsWith) })
       try graft.queries.TextQ.bandArtifact(spark, sfDir)
       catch { case _: Throwable => () }
     // grams feed the Jaccard-verify consumers — since round 14 that
     // includes st6 (its foreachBatch verify joins the gram store
     // instead of recomputing corpus fingerprints inline)
     if (sorted.exists { case (n, _) =>
-        Seq("d05", "d07", "d09", "d12", "d15", "d17", "d26", "st6", "st7").exists(n.startsWith) })
+        Seq("d05", "d07", "d09", "d12", "d15", "d17", "d26", "st6", "st7", "st12").exists(n.startsWith) })
       try graft.queries.TextQ.gramArtifact(spark, sfDir)
       catch { case _: Throwable => () }
     // d17's corpus cluster labels are likewise a maintained artifact

@@ -339,6 +339,22 @@ object Dedup {
   def minhashCandidatesAgainstRouted(bandedNew: DataFrame,
       bandedCorpus: DataFrame, rankCol: String, maxCorpusPerBucket: Int,
       observation: Option[org.apache.spark.sql.Observation] = None,
+      metricName: String = "graft_lsh_route"): DataFrame =
+    minhashCandidatesAgainstFromBands(bandedNew,
+      bandsRoutedByRank(bandedCorpus, rankCol, maxCorpusPerBucket,
+        observation, metricName))
+
+  /** The ROUTED corpus side itself `(band, band_sig, doc_id)` —
+    * factored out of [[minhashCandidatesAgainstRouted]] so the
+    * streaming ingest gate's per-trigger static side (st12) builds the
+    * identical union over its partition-pruned artifact read. The
+    * routing decision (`rank == cap+1`) is bucket-local like the rank
+    * itself, so it COMMUTES with any bucket-complete pruning of the
+    * table (DedupGuardSpec pins it, the st6 static-side argument).
+    */
+  def bandsRoutedByRank(bandedCorpus: DataFrame, rankCol: String,
+      maxCorpusPerBucket: Int,
+      observation: Option[org.apache.spark.sql.Observation] = None,
       metricName: String = "graft_lsh_route"): DataFrame = {
     require(maxCorpusPerBucket >= 1,
       s"maxCorpusPerBucket must be >= 1, got $maxCorpusPerBucket")
@@ -366,7 +382,7 @@ object Dedup {
         Seq("band", "band_sig"), "left_anti")
       .filter(col(rankCol) <= maxCorpusPerBucket)
       .select("band", "band_sig", "doc_id")
-    minhashCandidatesAgainstFromBands(bandedNew, capped.unionByName(routed))
+    capped.unionByName(routed)
   }
 
   /** Top-N overflowing buckets of a RANKED band table, largest first:

@@ -88,6 +88,103 @@ object ExtQ {
       s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
+  /** ONE verify tail for the streaming ingest-gate oracles (st6 capped
+    * / st12 routed): `corpusCtes` must end in a `corpus_side(doc_id,
+    * band, band_sig)` CTE; banding, gram sets and the exact-Jaccard
+    * verify at 0.5 are shared verbatim (the incrementalDedupSqlFrom
+    * rule on the pair-level shape).
+    */
+  private def ingestPairsSqlFrom(corpusCtes: String): String =
+    s"""WITH ${TextQ.BandCtes},
+      |$corpusCtes,
+      |${TextQ.GramSetsCte}
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.band AS band,
+      |  ROUND(CASE WHEN len(sa.gs) + len(sb.gs) - len(list_intersect(sa.gs, sb.gs)) = 0 THEN 0.0
+      |    ELSE CAST(len(list_intersect(sa.gs, sb.gs)) AS DOUBLE)
+      |      / (len(sa.gs) + len(sb.gs) - len(list_intersect(sa.gs, sb.gs))) END, 9) AS jaccard
+      |FROM banded a
+      |JOIN src xa ON xa.doc_id = a.doc_id AND xa.source = 'src0'
+      |JOIN corpus_side b ON a.band = b.band AND a.band_sig = b.band_sig
+      |JOIN sets sa ON sa.doc_id = a.doc_id
+      |JOIN sets sb ON sb.doc_id = b.doc_id
+      |WHERE CASE WHEN len(sa.gs) + len(sb.gs) - len(list_intersect(sa.gs, sb.gs)) = 0 THEN 0.0
+      |    ELSE CAST(len(list_intersect(sa.gs, sb.gs)) AS DOUBLE)
+      |      / (len(sa.gs) + len(sb.gs) - len(list_intersect(sa.gs, sb.gs))) END >= CAST(0.5 AS DOUBLE)"""
+      .stripMargin
+
+  /** The streaming INGEST-DEDUP gate shared by st6 (capped corpus
+    * side) and st12 (ROUTED corpus side — the streaming executor of
+    * the route= recommendation): each micro-batch of arriving
+    * documents is banded per-row (native one-pass `graft_bandsigs`),
+    * probes the partition-pruned persisted band store through
+    * `staticSideOf(prefixes)` — the one varying stage, receiving the
+    * batch's distinct signature prefixes and returning the corpus side
+    * `(band, band_sig, doc_b)` — and exact-Jaccard-verifies the
+    * collisions at 0.5 against the gram artifact. The two rows differ
+    * ONLY in how the corpus side bounds a pathological bucket: st6
+    * truncates at the cap (observable, may under-merge), st12 routes
+    * overflowing buckets' full membership (never under-merges; volume
+    * observable) — `Dedup.bandsRoutedByRank` over the same pruned
+    * read, valid because both the rank and the routing decision are
+    * bucket-local and commute with prefix pruning (DedupGuardSpec).
+    */
+  private def streamIngestDedup(
+      s: org.apache.spark.sql.SparkSession, d: String, outKind: String,
+      staticSideOf: Seq[String] => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.functions.Text
+    val docs = Tables.documents(s, d)
+    val fp = (t: org.apache.spark.sql.Column) =>
+      sort_array(transform(Text.distinctTokens(t), g => xxhash64(g)))
+    TextQ.bandArtifact(s, d)  // build/refresh at batch parallelism
+    val gramsB = TextQ.gramSetsOf(s, d)  // memoized gram artifact
+      .select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
+    val outDir = boundedSink(outKind, d)
+    withStreamShuffle(s) {
+      val stream = s.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+        .filter(col("source") === "src0")
+        .select(col("doc_id").as("doc_a"), fp(col("text")).as("grams_a"),
+          posexplode(call_function("graft_bandsigs",
+            Text.tokens(col("text")), lit(16), lit(2))))
+        .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_sig"))
+      // ONE probe plan, shared by the per-trigger batches and the
+      // static schema derivation below — analysis-only on the
+      // streaming DF, so a zero-trigger stream (glob matching no
+      // file) still hands readSink a real schema instead of null
+      def probeRes(b: org.apache.spark.sql.DataFrame,
+                   static: org.apache.spark.sql.DataFrame) =
+        b.join(static, Seq("band", "band_sig"))
+          .join(gramsB, Seq("doc_b"))
+          .withColumn("inter",
+            call_function("graft_inter_size", col("grams_a"), col("grams_b")))
+          .withColumn("unionSz",
+            size(col("grams_a")) + size(col("grams_b")) - col("inter"))
+          .withColumn("jaccard",
+            when(col("unionSz") === 0, 0.0)
+              .otherwise(col("inter").cast("double") / col("unionSz")))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("doc_a"), col("doc_b"), col("band"),
+            round(col("jaccard"), 9).as("jaccard"))
+      val outSchema = probeRes(stream,
+        TextQ.prunedCorpusBands(s, d, Seq.empty)
+          .select(col("band"), col("band_sig"), col("doc_id").as("doc_b"))).schema
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val b = batch.persist()
+          try {
+            val prefixes = b.select(TextQ.sigPfx(col("band_sig")))
+              .distinct().collect().map(_.getString(0)).toSeq
+            val res = probeRes(b, staticSideOf(prefixes))
+            res.write.mode("append").parquet(outDir)
+          } finally { b.unpersist(); () }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      readSink(s, outDir, outSchema)
+    }
+  }
+
   /** The st7 micro-batch maintenance loop, shared with the multi-batch
     * spec: each batch of the (already src0-filtered) document stream is
     * banded per-row, probes the partition-pruned corpus band store plus
@@ -925,95 +1022,61 @@ object ExtQ {
       Some(TextQ.ClusterOracleSql)),
 
     Q("st6_stream_ingest_dedup",
-      (s, d) => {
-        import graft.functions.Text
-        val docs = Tables.documents(s, d)
-        val fp = (t: org.apache.spark.sql.Column) =>
-          sort_array(transform(Text.distinctTokens(t), g => xxhash64(g)))
-        TextQ.bandArtifact(s, d)  // build/refresh at batch parallelism
-        val gramsB = TextQ.gramSetsOf(s, d)  // memoized gram artifact
-          .select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
-        val outDir = boundedSink("graft_st6_out", d)
-        withStreamShuffle(s) {
-          val stream = s.readStream.schema(docs.schema)
-            .option("pathGlobFilter", "documents.parquet").parquet(d)
-            .filter(col("source") === "src0")
-            .select(col("doc_id").as("doc_a"), fp(col("text")).as("grams_a"),
-              posexplode(call_function("graft_bandsigs",
-                Text.tokens(col("text")), lit(16), lit(2))))
-            .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_sig"))
-          // ONE probe plan, shared by the per-trigger batches and the
-          // static schema derivation below — analysis-only on the
-          // streaming DF, so a zero-trigger stream (glob matching no
-          // file) still hands readSink a real schema instead of null
-          def probeRes(b: org.apache.spark.sql.DataFrame,
-                       static: org.apache.spark.sql.DataFrame) =
-            b.join(static, Seq("band", "band_sig"))
-              .join(gramsB, Seq("doc_b"))
-              .withColumn("inter",
-                call_function("graft_inter_size", col("grams_a"), col("grams_b")))
-              .withColumn("unionSz",
-                size(col("grams_a")) + size(col("grams_b")) - col("inter"))
-              .withColumn("jaccard",
-                when(col("unionSz") === 0, 0.0)
-                  .otherwise(col("inter").cast("double") / col("unionSz")))
-              .filter(col("jaccard") >= 0.5)
-              .select(col("doc_a"), col("doc_b"), col("band"),
-                round(col("jaccard"), 9).as("jaccard"))
-          val outSchema = probeRes(stream,
-            TextQ.prunedCorpusBands(s, d, Seq.empty)
-              .select(col("band"), col("band_sig"), col("doc_id").as("doc_b"))).schema
-          val q = stream.writeStream
-            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-              val b = batch.persist()
-              try {
-                val prefixes = b.select(TextQ.sigPfx(col("band_sig")))
-                  .distinct().collect().map(_.getString(0)).toSeq
-                // corpus side capped per bucket (the d09/d15 ingest
-                // guard) via the artifact's PRECOMPUTED corpus_rank —
-                // a partition-pruned scan FILTER per trigger, zero
-                // windows (the rank is bucket-local, so the stored
-                // rank is valid under any prefix pruning)
-                val static = graft.operators.Dedup.bandsKeptByRank(
-                    TextQ.prunedCorpusBands(s, d, prefixes,
-                      withCorpusRank = true),
-                    "corpus_rank", TextQ.D05MaxBucket,
-                    metricName = "graft_lsh_ingest_guard")
-                  .select(col("band"), col("band_sig"), col("doc_id").as("doc_b"))
-                val res = probeRes(b, static)
-                res.write.mode("append").parquet(outDir)
-              } finally { b.unpersist(); () }
-            }
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-          readSink(s, outDir, outSchema)
-        }
-      },
+      (s, d) =>
+        // corpus side capped per bucket (the d09/d15 ingest guard) via
+        // the artifact's PRECOMPUTED corpus_rank — a partition-pruned
+        // scan FILTER per trigger, zero windows (the rank is
+        // bucket-local, so the stored rank is valid under any prefix
+        // pruning)
+        streamIngestDedup(s, d, "graft_st6_out", prefixes =>
+          graft.operators.Dedup.bandsKeptByRank(
+              TextQ.prunedCorpusBands(s, d, prefixes, withCorpusRank = true),
+              "corpus_rank", TextQ.D05MaxBucket,
+              metricName = "graft_lsh_ingest_guard")
+            .select(col("band"), col("band_sig"), col("doc_id").as("doc_b"))),
       // banding + gram-set text shared with d09's oracle (TextQ.BandCtes)
       // so the two descriptions of the same artifact cannot drift
-      Some(s"""WITH ${TextQ.BandCtes},
-        |corpus_kept AS (
+      Some(ingestPairsSqlFrom(
+        s"""corpus_side AS (
         |  SELECT doc_id, band, band_sig FROM (
         |    SELECT b.doc_id, b.band, b.band_sig,
         |      row_number() OVER (PARTITION BY b.band, b.band_sig ORDER BY b.doc_id) AS rn
         |    FROM banded b JOIN src s ON s.doc_id = b.doc_id AND s.source <> 'src0') t
         |  WHERE rn <= ${TextQ.D05MaxBucket}
-        |),
-        |${TextQ.GramSetsCte}
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.band AS band,
-        |  ROUND(CASE WHEN len(sa.gs) + len(sb.gs) - len(list_intersect(sa.gs, sb.gs)) = 0 THEN 0.0
-        |    ELSE CAST(len(list_intersect(sa.gs, sb.gs)) AS DOUBLE)
-        |      / (len(sa.gs) + len(sb.gs) - len(list_intersect(sa.gs, sb.gs))) END, 9) AS jaccard
-        |FROM banded a
-        |JOIN src xa ON xa.doc_id = a.doc_id AND xa.source = 'src0'
-        |JOIN corpus_kept b ON a.band = b.band AND a.band_sig = b.band_sig
-        |JOIN sets sa ON sa.doc_id = a.doc_id
-        |JOIN sets sb ON sb.doc_id = b.doc_id
-        |WHERE CASE WHEN len(sa.gs) + len(sb.gs) - len(list_intersect(sa.gs, sb.gs)) = 0 THEN 0.0
-        |    ELSE CAST(len(list_intersect(sa.gs, sb.gs)) AS DOUBLE)
-        |      / (len(sa.gs) + len(sb.gs) - len(list_intersect(sa.gs, sb.gs))) END >= CAST(0.5 AS DOUBLE)"""
-        .stripMargin)),
+        |)""".stripMargin))),
+
+    // The ROUTED streaming ingest gate — st6 with d26's routing on the
+    // per-trigger corpus side (the streaming executor of the
+    // dedup-maintain route= recommendation): overflowing buckets'
+    // FULL membership is probed (never truncated — a new doc whose
+    // only duplicates rank past the cap is still caught at the gate),
+    // everything else stays capped; the routing decision reads the
+    // partition-pruned artifact's precomputed corpus_rank, bucket-local
+    // so it commutes with the prefix pruning (DedupGuardSpec). The
+    // oracle replays the routed union branch by branch at RoutedCap.
+    Q("st12_stream_routed_dedup",
+      (s, d) =>
+        streamIngestDedup(s, d, "graft_st12_out", prefixes =>
+          graft.operators.Dedup.bandsRoutedByRank(
+              TextQ.prunedCorpusBands(s, d, prefixes, withCorpusRank = true),
+              "corpus_rank", TextQ.RoutedCap,
+              metricName = "graft_lsh_route_stream")
+            .withColumnRenamed("doc_id", "doc_b")),
+      Some(ingestPairsSqlFrom(
+        s"""corpus_ranked AS (
+        |  SELECT b.doc_id, b.band, b.band_sig,
+        |    row_number() OVER (PARTITION BY b.band, b.band_sig ORDER BY b.doc_id) AS rn
+        |  FROM banded b JOIN src s ON s.doc_id = b.doc_id AND s.source <> 'src0'
+        |), overflow AS (
+        |  SELECT band, band_sig FROM corpus_ranked WHERE rn = ${TextQ.RoutedCap} + 1
+        |), corpus_side AS (
+        |  SELECT c.doc_id, c.band, c.band_sig FROM corpus_ranked c
+        |  LEFT JOIN overflow o ON c.band = o.band AND c.band_sig = o.band_sig
+        |  WHERE o.band IS NULL AND c.rn <= ${TextQ.RoutedCap}
+        |  UNION ALL
+        |  SELECT c.doc_id, c.band, c.band_sig FROM corpus_ranked c
+        |  JOIN overflow o ON c.band = o.band AND c.band_sig = o.band_sig
+        |)""".stripMargin))),
 
     // P10 — sliding-window tile-spec generator with edge snapping
     // (reference src/detection.py:1358-1368), duplicates preserved.

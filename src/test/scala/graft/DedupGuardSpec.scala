@@ -247,4 +247,24 @@ class DedupGuardSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
     assert(a == b && a.size == 10)
   }
+
+  test("routing commutes with a pruned read (the st12 static-side claim)") {
+    // the routing decision (rank == cap+1) is bucket-local like the
+    // rank, so routing a bucket-complete pruned slice must equal
+    // pruning the routed table — what lets st12 route its prefix-
+    // pruned per-trigger static side and still match the full oracle
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    val w = Window.partitionBy("band", "band_sig").orderBy("doc_id")
+    val ranked = banded.withColumn("corpus_rank", row_number().over(w))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    val a = rows(Dedup.bandsRoutedByRank(
+      ranked.filter($"band_sig" === "sigBIG"), "corpus_rank", 10))
+    val b = rows(Dedup.bandsRoutedByRank(ranked, "corpus_rank", 10)
+      .filter($"band_sig" === "sigBIG"))
+    assert(a == b)
+    // and the overflowing bucket is routed in FULL (the whole point)
+    assert(a.size == 100)
+  }
 }
