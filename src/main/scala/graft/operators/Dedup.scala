@@ -173,6 +173,44 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** [[minhashCandidatesFromBands]] over a band table that carries a
+    * per-bucket doc_id-order rank column (graft's band artifact stores
+    * `bucket_rank`), restructured to SPREAD a hot bucket's clique over
+    * many tasks instead of one (guide §2.5: a single enormous join key
+    * is the one skew AQE cannot split).
+    *
+    * Owner-block scheme: bucket members are sliced into rank blocks of
+    * `blockSize`; pair (a, b) (with doc_a < doc_b, hence rank_a <
+    * rank_b, hence block_a <= block_b) is generated by the task that
+    * owns doc_a's block — the left side keeps one row per doc keyed by
+    * its own block, the right side replicates each doc once per block
+    * <= its own (sequence+explode, a fraction 1/blockSize of the pair
+    * volume — never the dominant term), and the join key gains the
+    * block id. The left side is hash-repartitioned on the full key so
+    * pair generation parallelizes even under a broadcast join (whose
+    * output otherwise inherits the probe side's partitioning — the
+    * band artifact is one compact file, i.e. ONE task). Pair (a, b) is
+    * emitted exactly once per colliding band: from a's block a copy of
+    * b exists iff block_a <= block_b, and the mirrored (b, a) match
+    * fails the doc_a < doc_b filter. DedupSpec pins set-equality with
+    * the reference form; the measured effect at sf0.1 is the 1730-doc
+    * mega-bucket's 1.5M-pair task splitting into ~14 block tasks.
+    */
+  def minhashCandidatesFromRankedBands(banded: DataFrame,
+                                       rankCol: String = "bucket_rank",
+                                       blockSize: Int = 128): DataFrame = {
+    require(blockSize >= 1, s"blockSize must be >= 1, got $blockSize")
+    val blk = ((col(rankCol) - 1) / blockSize).cast("int")
+    val a = banded.select(col("band"), col("band_sig"), blk.as("__blk"),
+        col("doc_id").as("doc_a"))
+      .repartition(col("band"), col("band_sig"), col("__blk"))
+    val b = banded.select(col("band"), col("band_sig"),
+        explode(sequence(lit(0), blk)).as("__blk"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "band_sig", "__blk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
   /** [[minhashCandidatesFromBands]] with a per-bucket blow-up GUARD —
     * the audit-tier safety the no-silent-caps rule's dual demands (no
     * silent blow-ups): the bucket self-join is quadratic in bucket
@@ -928,8 +966,8 @@ object Dedup {
     * (union-find over the collected fringe — a bounded model-artifact
     * collect through the primitive tuple encoder: specialized
     * Tuple2[Long,Long] holds unboxed longs, so the transient driver
-    * footprint is ~threshold × 32 B incl. object headers — ≈32 MB at
-    * the 2²⁰ default, vs ~100 MB for a GenericRow collect) instead of
+    * footprint is ~threshold × 32 B incl. object headers — ≈64 MB at
+    * the 2²¹ default, vs ~3× for a GenericRow collect) instead of
     * running more
     * distributed rounds. The geometric contraction means the LAST
     * rounds of distributed CC always degenerate into many tiny
@@ -940,12 +978,23 @@ object Dedup {
     * immediately). The fixpoint (component-min label) is identical —
     * CcSpec checks the hybrid against reference union-find. Set 0 to
     * force the fully-distributed loop.
+    *
+    * The default is 2²¹ SYMMETRIC edges (each undirected edge counts
+    * twice here) — raised from 2²⁰ in round 21: the sf0.1 dedup
+    * clustering's verified edge set (≈7.6×10⁵ undirected, 1.53M
+    * symmetric) sat just above the old threshold, so d07 paid two
+    * distributed rounds plus the compress loop (~20 latency-bound
+    * jobs) to shrink a fringe the driver solves in well under a
+    * second. The driver bound stays ≤64 MB transient, and the 100 TB
+    * posture is unchanged: a corpus-scale edge set still runs the
+    * distributed rounds until the fringe contracts under the
+    * threshold.
     */
   def connectedComponents(edges: DataFrame, srcCol: String = "doc_a",
                           dstCol: String = "doc_b", maxIter: Int = 50,
                           checkpointDir: Option[String] = None,
                           distinctEdges: Boolean = true,
-                          localSolveThreshold: Long = 1L << 20): DataFrame = {
+                          localSolveThreshold: Long = 1L << 21): DataFrame = {
     val sc = edges.sparkSession.sparkContext
     // reliable mode: track each generation's rdd-* dirs (a checkpoint
     // call adds exactly one, eagerly) so release() can delete a

@@ -237,11 +237,11 @@ object TextQ {
       |)""".stripMargin
   }
 
-  /** Jaccard-scored LSH near-dup pairs at J ≥ 0.5 — materialized ONCE
-    * per dir (SURVEY §4 P6): the same pipeline stage feeds both the
-    * near-dup report (d05) and the dedup clustering (d07, J ≥ 0.9 ⊂
-    * J ≥ 0.5), exactly as a real dedup DAG would persist its
-    * verified-pairs table before fanning out.
+  /** Jaccard-scored LSH near-dup pairs at J ≥ 0.5 — the near-dup
+    * report (d05). The dedup clustering (d07) verifies its own edges
+    * at J ≥ 0.9 via [[clusterEdges]] over the same persisted band/gram
+    * artifacts, so the artifact store (not a session cache) is what
+    * keeps the corpus tokenized/hashed once.
     *
     * Banding is 16 hashes in 2 bands of 8: the LSH S-curve threshold
     * (1/b)^(1/r) = 0.5^(1/8) ≈ 0.917 sits AT the 0.9 dedup threshold,
@@ -805,8 +805,11 @@ object TextQ {
       // invalidate the persisted clustering (ADVICE r13)
       Seq(new java.io.File(d, "documents.parquet")),
       sub = s"j${ClusterJaccard}_h16b2") { dir =>
+      // ranked-block form over the ALL-rows bucket_rank: within the
+      // corpus slice ranks stay doc_id-ordered (gaps only widen
+      // blocks), which is all the owner-block argument needs
       val corpusEdges = clusterEdges(s, d,
-        Dedup.minhashCandidatesFromBands(
+        Dedup.minhashCandidatesFromRankedBands(
           bandSigs(s, d).filter(col("source") =!= "src0")))
       Dedup.connectedComponents(corpusEdges, distinctEdges = false)
         .write.mode("overwrite").parquet(dir)
@@ -908,8 +911,6 @@ object TextQ {
       |       JOIN corpus_routed b ON a.band = b.band AND a.band_sig = b.band_sig
       |)""".stripMargin)
 
-  private val pairCache =
-    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.SparkContext, String), org.apache.spark.sql.DataFrame]
   /** The per-bucket guard bound of BOTH LSH blow-up guards — d05's
     * clique form (Dedup.minhashCandidatesFromBandsCapped) and the
     * d09/d15/st6 ingest probes' corpus side
@@ -931,12 +932,19 @@ object TextQ {
     */
   private[graft] val RoutedCap = 8
 
-  private def scoredPairs(s: org.apache.spark.sql.SparkSession, d: String) =
-    memoized(pairCache, s, d) {
+  /** d05's verified-pair pipeline — NOT memoized/cached (round 21):
+    * d05 is its only consumer, so the old cache+count materialization
+    * ran the whole pipeline once to fill the columnar cache and then
+    * re-read ~2.25M cached rows inside the same timed action — pure
+    * double work in a one-shot run (measured at sf0.1: the cached
+    * read-back stage alone cost 3–113 CPU-s depending on JIT state;
+    * the single-pass form pays the pipeline exactly once).
+    */
+  private def scoredPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
       // the clique guard over the artifact's PRECOMPUTED bucket_rank —
       // a scan filter, not a probe-time window (round 18; the window
       // form cost d05 ~7% at sf0.1, r17's documented guard price)
-      val cands = Dedup.minhashCandidatesFromBands(
+      val cands = Dedup.minhashCandidatesFromRankedBands(
         Dedup.bandsKeptByRank(bandSigs(s, d), "bucket_rank", D05MaxBucket,
           metricName = "graft_lsh_bucket_guard"))
       Dedup.jaccardPairsFromSets(gramSetsOf(s, d), cands, minJaccard = 0.5)
@@ -948,7 +956,7 @@ object TextQ {
     * own first-touch cost, so per-query numbers are order-independent.
     */
   def resetMaterializations(s: org.apache.spark.sql.SparkSession): Unit = {
-    Seq(bandCache, gramCache, pairCache, ndPairCache, clusterCache,
+    Seq(bandCache, gramCache, ndPairCache, clusterCache,
         simhashCache).foreach { c =>
       c.keys.filter(_._1 == s.sparkContext).foreach { k =>
         c.remove(k).foreach(_.unpersist())
@@ -2612,7 +2620,7 @@ object TextQ {
         // see minhashCandidatesFromBands' scaladoc; d12's star form is
         // the bounded-by-construction clustering path at scale
         val edges = clusterEdges(s, d,
-          Dedup.minhashCandidatesFromBands(bandSigs(s, d)))
+          Dedup.minhashCandidatesFromRankedBands(bandSigs(s, d)))
         Dedup.connectedComponents(edges, distinctEdges = false)
           .withColumn("cluster_size",
             count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))

@@ -267,4 +267,42 @@ class DedupGuardSpec extends AnyFunSuite {
     // and the overflowing bucket is routed in FULL (the whole point)
     assert(a.size == 100)
   }
+
+  test("ranked-block clique equals the reference clique (the skew-spread form)") {
+    // minhashCandidatesFromRankedBands splits each bucket into rank
+    // blocks so a mega-bucket's clique generates across many tasks;
+    // the pair SET must be identical to the reference self-join for
+    // every block size, including ones that slice the 100-doc bucket
+    // many ways and ones larger than any bucket
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    val w = Window.partitionBy("band", "band_sig").orderBy("doc_id")
+    val ranked = banded.withColumn("bucket_rank", row_number().over(w))
+    val reference = Dedup.minhashCandidatesFromBands(banded)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (bs <- Seq(1, 3, 7, 128)) {
+      val blocked = Dedup.minhashCandidatesFromRankedBands(ranked, blockSize = bs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(blocked == reference, s"blockSize=$bs diverged from reference")
+    }
+    // and under the stored-rank guard (the exact d05 composition):
+    // guard first, then blocked clique == guarded reference clique
+    val guardedRef = Dedup.minhashCandidatesFromBands(
+        Dedup.bandsKeptByRank(ranked, "bucket_rank", 10, metricName = "g_ref"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val guardedBlk = Dedup.minhashCandidatesFromRankedBands(
+        Dedup.bandsKeptByRank(ranked, "bucket_rank", 10, metricName = "g_blk"),
+        blockSize = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guardedBlk == guardedRef)
+    // gapped ranks (a filtered slice of an all-rows ranking, the
+    // clusterArtifact composition) must also agree: monotone rank is
+    // all the owner-block argument needs
+    val gapped = ranked.filter($"doc_id" % 2 === 0)
+    val gapRef = Dedup.minhashCandidatesFromBands(gapped)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gapBlk = Dedup.minhashCandidatesFromRankedBands(gapped, blockSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gapBlk == gapRef)
+  }
 }
