@@ -16,6 +16,23 @@ object LocalSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Let AQE re-optimize (coalesce tiny post-shuffle partitions)
+      // INSIDE cached-plan fragments and below them. The default
+      // (false) freezes a cached plan's output partitioning so
+      // downstream consumers that rely on it keep their zero-shuffle
+      // plans; nothing in this catalog does — every value is
+      // partitioning-independent by design (quantized aggregates,
+      // pinned tie-breaks; cross-CPU bit-identity is a standing Verify
+      // check at local[8] vs local[3]). Without it, every query that
+      // caches an eval-scale intermediate (MotEval's match table, the
+      // band/gram artifact memos) materializes and re-reads it at the
+      // full shuffle-partition count — at bench scale that is 32 tasks
+      // per stage carrying a few KB each, ~0.1 s scheduling latency
+      // per task (measured round 21: m11 4.8 s → 3.3 s steady, m02
+      // task-CPU 24 s → 9 s, d05 first-touch 7.8 s → 5.0 s). At
+      // cluster scale the same flag lets AQE right-size the cache's
+      // partitions to data volume instead of the static conf.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     GraftExtensions.register(spark)
     spark.sparkContext.setLogLevel(logLevel)

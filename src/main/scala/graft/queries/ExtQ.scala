@@ -139,7 +139,14 @@ object ExtQ {
     val gramsB = TextQ.gramSetsOf(s, d)  // memoized gram artifact
       .select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
     val outDir = boundedSink(outKind, d)
-    withStreamShuffle(s) {
+    // NOT withStreamShuffle: this stream is STATELESS (source →
+    // foreachBatch, no state store), so the 4-partition state-layout
+    // throttle has nothing to protect — it only squeezed the
+    // per-trigger probe+verify (a CPU-heavy batch join inside
+    // foreachBatch, ~12-16 CPU-s at sf0.1) onto ≤4 tasks. At batch
+    // parallelism the verify spreads across the session's shuffle
+    // partitions (measured round 21: st6 4.4 s → ~2.5 s steady).
+    locally {
       val stream = s.readStream.schema(docs.schema)
         .option("pathGlobFilter", "documents.parquet").parquet(d)
         .filter(col("source") === "src0")
@@ -318,13 +325,16 @@ object ExtQ {
     val model = SimilaritySearch.ivfPqModel(
       emb, TextQ.AnnNlist, TextQ.AnnM, TextQ.AnnCb)
     val outDir = boundedSink("graft_st8_out", d)
-    withStreamShuffle(s) {
+    // NOT withStreamShuffle: stateless stream (source -> foreachBatch,
+    // no state store) - the 4-partition throttle only squeezed the
+    // per-trigger batch jobs onto <=4 tasks (see streamIngestDedup)
+    locally {
       // schema derived STATICALLY from the same plan (analysis only,
       // nothing executes) so a zero-trigger stream — e.g. a glob
       // matching no file — returns an empty typed result from
       // readSink instead of NPE-ing on a never-assigned capture
       val outSchema = SimilaritySearch.ivfPqSearch(
-        emb.limit(0), emb, s.read.parquet(index),
+        emb.limit(0), emb, TextQ.storeRead(s, index),
         model, k = 5, nprobe = np, refine = 20).schema
       val q = queryStream.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
@@ -345,7 +355,10 @@ object ExtQ {
                 else withId.filter(col("__chunk") === c.toLong).drop("__chunk")
               val cells = SimilaritySearch.ivfPqProbedCells(qs, model, nprobe = np)
               if (cells.nonEmpty) {
-                val coded = s.read.parquet(index)
+                // memoized relation read: reuses the cell-partitioned
+                // index's file listing across chunks and triggers
+                // (pruning filters the listed index at planning time)
+                val coded = TextQ.storeRead(s, index)
                   .where(col("cell").isin(cells: _*))
                 val res = SimilaritySearch.ivfPqSearch(qs, emb, coded, model,
                   k = 5, nprobe = np, refine = 20)
@@ -378,7 +391,10 @@ object ExtQ {
     import graft.operators.TextAnalysis
     val model = TextQ.clfModelOfStore(s, d)
     val outDir = boundedSink("graft_st9_out", d)
-    withStreamShuffle(s) {
+    // NOT withStreamShuffle: stateless stream (source -> foreachBatch,
+    // no state store) - the 4-partition throttle only squeezed the
+    // per-trigger batch jobs onto <=4 tasks (see streamIngestDedup)
+    locally {
       // schema derived statically (analysis only) so a zero-trigger
       // stream returns an empty typed result instead of NPE-ing
       val outSchema = TextAnalysis.hashClassifierScoreUnder(
@@ -412,7 +428,10 @@ object ExtQ {
     import graft.operators.TextAnalysis
     val model = TextQ.decontamModelOfStore(s, d)
     val outDir = boundedSink("graft_st10_out", d)
-    withStreamShuffle(s) {
+    // NOT withStreamShuffle: stateless stream (source -> foreachBatch,
+    // no state store) - the 4-partition throttle only squeezed the
+    // per-trigger batch jobs onto <=4 tasks (see streamIngestDedup)
+    locally {
       // schema derived statically (analysis only) so a zero-trigger
       // stream returns an empty typed result instead of NPE-ing
       val outSchema = TextAnalysis.decontaminateUnder(
@@ -457,7 +476,10 @@ object ExtQ {
     // whether a maintenance sweep stored a suggestion
     val np = TextQ.resolveNprobe(s, index, nprobe)
     val deltaDir = boundedSink("graft_st11_delta", d)
-    withStreamShuffle(s) {
+    // NOT withStreamShuffle: stateless stream (source -> foreachBatch,
+    // no state store) - the 4-partition throttle only squeezed the
+    // per-trigger batch jobs onto <=4 tasks (see streamIngestDedup)
+    locally {
       val deltaSchema = SimilaritySearch.ivfPqEncode(emb.limit(0), model).schema
       val q = vecStream.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
@@ -470,7 +492,7 @@ object ExtQ {
       val delta = readSink(s, deltaDir, deltaSchema)
       val queries = emb.filter(col("vec_id") < 10)
       val cells = SimilaritySearch.ivfPqProbedCells(queries, model, nprobe = np)
-      val main = s.read.parquet(index)
+      val main = TextQ.storeRead(s, index)
         .where(col("cell").isin(cells: _*))
         .select(col("vec_id"), col("cell"), col("codes"))
       // growth-guarded union (TextQ.annDeltaCoded): the probe emits
@@ -1012,12 +1034,14 @@ object ExtQ {
         TextQ.bandArtifact(s, d)
         TextQ.gramSetsOf(s, d)
         TextQ.prevClusters(s, d)
-        withStreamShuffle(s) {
-          streamClusterMaintain(s, d,
-            s.readStream.schema(docs.schema)
-              .option("pathGlobFilter", "documents.parquet").parquet(d)
-              .filter(col("source") === "src0"))
-        }
+        // NOT withStreamShuffle: stateless stream (source →
+        // foreachBatch, no state store) — the 4-partition throttle
+        // only squeezed the per-trigger probe+verify+merge batch jobs
+        // onto ≤4 tasks (see streamIngestDedup)
+        streamClusterMaintain(s, d,
+          s.readStream.schema(docs.schema)
+            .option("pathGlobFilter", "documents.parquet").parquet(d)
+            .filter(col("source") === "src0"))
       },
       Some(TextQ.ClusterOracleSql)),
 

@@ -409,6 +409,26 @@ object TextQ {
     * Dedup.minhashCandidatesFromBands), so it must not even see the
     * column.
     */
+  /** Session-memoized UNCACHED read of one parquet store: reuses the
+    * analyzed relation — and with it the listed file index — across
+    * calls, without materializing any data. A partitioned store's
+    * directory listing is a driver-side job (256 dirs is over the
+    * parallel-discovery threshold, so Spark runs a 256-task listing
+    * job); before this memo every streaming trigger re-listed the
+    * store it probes (measured round 21: two 255-task listing jobs
+    * per st6 trigger). Partition pruning still applies per query —
+    * pruning filters the ALREADY-LISTED index at planning time.
+    * Keyed by resolved store path, so a regenerated artifact (new
+    * generation directory) never serves a stale index.
+    */
+  private val storeReadCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.SparkContext, String), org.apache.spark.sql.DataFrame]
+  private[graft] def storeRead(s: org.apache.spark.sql.SparkSession,
+                               path: String): org.apache.spark.sql.DataFrame = {
+    storeReadCache.keys.filter(_._1.isStopped).foreach(storeReadCache.remove)
+    storeReadCache.getOrElseUpdate((s.sparkContext, path), s.read.parquet(path))
+  }
+
   private[graft] def prunedCorpusBands(s: org.apache.spark.sql.SparkSession,
                                        d: String, prefixes: Seq[String],
                                        withCorpusRank: Boolean = false) =
@@ -418,7 +438,7 @@ object TextQ {
     // silently rebuild the corpus banding inside a micro-batch trigger
     // (StreamBoundarySpec pins it; the queries' pre-stream resolve /
     // dedup-maintain own the build)
-    s.read.parquet(graft.sources.ArtifactStore.resolveExisting(s,
+    storeRead(s, graft.sources.ArtifactStore.resolveExisting(s,
         "graft_band_artifact",
         Seq(new java.io.File(d, "documents.parquet")),
         sub = BandArtifactTag) + "/pfx")
@@ -633,7 +653,7 @@ object TextQ {
     val np = resolveNprobe(s, index, nprobe)
     val model = SimilaritySearch.ivfPqModel(emb, AnnNlist, AnnM, AnnCb)
     val cells = SimilaritySearch.ivfPqProbedCells(queries, model, nprobe = np)
-    val coded = s.read.parquet(index).where(col("cell").isin(cells: _*))
+    val coded = storeRead(s, index).where(col("cell").isin(cells: _*))
     SimilaritySearch.ivfPqSearch(queries, emb, coded, model,
       k = k, nprobe = np, refine = refine)
   }
@@ -653,7 +673,7 @@ object TextQ {
     val np = resolveNprobe(s, index, nprobe)
     val rmodel = SimilaritySearch.ivfRPqModel(emb, AnnNlist, AnnM, AnnCb)
     val cells = SimilaritySearch.ivfRPqProbedCells(queries, rmodel, nprobe = np)
-    val coded = s.read.parquet(index)
+    val coded = storeRead(s, index)
       .where(col("cell").isin(cells: _*))
       .select(col("vec_id"), col("cell"), col("rcodes").as("codes"))
     SimilaritySearch.ivfRPqSearch(queries, emb, coded, rmodel,
@@ -676,7 +696,7 @@ object TextQ {
     val np = resolveNprobe(s, index, nprobe)
     val delta = SimilaritySearch.ivfPqEncode(emb.filter(SemBatchPred), model)
     val cells = SimilaritySearch.ivfPqProbedCells(queries, model, nprobe = np)
-    val main = s.read.parquet(index)
+    val main = storeRead(s, index)
       .where(col("cell").isin(cells: _*))
       .select(col("vec_id"), col("cell"), col("codes"))
     val coded = annDeltaCoded(main, delta
@@ -962,6 +982,11 @@ object TextQ {
         c.remove(k).foreach(_.unpersist())
       }
     }
+    // uncached relation memos (file-index reuse): nothing persisted to
+    // release — dropping the entries makes each timed query pay its
+    // own store listing, the same isolation rule as the caches above
+    storeReadCache.keys.filter(_._1 == s.sparkContext)
+      .foreach(storeReadCache.remove)
     // transient per-query handles (semDeDup assignment, st7's final
     // label snapshot) die with the query run, not the session
     graft.CacheRegistry.drain(s)
@@ -1298,7 +1323,7 @@ object TextQ {
     // resolveExisting: probe-side twin of the semArtifact build — d21
     // resolves the artifact before probing, and a trigger-shaped
     // consumer must never own the corpus clustering build
-    s.read.parquet(graft.sources.ArtifactStore.resolveExisting(s,
+    storeRead(s, graft.sources.ArtifactStore.resolveExisting(s,
         "graft_sem_artifact",
         Seq(new java.io.File(d, "embeddings.parquet")),
         sub = SemArtifactTag) + "/byclust")

@@ -13,6 +13,11 @@ object ProfileQueryBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = LocalSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("ERROR")
+    // ad-hoc conf overrides for A/B runs: GRAFT_PROF_CONF="k=v;k2=v2"
+    sys.env.get("GRAFT_PROF_CONF").foreach(_.split(';').filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      })
     spark.range(1000000).selectExpr("sum(id % 7)").collect()
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
