@@ -37,4 +37,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the full bench than in isolation. 48g leaves ample headroom for the
   // driver-side oracle tooling on the same machine.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-)
+) ++ sys.env.get("GRAFT_JVM_OPTS").map(_.trim).filter(_.nonEmpty)
+  .map(_.split("\\s+").toSeq).getOrElse(Nil)  // ad-hoc A/B flags

@@ -377,20 +377,17 @@ object TextQ {
       p.getFileSystem(s.sparkContext.hadoopConfiguration).create(p, true).close()
     }
 
-  /** Session view of the band artifact: a memoized cached read of
-    * [[bandArtifact]] (building it first if this corpus generation has
-    * never been banded). The memo means one FileScan per (session, dir)
-    * feeds all of a query's band consumers; bench isolation drops it so
-    * each timed query pays its own artifact probe — the steady-state
-    * per-query cost, which is the parquet read, never the re-banding.
+  /** Session view of the band artifact (building it first if this
+    * corpus generation has never been banded) — an UNCACHED memoized
+    * read (round 21): the compact copy is one ~150 KB file, so a
+    * columnar cache+count materialization cost more (two extra jobs
+    * inside every consumer's timed region) than simply re-scanning the
+    * file at each reference; [[storeRead]] still reuses the analyzed
+    * relation and its file listing.
     */
-  private val bandCache =
-    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.SparkContext, String), org.apache.spark.sql.DataFrame]
   private[graft] def bandSigs(s: org.apache.spark.sql.SparkSession, d: String) =
-    memoized(bandCache, s, d) {
-      // batch consumers scan the whole table → the compact copy
-      s.read.parquet(s"${bandArtifact(s, d)}/full")
-    }
+    // batch consumers scan the whole table → the compact copy
+    storeRead(s, s"${bandArtifact(s, d)}/full")
 
   /** The PARTITION-PRUNED corpus-side band probe: reads only the
     * artifact partitions whose `sig_pfx` appears in `prefixes` (the
@@ -468,12 +465,11 @@ object TextQ {
         graft.sources.Compaction.compactInPlace(s, dir))
     }
 
-  private val gramCache =
-    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.SparkContext, String), org.apache.spark.sql.DataFrame]
   private[graft] def gramSetsOf(s: org.apache.spark.sql.SparkSession, d: String) =
-    memoized(gramCache, s, d) {
-      s.read.parquet(gramArtifact(s, d))
-    }
+    // uncached (round 21, same reasoning as bandSigs): the gram store
+    // is ~100 KB; the verify joins reference it up to three times per
+    // query, each a cheap re-scan through the memoized relation
+    storeRead(s, gramArtifact(s, d))
 
   /** The persisted 64-bit SimHash fingerprint artifact `(doc_id,
     * simhash64, source)` — the fourth leg of the signature store: the
@@ -494,12 +490,9 @@ object TextQ {
         graft.sources.Compaction.compactInPlace(s, dir))
     }
 
-  private val simhashCache =
-    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.SparkContext, String), org.apache.spark.sql.DataFrame]
   private[graft] def simhashFps(s: org.apache.spark.sql.SparkSession, d: String) =
-    memoized(simhashCache, s, d) {
-      s.read.parquet(simhashArtifact(s, d))
-    }
+    // uncached (round 21, same reasoning as bandSigs)
+    storeRead(s, simhashArtifact(s, d))
 
   /** The s08/s09 IVF+PQ configuration — single-sourced because the
     * stored index (annArtifact) MUST be encoded with the same model the
@@ -837,12 +830,9 @@ object TextQ {
         graft.sources.Compaction.compactInPlace(s, dir))
     }
 
-  private val clusterCache =
-    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.SparkContext, String), org.apache.spark.sql.DataFrame]
   private[graft] def prevClusters(s: org.apache.spark.sql.SparkSession, d: String) =
-    memoized(clusterCache, s, d) {
-      s.read.parquet(clusterArtifact(s, d))
-    }
+    // uncached (round 21, same reasoning as bandSigs)
+    storeRead(s, clusterArtifact(s, d))
 
   /** Shared tail of the incremental-dedup queries (d09 memoized / d15
     * artifact): exact-Jaccard verify of the asymmetric candidates at
@@ -976,8 +966,7 @@ object TextQ {
     * own first-touch cost, so per-query numbers are order-independent.
     */
   def resetMaterializations(s: org.apache.spark.sql.SparkSession): Unit = {
-    Seq(bandCache, gramCache, ndPairCache, clusterCache,
-        simhashCache).foreach { c =>
+    Seq(ndPairCache).foreach { c =>
       c.keys.filter(_._1 == s.sparkContext).foreach { k =>
         c.remove(k).foreach(_.unpersist())
       }
