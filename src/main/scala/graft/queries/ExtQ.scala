@@ -303,15 +303,83 @@ object ExtQ {
     * chunk, or retry — answers row-identically (StreamingParitySpec
     * pins a forced multi-chunk run against the stored-index form).
     *
-    * AT-LEAST-ONCE NOTE (ADVICE r19): the chunk loop issues one
-    * parquet append commit PER CHUNK, so a foreachBatch retry after a
-    * partial chunk sequence (chunk 0 committed, chunk 1 failed)
-    * re-appends chunk 0's rows — the sink's pre-existing at-least-once
-    * duplicate window widens from one commit per trigger to nChunks.
-    * Values are unaffected (per-query rows are identical on replay);
-    * an exactly-once consumer dedups on (query_id, corpus_id) or
-    * reads through an idempotent sink, same as for trigger retries.
+    * AT-LEAST-ONCE NOTE (ADVICE r19, closed round 21): the chunk loop
+    * writes every chunk into a PER-TRIGGER STAGING directory (wiped at
+    * trigger start, dot-prefixed so sink reads ignore it) and publishes
+    * all staged part files into the sink with one rename pass at
+    * trigger end — a foreachBatch retry after a partial chunk sequence
+    * re-stages from scratch instead of re-appending already-committed
+    * chunks, so the duplicate window shrinks back to the sink's
+    * pre-existing one commit per trigger (a crash mid-rename-pass can
+    * still duplicate, same as any trigger retry; values are unaffected
+    * either way — per-query rows are identical on replay, and an
+    * exactly-once consumer dedups on (query_id, corpus_id)).
     */
+  /** One st8 trigger: chunk the persisted batch, probe each chunk into
+    * the per-trigger staging dir, publish staged part files into the
+    * sink with one rename pass, drop staging. Exposed private[graft]
+    * so StreamingParitySpec can replay a trigger AFTER an injected
+    * partial failure (stale staged chunk present) and pin that the
+    * retry replaces rather than duplicates.
+    */
+  private[graft] def annProbeTrigger(
+      s: org.apache.spark.sql.SparkSession,
+      emb: org.apache.spark.sql.DataFrame, index: String,
+      model: graft.operators.SimilaritySearch.IvfPqModel,
+      np: Int, maxQueryBatch: Int, outDir: String)(
+      batch: org.apache.spark.sql.DataFrame, bid: Long): Unit = {
+    import graft.operators.SimilaritySearch
+    val b = batch.persist()
+    try {
+      // the count is the guard's price — one action on the
+      // persisted batch, which the probed-cells collect below
+      // re-reads from cache
+      val n = b.count()
+      val nChunks = math.max(1L, (n + maxQueryBatch - 1L) / maxQueryBatch).toInt
+      // materialized once so every chunk filter sees ONE id
+      // assignment (the ids are layout-dependent; results are not)
+      val withId = if (nChunks == 1) b
+        else b.withColumn("__chunk",
+          pmod(monotonically_increasing_id(), lit(nChunks.toLong))).persist()
+      // per-trigger staging (see the AT-LEAST-ONCE NOTE above):
+      // chunks append here, a retry wipes and re-stages, the sink
+      // sees one publish pass per trigger. Dot prefix keeps any
+      // torn leftover invisible to parquet reads of outDir.
+      val staging = new org.apache.hadoop.fs.Path(outDir, s".staging_$bid")
+      val fs = staging.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(staging, true)
+      (0 until nChunks).foreach { c =>
+        val qs = if (nChunks == 1) b
+          else withId.filter(col("__chunk") === c.toLong).drop("__chunk")
+        val cells = SimilaritySearch.ivfPqProbedCells(qs, model, nprobe = np)
+        if (cells.nonEmpty) {
+          // memoized relation read: reuses the cell-partitioned
+          // index's file listing across chunks and triggers
+          // (pruning filters the listed index at planning time)
+          val coded = TextQ.storeRead(s, index)
+            .where(col("cell").isin(cells: _*))
+          val res = SimilaritySearch.ivfPqSearch(qs, emb, coded, model,
+            k = 5, nprobe = np, refine = 20)
+          res.write.mode("append").parquet(staging.toString)
+        }
+      }
+      // publish: move every staged part file into the sink (part
+      // names carry write UUIDs — no collisions), then drop the
+      // staging dir. This rename pass is the trigger's single
+      // effective commit point.
+      if (fs.exists(staging))
+        fs.listStatus(staging).iterator
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .foreach { st =>
+            require(fs.rename(st.getPath,
+                new org.apache.hadoop.fs.Path(outDir, st.getPath.getName)),
+              s"could not publish ${st.getPath} into $outDir")
+          }
+      fs.delete(staging, true)
+      if (nChunks > 1) { withId.unpersist(); () }
+    } finally { b.unpersist(); () }
+  }
+
   private[graft] def streamAnnProbe(
       s: org.apache.spark.sql.SparkSession, d: String,
       queryStream: org.apache.spark.sql.DataFrame,
@@ -337,36 +405,9 @@ object ExtQ {
         emb.limit(0), emb, TextQ.storeRead(s, index),
         model, k = 5, nprobe = np, refine = 20).schema
       val q = queryStream.writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          val b = batch.persist()
-          try {
-            // the count is the guard's price — one action on the
-            // persisted batch, which the probed-cells collect below
-            // re-reads from cache
-            val n = b.count()
-            val nChunks = math.max(1L, (n + maxQueryBatch - 1L) / maxQueryBatch).toInt
-            // materialized once so every chunk filter sees ONE id
-            // assignment (the ids are layout-dependent; results are not)
-            val withId = if (nChunks == 1) b
-              else b.withColumn("__chunk",
-                pmod(monotonically_increasing_id(), lit(nChunks.toLong))).persist()
-            (0 until nChunks).foreach { c =>
-              val qs = if (nChunks == 1) b
-                else withId.filter(col("__chunk") === c.toLong).drop("__chunk")
-              val cells = SimilaritySearch.ivfPqProbedCells(qs, model, nprobe = np)
-              if (cells.nonEmpty) {
-                // memoized relation read: reuses the cell-partitioned
-                // index's file listing across chunks and triggers
-                // (pruning filters the listed index at planning time)
-                val coded = TextQ.storeRead(s, index)
-                  .where(col("cell").isin(cells: _*))
-                val res = SimilaritySearch.ivfPqSearch(qs, emb, coded, model,
-                  k = 5, nprobe = np, refine = 20)
-                res.write.mode("append").parquet(outDir)
-              }
-            }
-            if (nChunks > 1) { withId.unpersist(); () }
-          } finally { b.unpersist(); () }
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          annProbeTrigger(s, emb, index, model, np, maxQueryBatch,
+            outDir)(batch, bid)
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()

@@ -135,6 +135,57 @@ class StreamingParitySpec extends AnyFunSuite {
         nprobe = Some(2), maxQueryBatch = 3)
       .collect().map(_.toString).sorted.toSeq
     assert(chunked == batch, "chunked ANN probe diverged from the stored-index form")
+
+    // RETRY-NO-DUPLICATE (ADVICE r19, closed r21): replay one trigger
+    // after an injected PARTIAL failure — a stale staged chunk left by
+    // a "crashed" previous attempt. The retry must wipe the staging
+    // dir and publish each result row exactly once; under the old
+    // per-chunk direct appends the first attempt's committed chunks
+    // would duplicate.
+    locally {
+      import graft.operators.SimilaritySearch
+      val emb = Tables.embeddings(spark, d)
+      val index = graft.queries.TextQ.annArtifact(spark, d)
+      val model = SimilaritySearch.ivfPqModel(
+        emb, graft.queries.TextQ.AnnNlist, graft.queries.TextQ.AnnM,
+        graft.queries.TextQ.AnnCb)
+      val out = Files.createTempDirectory("st8_retry").toString
+      val trigger = graft.queries.ExtQ.annProbeTrigger(
+        spark, emb, index, model, np = 2, maxQueryBatch = 3, outDir = out) _
+      // first (failed) attempt: simulate "chunk 0 staged, then crash"
+      // by running the trigger once and MOVING its published output
+      // back into the staging dir the retry will reuse
+      trigger(queries, 7L)
+      val outFiles = new java.io.File(out).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(outFiles.nonEmpty)
+      val staged = new java.io.File(out, ".staging_7")
+      staged.mkdirs()
+      outFiles.take(1).foreach { f =>
+        assert(f.renameTo(new java.io.File(staged, f.getName)))
+      }
+      // retry of the SAME trigger id: must wipe the stale staged chunk
+      // and land exactly the batch's rows once
+      val before = spark.read.parquet(out).count()
+      trigger(queries, 7L)
+      val rows = spark.read.parquet(out)
+        .collect().map(_.toString).sorted.toSeq
+      // previous attempt's published files (minus the one moved back)
+      // plus the retry's full publish — a duplicate-free retry adds
+      // exactly one full result set on top of what was already in the
+      // sink, and the stale staged chunk contributes NOTHING
+      assert(!staged.exists, "retry left the staging dir behind")
+      assert(rows.size == before + batch.size,
+        s"retry duplicated or dropped rows: ${rows.size} vs $before + ${batch.size}")
+      // and a clean-sink replay equals the batch fixpoint exactly
+      val out2 = Files.createTempDirectory("st8_retry2").toString
+      graft.queries.ExtQ.annProbeTrigger(
+        spark, emb, index, model, np = 2, maxQueryBatch = 3, outDir = out2)(
+        queries, 7L)
+      val cleanRows = spark.read.parquet(out2)
+        .collect().map(_.toString).sorted.toSeq
+      assert(cleanRows == batch, "trigger replay diverged from the batch form")
+    }
     queries.unpersist()
   }
 
