@@ -121,9 +121,18 @@ object Derived {
     * is data maintenance, not query cost.
     */
   def artifact(spark: SparkSession, dir: String, name: String): String =
-    sources.ArtifactStore.resolve(spark, "graft_derived_artifact",
-      Seq("lineitem.parquet", "embeddings.parquet").map(new java.io.File(dir, _)),
-      sub = name) { adir =>
+    // One artifact KIND per table, NOT one kind with sub = name: `sub`
+    // is ArtifactStore's params/layout tag, and its staleness GC
+    // deletes sibling subs on every build (only one sub value may
+    // exist per kind at a code version). The four derived tables are
+    // COEXISTING datasets — under the sub layout, resolving any one of
+    // them with a missing _SUCCESS deleted the other three, so every
+    // bench query whose table had been GC'd re-derived a 600k-row
+    // artifact inside its timed region (measured round 22: m06 cold
+    // 7.3 s vs 0.7 s steady; f01 2.25 s vs 0.8 s — the r21 "first-touch
+    // floor" was largely this churn, not JIT).
+    sources.ArtifactStore.resolve(spark, s"graft_derived_$name",
+      Seq("lineitem.parquet", "embeddings.parquet").map(new java.io.File(dir, _))) { adir =>
       derive(spark, dir, name).write.mode("overwrite").parquet(adir)
     }
 
