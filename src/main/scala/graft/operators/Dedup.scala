@@ -201,12 +201,31 @@ object Dedup {
                                        blockSize: Int = 128): DataFrame = {
     require(blockSize >= 1, s"blockSize must be >= 1, got $blockSize")
     val blk = ((col(rankCol) - 1) / blockSize).cast("int")
+    // BOTH sides keyed-repartitioned at a PINNED count (round 22): the
+    // pair stage is CPU-heavy but byte-light, so a count-less
+    // repartition(cols) gets AQE-coalesced by BYTES back into ~1 task
+    // (measured: a 1.4 CPU-s single-task pair stage on d07's critical
+    // path), and under the planner's broadcast join the output
+    // inherits whichever side streamed — the single-file artifact
+    // scan's one partition. Pinning to the session's shuffle-partition
+    // conf (cores locally, cluster-sized in production — never a local
+    // constant) keeps the slices parallel on both routes.
+    val np = banded.sparkSession.sessionState.conf.numShufflePartitions
     val a = banded.select(col("band"), col("band_sig"), blk.as("__blk"),
         col("doc_id").as("doc_a"))
-      .repartition(col("band"), col("band_sig"), col("__blk"))
+      .repartition(np, col("band"), col("band_sig"), col("__blk"))
     val b = banded.select(col("band"), col("band_sig"),
         explode(sequence(lit(0), blk)).as("__blk"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("band", "band_sig", "__blk"))
+      .repartition(np, col("band"), col("band_sig"), col("__blk"))
+    // SHUFFLE_HASH (not the planner's broadcast): the sides are already
+    // co-partitioned by the repartitions above, so the shuffled-hash
+    // join adds NO exchange and runs one task per (bucket, block) slice
+    // — whereas the auto-chosen broadcast spent a serial 1.2–1.5 CPU-s
+    // build stage on d05/d07's critical path (measured round 22), and
+    // at corpus scale neither side fits a broadcast anyway. Build side
+    // = a (one row per doc; the replicate side b is ~(1 + rank/block)×
+    // larger), per-partition build is a 1/numPartitions slice.
+    a.hint("SHUFFLE_HASH").join(b, Seq("band", "band_sig", "__blk"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
   }
@@ -800,6 +819,53 @@ object Dedup {
       .select("doc_a", "doc_b", "cosine")
   }
 
+  /** Verified same-cluster cosine edges from a `(cluster, id, vec)`
+    * table, with the within-cluster self-join SPREAD over rank blocks
+    * (guide §2.5 — the minhashCandidatesFromRankedBands owner-block
+    * scheme). The raw cluster equi-join has at most k distinct keys,
+    * and under a broadcast join its output inherits the probe side's
+    * partitioning — at sf0.1 ALL Σ|cluster|² quantized-cosine verifies
+    * ran in ONE task (measured round 22: a single 1.8 CPU-s task on
+    * d19's 3.1 s wall). Members are sliced into rank blocks of
+    * `blockSize`; pair (a, b) with id_a < id_b — hence rank_a < rank_b,
+    * hence block_a <= block_b — is generated exactly once, by the task
+    * owning a's block (the right side replicates each row once per
+    * block <= its own, a 1/blockSize fraction of pair volume). Pair
+    * set and cosine values are identical to the plain self-join
+    * (AnnSpec pins set-equality, including gapped ids and blockSize 1).
+    */
+  private[graft] def clusterCosineEdges(withVec: DataFrame, threshold: Double,
+                                        idCol: String, vecCol: String,
+                                        blockSize: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = Window.partitionBy("cluster").orderBy(idCol)
+    val ranked = withVec.withColumn("__r", row_number().over(wc))
+    val blk = ((col("__r") - 1) / blockSize).cast("int")
+    // BOTH sides keyed-repartitioned at a PINNED count: the cosine
+    // verify is CPU-heavy byte-light, so a count-less repartition(cols)
+    // gets AQE-coalesced by BYTES back into ~1 task, and under a
+    // broadcast join the output inherits whichever side streamed
+    // (measured round 22: with only `a` repartitioned the planner
+    // broadcast `a` and the whole verify fused into the window's single
+    // task). Pinned to the session's shuffle-partition conf — cores
+    // locally, cluster-sized in production, never a local constant.
+    val np = withVec.sparkSession.sessionState.conf.numShufflePartitions
+    val a = ranked.select(col("cluster"), blk.as("__blk"),
+        col(idCol).as("id_a"), col(vecCol).as("v_a"))
+      .repartition(np, col("cluster"), col("__blk"))
+    val b = ranked.select(col("cluster"),
+        explode(sequence(lit(0), blk)).as("__blk"),
+        col(idCol).as("id_b"), col(vecCol).as("v_b"))
+      .repartition(np, col("cluster"), col("__blk"))
+    // SHUFFLE_HASH: co-partitioned sides → no exchange, no serial
+    // broadcast build (see minhashCandidatesFromRankedBands)
+    a.hint("SHUFFLE_HASH").join(b, Seq("cluster", "__blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(Vectors.cosineQNative(col("v_a"), col("v_b")), 9))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+  }
+
   /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023's recipe over
     * this engine's deterministic primitives): k-means-cluster the
     * embedding space, compare pairs WITHIN each cluster only (the
@@ -827,13 +893,7 @@ object Dedup {
     val assign = graft.CacheRegistry.register(
       SimilaritySearch.kmeansAssign(emb, k, iters, idCol, vecCol).cache())
     val withVec = assign.join(emb.select(col(idCol), col(vecCol)), Seq(idCol))
-    val a = withVec.select(col("cluster"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = withVec.select(col("cluster"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
-    val edges = a.join(b, Seq("cluster"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", round(Vectors.cosineQNative(col("v_a"), col("v_b")), 9))
-      .filter(col("cosine") >= threshold)
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val edges = clusterCosineEdges(withVec, threshold, idCol, vecCol)
     val groups = connectedComponents(edges, distinctEdges = false)
       .select(col("doc_id").as(idCol), col("cluster_id").as("dup_group"))
     semanticTail(assign, groups, idCol)

@@ -199,6 +199,37 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("blocked cluster self-join equals the plain self-join (gapped ids, any block size)") {
+    import org.apache.spark.sql.functions._
+    // deterministic fixture: 3 clusters of very different sizes, GAPPED
+    // non-contiguous ids (the artifact-composition shape), 8-dim vectors
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 90).map { i =>
+      val id = i * 7 + (i % 3)          // gapped, strictly increasing
+      val cluster = if (i < 60) 0 else if (i < 80) 1 else 2
+      (id, cluster, Array.fill(8)(rnd.nextGaussian().toFloat))
+    }
+    val df = spark.createDataFrame(rows).toDF("vec_id", "cluster", "embedding")
+      .select(col("cluster"), col("vec_id"), col("embedding"))
+    def edgeSet(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val naive = {
+      val a = df.select(col("cluster"), col("vec_id").as("id_a"), col("embedding").as("v_a"))
+      val b = df.select(col("cluster"), col("vec_id").as("id_b"), col("embedding").as("v_b"))
+      edgeSet(a.join(b, Seq("cluster"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cosine", round(graft.functions.Vectors.cosineQNative(col("v_a"), col("v_b")), 9))
+        .filter(col("cosine") >= 0.2)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+    }
+    assert(naive.nonEmpty, "fixture must produce at least one edge")
+    for (bs <- Seq(1, 3, 64, 128)) {
+      val blocked = edgeSet(graft.operators.Dedup.clusterCosineEdges(
+        df, threshold = 0.2, idCol = "vec_id", vecCol = "embedding", blockSize = bs))
+      assert(blocked == naive, s"blockSize=$bs pair set diverged from the plain self-join")
+    }
+  }
+
   test("embeddingNearDupLsh always finds identical-vector pairs; output respects threshold") {
     val emb = syntheticEmb(60)
     val out = Dedup.embeddingNearDupLsh(emb, numTables = 2, planesPerTable = 6,
