@@ -101,22 +101,32 @@ object MotEval {
     val trCounts = trs.groupBy("seq").agg(
       count(lit(1)).as("Dets"), countDistinct("id").as("IDs"))
 
-    // CLEAR TP / LocA (A7, A8). LocA is a 1e-9-quantized mean: each IoU
-    // is fixed-pointed before summation so the aggregate is an exact
-    // integer sum — shuffle-order-independent (deviation from the
-    // reference's np.mean is ≤ 1e-9, documented).
-    val tp = mm.groupBy("seq").agg(
-      count(lit(1)).as("CLR_TP"),
-      (sum(round(col("iou") * 1e9).cast("long")).cast("double") /
-        count(lit(1)) / 1e9).as("LocA"))
-
-    // IDSW + Frag (A10, A11): windows over matched frames only — identity
-    // persists across gaps (reference eval.py:291-316).
+    // One (seq, gt_id)-windowed pass feeds THREE metric families
+    // (round 22 plan-shrink — the per-query driver cost of this plan is
+    // ~25 sequential AQE stage jobs, so every merged branch removes a
+    // planning + codegen + scheduling round trip, not just task work):
+    //   - IDSW + Frag (A10, A11): lag over matched frames only —
+    //     identity persists across gaps (reference eval.py:291-316);
+    //   - CLR_TP / LocA (A7, A8): the window is 1:1 row-preserving, so
+    //     the per-seq count and the 1e-9-quantized IoU sum (exact
+    //     integer arithmetic — shuffle-order-independent, ≤1e-9 from
+    //     the reference's np.mean, documented) aggregate the same rows
+    //     in the SAME groupBy as IDSW/Frag;
+    //   - the gt-side IDTP run ids (A12): `chg` is the identical lag
+    //     test longestRunSum would recompute over the same window.
     val wGt = Window.partitionBy("seq", "gt_id").orderBy("frameIdx")
     val lagged = mm
       .withColumn("prev_track", lag("track_id", 1).over(wGt))
       .withColumn("prev_frame", lag("frameIdx", 1).over(wGt))
-    val switches = lagged.groupBy("seq").agg(
+      .withColumn("chg",
+        when(col("prev_track").isNull || col("prev_track") =!= col("track_id"), 1)
+          .otherwise(0))
+      .withColumn("run_id", sum("chg").over(
+        wGt.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tpSwitches = lagged.groupBy("seq").agg(
+      count(lit(1)).as("CLR_TP"),
+      (sum(round(col("iou") * 1e9).cast("long")).cast("double") /
+        count(lit(1)) / 1e9).as("LocA"),
       sum(when(col("prev_track").isNotNull && col("prev_track") =!= col("track_id"), 1)
         .otherwise(0)).as("IDSW"),
       sum(when(col("prev_frame").isNotNull && col("frameIdx") > col("prev_frame") + 1, 1)
@@ -148,7 +158,13 @@ object MotEval {
         .groupBy("seq", part).agg(max("runLen").as("best"))
         .groupBy("seq").agg(sum("best"))
     }
-    val idtpGt = longestRunSum(mm, "gt_id", "track_id")
+    // gt-side IDTP reuses `lagged`'s run ids (identical chg/run_id to
+    // what longestRunSum would recompute over the same window)
+    val idtpGt = lagged
+      .groupBy(col("seq"), col("gt_id"), col("track_id"), col("run_id"))
+      .agg(count(lit(1)).as("runLen"))
+      .groupBy("seq", "gt_id").agg(max("runLen").as("best"))
+      .groupBy("seq").agg(sum("best"))
       .withColumnRenamed("sum(best)", "IDTP")
     // Track-side trajectories keep ONE gt per (frame, track): the
     // reference's track_to_gt dict is overwritten on duplicate claims
@@ -163,8 +179,7 @@ object MotEval {
 
     val joined = gtCounts
       .join(trCounts, Seq("seq"), "left")
-      .join(tp, Seq("seq"), "left")
-      .join(switches, Seq("seq"), "left")
+      .join(tpSwitches, Seq("seq"), "left")
       .join(buckets, Seq("seq"), "left")
       .join(idtpGt, Seq("seq"), "left")
       .join(idtpTr, Seq("seq"), "left")
