@@ -1119,16 +1119,28 @@ object Dedup {
     })
     val undCnt = und.count()
     dbg(s"undirected edges done: $undCnt")
-    var labels = ckpt(und
-      .select(explode(array(col("src"), col("dst"))).as("node"))
-      .distinct().withColumn("label", col("node")))
+    // labels are initialized LAZILY (round 22): the common small-graph
+    // route — the iter-0 driver tail solve — derives the full
+    // (node, label) table from the collected fringe itself (every
+    // CC-visible node is an edge endpoint), so the distributed
+    // explode+distinct+checkpoint identity init and the rep-map
+    // broadcast join both vanish from that path (two jobs over the
+    // full edge set, on every d07/d17/d19 run and every st7 trigger).
+    // The distributed loop and the empty-edge case still build the
+    // identity map here.
+    var labels: DataFrame = null
+    def labelsIdentityInit(): Unit = if (labels == null) {
+      labels = ckpt(und
+        .select(explode(array(col("src"), col("dst"))).as("node"))
+        .distinct().withColumn("label", col("node")))
+      dbg("labels init done")
+    }
     var iter = 0
     // one size job per round, shared by the loop guard, the tail-solve
     // threshold test, and the post-loop convergence check (an action;
     // testing emptiness and size separately would double the
     // per-iteration job count — the df is checkpoint-materialized, so
     // count is a cheap metadata-ish scan)
-    dbg("labels init done")
     val spark = edges.sparkSession
     val nodeType = und.schema("src").dataType
     val tailSolvable = nodeType match {
@@ -1193,19 +1205,40 @@ object Dedup {
           val (ra, rb) = (find(a), find(b))
           if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
         }
-        val repMap = parent.keys.map(k => (k, find(k))).toSeq
-        dbg(s"tail solve: ${fringe.length} edges, ${repMap.size} reps merged")
         import spark.implicits._
-        val repDf = broadcast(repMap.toDF("__rep", "__cmin")
-          .select(col("__rep").cast(nodeType), col("__cmin").cast(nodeType).as("__cmin")))
-        val solved = ckpt(labels
-          .join(repDf, labels("label") === repDf("__rep"), "left")
-          .select(col("node"), coalesce(col("__cmin"), col("label")).as("label")))
-        release(labels)
-        labels = solved
+        if (iter == 0) {
+          // labels are still the identity map, so the solved table is
+          // (endpoint, find(endpoint)) — build it straight from the
+          // union-find instead of initializing a distributed identity
+          // map and broadcast-joining the rep map into it (two jobs
+          // over the full edge set, pure overhead on this route). Same
+          // driver memory class as the fringe collect above (≤2 longs
+          // per edge, bounded by localSolveThreshold).
+          val seen = new java.util.HashSet[java.lang.Long](fringe.length * 2)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          fringe.foreach { case (a, b) =>
+            if (seen.add(a)) out += ((a, find(a)))
+            if (seen.add(b)) out += ((b, find(b)))
+          }
+          dbg(s"tail solve: ${fringe.length} edges, ${out.length} nodes labeled")
+          labels = ckpt(out.toSeq.toDF("node", "label")
+            .select(col("node").cast(nodeType).as("node"),
+              col("label").cast(nodeType).as("label")))
+        } else {
+          val repMap = parent.keys.map(k => (k, find(k))).toSeq
+          dbg(s"tail solve: ${fringe.length} edges, ${repMap.size} reps merged")
+          val repDf = broadcast(repMap.toDF("__rep", "__cmin")
+            .select(col("__rep").cast(nodeType), col("__cmin").cast(nodeType).as("__cmin")))
+          val solved = ckpt(labels
+            .join(repDf, labels("label") === repDf("__rep"), "left")
+            .select(col("node"), coalesce(col("__cmin"), col("label")).as("label")))
+          release(labels)
+          labels = solved
+        }
         fixpointProven = iter == 0
         drained = true
       } else {
+      labelsIdentityInit() // before symmetrize(), which releases `und`
       symmetrize()
       // hook: every representative adopts min(self, neighbors) in the
       // CONTRACTED graph (e is in representative space from round 2 on)
@@ -1253,6 +1286,9 @@ object Dedup {
     // 2^50 diameter, so hitting it means a logic bug — fail loudly
     require(drained,
       s"connectedComponents did not converge in $maxIter rounds")
+    // empty-edge input: the loop never ran, so build the (empty)
+    // identity map before `und` is released below
+    labelsIdentityInit()
     // the drained edge table is never read again (und is already
     // released when the loop symmetrized it)
     if (e != null) release(e) else release(und)
