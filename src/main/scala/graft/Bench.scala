@@ -29,6 +29,52 @@ object Bench {
     def warmupKernel(): Unit =
       spark.range(1000000).selectExpr("sum(id % 7)").collect()
     warmupKernel()
+    // BROADER infrastructure warmup (round 22, same untimed-generic
+    // class as the kernel above and the streaming warmup below): the
+    // single sum kernel leaves the operator runtimes the catalog
+    // actually exercises — window exec, join exec, explode/Generate,
+    // HashAggregate spill paths, the parquet reader/writer, AQE stage
+    // machinery — cold, so whichever query ran FIRST absorbed seconds
+    // of shared first-touch (measured: a01 8.6 s as the first query of
+    // a 6-query run vs 1.3-1.7 s mid-catalog; before round 22 the
+    // artifact-churn rebuilds accidentally provided this warmup).
+    // Synthetic range data only — no catalog query, no testdata read,
+    // no reusable result (the temp dir is deleted; isolation resets
+    // drop anything cached).
+    locally {
+      import org.apache.spark.sql.functions._
+      val dir = java.nio.file.Files.createTempDirectory("graft_warm")
+      try {
+        val wdf = spark.range(200000).selectExpr(
+          "id", "id % 97 AS k", "CAST(id AS DOUBLE) AS v",
+          "CAST(id % 1000 AS STRING) AS s")
+        wdf.write.mode("overwrite").parquet(dir.resolve("w").toString)
+        val rd = spark.read.parquet(dir.resolve("w").toString)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("k").orderBy("id")
+        rd.withColumn("rn", row_number().over(w))
+          .withColumn("lg", lag("v", 1).over(w))
+          .filter(col("rn") <= 3)
+          .write.mode("overwrite").format("noop").save()
+        rd.groupBy("k").agg(sum("v"), countDistinct("s"), max("id"))
+          .join(rd.groupBy("k").agg(avg("v").as("a")), Seq("k"))
+          .write.mode("overwrite").format("noop").save()
+        rd.select(col("id"), explode(split(concat(col("s"), lit(" x y z")), " ")).as("t"))
+          .groupBy("t").count()
+          .join(broadcast(rd.limit(100).select(col("s").as("t"))), Seq("t"), "left_semi")
+          .write.mode("overwrite").format("noop").save()
+        rd.as("a").join(rd.selectExpr("id AS id2", "v AS v2").as("b"),
+            col("a.id") === col("b.id2"))
+          .select(sum(col("v") * col("v2")))
+          .write.mode("overwrite").format("noop").save()
+      } catch { case _: Throwable => () }
+      finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch {
+            case _: java.io.IOException => () })
+      }
+    }
     // CALIBRATION CANARY: the same fixed kernel re-timed before each
     // query group (and once after the last). The kernel's cost is
     // data-independent and, after the warmup above, JIT-stable — so any
