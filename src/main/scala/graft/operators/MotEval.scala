@@ -133,12 +133,17 @@ object MotEval {
         .otherwise(0)).as("Frag"))
 
     // MT/PT/ML coverage buckets (A9): per GT id, matched/total frames.
-    val gtFrames = gts.select("seq", "frameIdx", "id")
-      .join(mm.select(col("seq"), col("frameIdx"), col("gt_id").as("id"))
-          .withColumn("matched", lit(1)),
-        Seq("seq", "frameIdx", "id"), "left")
-    val coverage = gtFrames.groupBy("seq", "id").agg(
-      (sum(coalesce(col("matched"), lit(0))) / count(lit(1))).as("cov"))
+    // mm keeps AT MOST one row per (seq, frameIdx, gt_id) (the argmax
+    // window), so the row-level gts-left-join-mm form is equivalent to
+    // joining the two per-(seq, id) counts — the 3600-row frame-level
+    // exchange and join disappear (round 22 plan-shrink; LONG/LONG
+    // division yields the same DOUBLE cov either way).
+    val gtTotals = gts.groupBy("seq", "id").agg(count(lit(1)).as("__tot"))
+    val matchedCnt = mm.select(col("seq"), col("gt_id").as("id"))
+      .groupBy("seq", "id").agg(count(lit(1)).as("__m"))
+    val coverage = gtTotals.join(matchedCnt, Seq("seq", "id"), "left")
+      .select(col("seq"), col("id"),
+        (coalesce(col("__m"), lit(0L)) / col("__tot")).as("cov"))
     val buckets = coverage.groupBy("seq").agg(
       sum(when(col("cov") >= 0.8, 1).otherwise(0)).as("MT"),
       sum(when(col("cov") >= 0.2 && col("cov") < 0.8, 1).otherwise(0)).as("PT"),
